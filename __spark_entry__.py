@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The implementations live in ``cassandra_migrate_keyspace_from_cluster_spark``;
+this module only adapts the registry to the driver's interface and
+forces the runtime session invariants (UTC timezone, Arrow) that oracle
+parity depends on, since the driver supplies its own SparkSession.
 """
 
 from __future__ import annotations
@@ -13,26 +17,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cassandra_migrate_keyspace_from_cluster_spark import registry
+from cassandra_migrate_keyspace_from_cluster_spark.session import configure_existing
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-shaped b5) on /root/testdata/sf0.001."""
+    configure_existing(spark)
+    return registry.queries()["b5_agg_groupby"](spark, SMOKE_SF_DIR)
+
+
+def _wrap(fn: registry.QueryFn) -> registry.QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_existing(spark)
+        return fn(spark, sf_dir)
+
+    run.__doc__ = fn.__doc__
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: _wrap(fn) for name, fn in registry.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins; keys absent here are rows-only by design (approx/LSH)."""
+    return registry.oracle_sql()

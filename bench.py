@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the noop sink (full execution, no
+driver-side collect). A tiny warmup job first so JVM/codegen startup is
+not attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cassandra_migrate_keyspace_from_cluster_spark.registry import queries
+from cassandra_migrate_keyspace_from_cluster_spark.session import build_session
+
+HEADLINE = [
+    "b5_agg_groupby",
+    "b9_join_multiway_star",
+    "b15_join_asof",
+    "b21_limit_topk",
+    "c11_topk_per_group",
+    "c14_frame_range",
+    "e1_tumbling",
+    "e3_session",
+    "f2_token_jaccard_neardup",
+    "f4_cosine_topk",
+    "f7_tokenize_wordcount",
+    "f8_tfidf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="bench")
+    qs = queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

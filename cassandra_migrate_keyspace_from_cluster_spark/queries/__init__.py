@@ -1,0 +1,9 @@
+"""Declared query inventory (SURVEY.md §2), one module per part.
+
+Importing this package populates the registry. ``ALL_MODULES`` is the
+import side-effect hook used by ``registry.load_all()``.
+"""
+
+from . import part_b_relational  # noqa: F401
+
+ALL_MODULES = [part_b_relational]

@@ -1,0 +1,586 @@
+"""Part B — relational core: scan / project / filter / join / agg / set ops.
+
+SURVEY.md §2 Part B (b1-b22). All pure DataFrame API; Catalyst supplies
+pushdown, pruning, partial/final aggregation and join-strategy selection
+(verified by plan assertions in tests/test_plans.py).
+
+Scale stance: filters and projections are expressed so they reach the
+parquet scan; small dimension sides are explicitly ``F.broadcast``-ed in
+the star join; everything else is left to AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_last_earlier
+from ..registry import register
+from .util import r2, r6, t
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b1_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice AS base_price,
+           round(l_extendedprice * (1 - l_discount), 6) AS net_price,
+           upper(l_returnflag) AS flag_u
+    FROM lineitem
+    """,
+)
+def b1_scan_project(spark, sf_dir):
+    """Parquet scan with projection + computed/renamed columns."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("base_price"),
+        r6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.upper("l_returnflag").alias("flag_u"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b2_filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 30
+      AND l_returnflag IN ('A', 'R')
+      AND (l_discount > 0.07 OR l_tax < 0.02)
+      AND NOT l_linestatus = 'X'
+      AND l_shipdate IS NOT NULL
+      AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+    """,
+)
+def b2_filter_pred(spark, sf_dir):
+    """Compound predicates: BETWEEN / IN / OR / NOT / null-check / range.
+
+    All of these reach the parquet scan as PushedFilters (asserted in
+    tests/test_plans.py) — at 100 TB this is row-group skipping.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 30)
+        & F.col("l_returnflag").isin("A", "R")
+        & ((F.col("l_discount") > 0.07) | (F.col("l_tax") < 0.02))
+        & ~(F.col("l_linestatus") == "X")
+        & F.col("l_shipdate").isNotNull()
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b3_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           round(greatest(o_totalprice, 150000.0), 6) AS at_least,
+           round(least(o_totalprice, 150000.0), 6) AS at_most
+    FROM orders
+    """,
+)
+def b3_case_when(spark, sf_dir):
+    """Conditional projection: CASE WHEN, coalesce/nullif, greatest/least."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        r6(F.greatest("o_totalprice", F.lit(150000.0))).alias("at_least"),
+        r6(F.least("o_totalprice", F.lit(150000.0))).alias("at_most"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b4_agg_global",
+    oracle="""
+    SELECT round(sum(l_quantity), 2)       AS sum_qty,
+           round(avg(l_extendedprice), 6)  AS avg_price,
+           round(min(l_extendedprice), 6)  AS min_price,
+           round(max(l_extendedprice), 6)  AS max_price,
+           count(*)                        AS n_rows,
+           count(DISTINCT l_orderkey)      AS n_orders
+    FROM lineitem
+    """,
+)
+def b4_agg_global(spark, sf_dir):
+    """Global (no-group) aggregate: sum/avg/min/max/count/count-distinct."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        r2(F.sum("l_quantity")).alias("sum_qty"),
+        r6(F.avg("l_extendedprice")).alias("avg_price"),
+        r6(F.min("l_extendedprice")).alias("min_price"),
+        r6(F.max("l_extendedprice")).alias("max_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b5_agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)      AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                          AS sum_charge,
+           round(avg(l_quantity), 6)      AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6)      AS avg_disc,
+           count(*)                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def b5_agg_groupby(spark, sf_dir):
+    """TPC-H Q1-shaped hash aggregate (the flagship query).
+
+    Catalyst plans partial (map-side) + final HashAggregate around one
+    shuffle on the 6-value grouping key — the shape that scales to 100 TB
+    because the shuffle carries only 6 x n_partitions pre-aggregated rows.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r2(F.sum(disc_price)).alias("sum_disc_price"),
+            r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r6(F.avg("l_quantity")).alias("avg_qty"),
+            r6(F.avg("l_extendedprice")).alias("avg_price"),
+            r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b6_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)        AS n_users,
+           round(sum(DISTINCT value), 2)  AS sum_distinct_value,
+           count(*)                       AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def b6_count_distinct(spark, sf_dir):
+    """Distinct aggregation: exact count(DISTINCT) and sum(DISTINCT)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        r2(F.sum_distinct(F.col("value"))).alias("sum_distinct_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b7_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 12
+    """,
+)
+def b7_having(spark, sf_dir):
+    """Post-aggregation filter (HAVING)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r2(F.sum("o_totalprice")).alias("spend"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b8_join_inner_eq",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+)
+def b8_join_inner_eq(spark, sf_dir):
+    """Inner equi-join; AQE broadcasts the customer side when it is small."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b9_join_multiway_star",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def b9_join_multiway_star(spark, sf_dir):
+    """TPC-H Q5-shaped star join: fact ⋈ 4 dims, dims broadcast.
+
+    Explicit ``F.broadcast`` on nation/region (always tiny) keeps the big
+    fact table shuffle-free on those edges at any scale; customer is left
+    to AQE (small here, shuffle-hash at 100 TB).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b10_join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def b10_join_outer(spark, sf_dir):
+    """Left outer join with null extension (customers w/o 'P' orders)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b11_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def b11_join_semi(spark, sf_dir):
+    """Left semi join: customers with ≥1 pending order, no right columns."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b12_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    """,
+)
+def b12_join_anti(spark, sf_dir):
+    """Left anti join: customers with no order above 400k (Q22-shaped)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b13_join_cross",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def b13_join_cross(spark, sf_dir):
+    """Cross product of two small inputs (5 regions x 3 statuses)."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    s = t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b14_join_theta_range",
+    oracle="""
+    SELECT p.p_partkey, l.l_orderkey, l.l_linenumber,
+           p.p_retailprice, l.l_extendedprice
+    FROM (SELECT * FROM part WHERE p_size = 1) p
+    JOIN (SELECT * FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00') l
+      ON l.l_extendedprice BETWEEN p.p_retailprice * 0.9
+                               AND p.p_retailprice * 1.1
+    """,
+)
+def b14_join_theta_range(spark, sf_dir):
+    """Pure theta (range-predicate) join on bounded inputs.
+
+    Spark plans BroadcastNestedLoopJoin with the filtered part side
+    broadcast. Scale note: at 100 TB you bound one side (as here) or
+    bucketize the range key into an equi-join prefilter (the approach the
+    as-of composite in operators/asof.py uses).
+    """
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    cond = F.col("l_extendedprice").between(
+        F.col("p_retailprice") * 0.9, F.col("p_retailprice") * 1.1
+    )
+    return F.broadcast(p).join(li, cond).select(
+        "p_partkey", "l_orderkey", "l_linenumber", "p_retailprice", "l_extendedprice"
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b15_join_asof",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, round(p.value, 6) AS purchase_value,
+           c.click_id AS last_click_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def b15_join_asof(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest click at-or-
+    before it. Spark has no native ASOF — composed in operators/asof.py
+    via the union + last_value(ignoreNulls) window trick (single shuffle,
+    no range explosion). Clicks are pre-deduped to one per (user, ts) so
+    the DuckDB ASOF tie behavior is deterministic.
+    """
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        r6(F.col("value")).alias("purchase_value"),
+    )
+    return asof_join_last_earlier(
+        left=purchases,
+        right=clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value="click_id",
+        out_value="last_click_id",
+    ).select("purchase_id", "user_id", "purchase_value", "last_click_id")
+
+
+# --------------------------------------------------------------------------
+_B16_ORACLE_SLICES = """
+    (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+     WHERE year(o_orderdate) = 1995)
+    {op}
+    (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+     WHERE o_totalprice > 450000)
+"""
+
+
+@register(
+    "b16_union_all",
+    oracle="SELECT * FROM (" + _B16_ORACLE_SLICES.format(op="UNION ALL") + ")",
+)
+def b16_union_all(spark, sf_dir):
+    """UNION ALL of two overlapping order slices (duplicates preserved)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b = o.filter(F.col("o_totalprice") > 450000).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "b17_union_distinct",
+    oracle="SELECT * FROM (" + _B16_ORACLE_SLICES.format(op="UNION") + ")",
+)
+def b17_union_distinct(spark, sf_dir):
+    """UNION (distinct) of the same two slices."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b = o.filter(F.col("o_totalprice") > 450000).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "b18_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def b18_intersect(spark, sf_dir):
+    """INTERSECT (distinct): customers ordering in both 1995 and 1996."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "b19_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def b19_except(spark, sf_dir):
+    """EXCEPT (distinct): 1995 customers who did not order in 1996."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.subtract(b)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b20_sort_multikey",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, status_nullable,
+           row_number() OVER (
+             ORDER BY o_totalprice DESC,
+                      status_nullable ASC NULLS FIRST,
+                      o_orderkey ASC) AS sort_pos
+    FROM (SELECT o_orderkey, o_totalprice,
+                 nullif(o_orderstatus, 'P') AS status_nullable
+          FROM orders)
+    """,
+)
+def b20_sort_multikey(spark, sf_dir):
+    """Multi-key sort with mixed direction + explicit null placement.
+
+    The t2 hash is order-insensitive, so the sort is PROVEN by
+    materializing the global position as ``sort_pos`` (row_number over
+    the same ordering). orderBy itself is also applied so the physical
+    plan contains the global Sort.
+    """
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.nullif("o_orderstatus", F.lit("P")).alias("status_nullable"),
+    )
+    order = [
+        F.col("o_totalprice").desc(),
+        F.col("status_nullable").asc_nulls_first(),
+        F.col("o_orderkey").asc(),
+    ]
+    w = Window.orderBy(*order)
+    return o.withColumn("sort_pos", F.row_number().over(w)).orderBy(*order)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b21_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def b21_limit_topk(spark, sf_dir):
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition
+    top-k then merge — no global sort, the 100-TB-safe shape)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b22_distinct_rows",
+    oracle="SELECT DISTINCT event_type, user_id FROM events",
+)
+def b22_distinct_rows(spark, sf_dir):
+    """Row dedup via DISTINCT (hash aggregate on all columns)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select("event_type", "user_id").distinct()

@@ -1,0 +1,1 @@
+from .parquet_keyspace import TABLES, load_table, register_views  # noqa: F401

@@ -1,0 +1,67 @@
+"""Parquet "keyspace" source.
+
+The engine's testable data model treats a directory of parquet files as
+a keyspace and each file as a table (SURVEY.md §1.2, Part A). On a real
+deployment the same operators read from Cassandra via the Spark
+Cassandra Connector (see ``sources/cassandra.py`` for the design); the
+query layer is source-agnostic because everything downstream is plain
+DataFrame ops.
+
+Scale notes:
+  - ``spark.read.parquet`` gives Catalyst full pushdown: predicate →
+    parquet row-group skip, projection → column pruning. Queries select
+    the minimal column set so a 100-TB scan reads only what it needs.
+  - At scale the per-table files would be directories partitioned on a
+    high-cardinality key (e.g. ``o_orderdate`` month); the loader is
+    path-based so that change is transparent to the query layer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one keyspace table as a DataFrame (schema from parquet footer).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark has
+    no native type for; with ``spark.sql.legacy.parquet.nanosAsLong`` it
+    arrives as nanos-since-epoch and is converted here to a microsecond
+    TimestampType (lossless: the generated values are µs-resolution).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register temp views so queries can be expressed in Spark SQL."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
