@@ -5,5 +5,6 @@ import side-effect hook used by ``registry.load_all()``.
 """
 
 from . import part_b_relational  # noqa: F401
+from . import part_c_windows  # noqa: F401
 
-ALL_MODULES = [part_b_relational]
+ALL_MODULES = [part_b_relational, part_c_windows]

@@ -1,0 +1,458 @@
+"""Part C — advanced aggregation (rollup/cube/grouping sets, stats,
+percentiles, pivot, collect) and window functions (ranking, analytic
+offsets, frames). SURVEY.md §2 Part C (c1-c17).
+
+Engine-alignment notes baked in here:
+  - Spark's skewness/kurtosis are POPULATION moments; DuckDB's built-ins
+    are sample-corrected → the c4 oracle computes the population
+    formulas explicitly.
+  - Spark range frames are numeric → c14 orders by floor-second epoch;
+    the oracle orders by date_trunc('second', ts) with an INTERVAL frame
+    (identical frame sets).
+  - Every window ordering carries a unique tie-break (§5.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .util import r2, r6, t
+
+
+# --------------------------------------------------------------------------
+@register(
+    "c1_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def c1_rollup(spark, sf_dir):
+    """ROLLUP: (flag,status) + per-flag subtotals + grand total, with
+    grouping() flags disambiguating subtotal NULLs from data NULLs."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+@register(
+    "c2_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def c2_cube(spark, sf_dir):
+    """CUBE: all 2^2 subtotal combinations."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        r2(F.sum("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+@register(
+    "c3_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def c3_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS list: per-flag, per-status, grand total."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        r2(F.sum("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "c4_stats_agg",
+    oracle="""
+    WITH mu AS (SELECT event_type, avg(value) AS m FROM events GROUP BY 1)
+    SELECT e.event_type,
+           round(stddev_samp(e.value), 6) AS sd_samp,
+           round(var_pop(e.value), 6)     AS var_p,
+           round(corr(e.value, CAST(e.user_id AS DOUBLE)), 6)      AS corr_vu,
+           round(covar_pop(e.value, CAST(e.user_id AS DOUBLE)), 4) AS covar_vu,
+           round(avg(pow(e.value - mu.m, 3))
+                 / pow(avg(pow(e.value - mu.m, 2)), 1.5), 6)       AS skew,
+           round(avg(pow(e.value - mu.m, 4))
+                 / pow(avg(pow(e.value - mu.m, 2)), 2) - 3, 6)     AS kurt
+    FROM events e JOIN mu USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def c4_stats_agg(spark, sf_dir):
+    """Statistical aggregates. Spark's skewness/kurtosis are population
+    (excess) moments, so the oracle computes those formulas explicitly
+    (DuckDB's built-ins are sample-corrected and would mismatch)."""
+    ev = t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        r6(F.stddev_samp("value")).alias("sd_samp"),
+        r6(F.var_pop("value")).alias("var_p"),
+        r6(F.corr(F.col("value"), uid)).alias("corr_vu"),
+        F.round(F.covar_pop(F.col("value"), uid), 4).alias("covar_vu"),
+        r6(F.skewness("value")).alias("skew"),
+        r6(F.kurtosis("value")).alias("kurt"),
+    )
+
+
+@register(
+    "c5_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(median(value), 6) AS med,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def c5_percentiles(spark, sf_dir):
+    """Exact median + p90 per event type (linear interpolation both)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        r6(F.median("value")).alias("med"),
+        r6(F.percentile("value", 0.9)).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "c5b_mode",
+    oracle="SELECT mode(event_type) AS modal_type, count(*) AS n FROM events",
+)
+def c5b_mode(spark, sf_dir):
+    """Global modal event_type (unique max count in the data → both
+    engines deterministic)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.agg(F.mode("event_type").alias("modal_type"), F.count(F.lit(1)).alias("n"))
+
+
+@register("c6_approx_quantile", oracle=None)  # sketch values are engine-specific
+def c6_approx_quantile(spark, sf_dir):
+    """Approximate percentile (rows-only: sketch values differ across
+    engines by design; accuracy vs exact twin asserted in pytest)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5).alias("p50_approx"),
+        F.percentile_approx("value", 0.9).alias("p90_approx"),
+    )
+
+
+@register("c7_approx_cd", oracle=None)  # HLL++ values are engine-specific
+def c7_approx_cd(spark, sf_dir):
+    """Approx count-distinct (rows-only; rtol vs exact twin in pytest)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("n_users_approx")
+    )
+
+
+@register(
+    "c8_collect",
+    oracle="""
+    SELECT event_type,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users_csv,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def c8_collect(spark, sf_dir):
+    """Collect-to-array, deterministic: sorted distinct list, emitted as
+    CSV string (cross-engine array formatting is not comparable)."""
+    ev = t(spark, sf_dir, "events")
+    arr = F.sort_array(F.collect_set("user_id"))
+    return ev.groupBy("event_type").agg(
+        F.array_join(F.transform(arr, lambda x: x.cast("string")), ",").alias(
+            "users_csv"
+        ),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_EVENT_TYPES = ["signup", "click", "view", "purchase", "error"]
+
+
+@register(
+    "c9_pivot",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY 1
+    """,
+)
+def c9_pivot(spark, sf_dir):
+    """Pivot with an EXPLICIT value list (determinism + single job —
+    implicit pivot would first scan for distinct values)."""
+    ev = t(spark, sf_dir, "events")
+    piv = (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "user_bucket",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _EVENT_TYPES],
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "c10_row_number",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           rank()       OVER (PARTITION BY o_custkey
+                              ORDER BY year(o_orderdate) DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY o_custkey
+                              ORDER BY year(o_orderdate) DESC) AS drnk
+    FROM orders
+    """,
+)
+def c10_row_number(spark, sf_dir):
+    """row_number (unique ordering) + rank/dense_rank (tie-prone ordering
+    — rank values are set-determined, so ties are still deterministic)."""
+    o = t(spark, sf_dir, "orders")
+    w_unique = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_ties = Window.partitionBy("o_custkey").orderBy(F.year("o_orderdate").desc())
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+    )
+
+
+@register(
+    "c11_topk_per_group",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    QUALIFY rn <= 3
+    """,
+)
+def c11_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer: the canonical window+filter composite.
+    Scale: partition-local sort per customer key — no global sort."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "c12_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER w, 6) AS delta_value,
+           epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def c12_lag_lead(spark, sf_dir):
+    """Analytic offsets: per-user value delta (lag) and gap to next
+    event in exact microseconds (lead)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        r6(F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias(
+            "gap_us"
+        ),
+    )
+
+
+@register(
+    "c13_frame_rows",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS price_3row
+    FROM orders
+    """,
+)
+def c13_frame_rows(spark, sf_dir):
+    """ROWS frame: 3-row moving sum per order status.
+
+    Runs on orders, not lineitem: lineitem has NO unique key (duplicate
+    (l_orderkey, l_linenumber) pairs exist in the generated data), so no
+    deterministic total ordering exists there — a ROWS frame would be
+    engine-dependent. o_orderkey is unique.
+    """
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        r2(F.sum("o_totalprice").over(w)).alias("price_3row"),
+    )
+
+
+@register(
+    "c14_frame_range",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER w, 6) AS avg_1h,
+           count(*) OVER w AS n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts)
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def c14_frame_range(spark, sf_dir):
+    """RANGE (interval) frame: 1-hour trailing average per user.
+
+    Spark range frames are numeric, so we order by floor-second epoch
+    (unix_timestamp); the oracle orders by date_trunc('second', ts) with
+    an INTERVAL bound — identical frame sets, peers included both sides.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        r6(F.avg("value").over(w)).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@register(
+    "c15_running_total",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+    FROM orders
+    """,
+)
+def c15_running_total(spark, sf_dir):
+    """Unbounded-preceding frame: cumulative spend per customer."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        r2(F.sum("o_totalprice").over(w)).alias("cum_spend"),
+    )
+
+
+@register(
+    "c16_ntile_pctrank",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume_d
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def c16_ntile_pctrank(spark, sf_dir):
+    """Distribution functions over a unique global ordering.
+
+    Scale note: a global (unpartitioned) window is a single-reducer sort
+    — acceptable for ranking reports, not for per-row 100-TB transforms;
+    the partitioned windows above are the scale path.
+    """
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume_d"),
+    )
+
+
+@register(
+    "c17_first_last",
+    oracle="""
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           first_value(value) OVER w AS first_v,
+           last_value(value)  OVER w AS last_v,
+           count(*) OVER w AS n_day
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def c17_first_last(spark, sf_dir):
+    """first/last value per user-day over an explicit full-partition
+    frame with deterministic ordering. The day column is a day-truncated
+    TIMESTAMP (not DATE) on both sides — cross-engine DATE values reach
+    pandas as different dtypes and would defeat the value hash."""
+    ev = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    w = (
+        Window.partitionBy("user_id", F.date_trunc("day", F.col("ts")))
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        day,
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.count(F.lit(1)).over(w).alias("n_day"),
+    ).distinct()
