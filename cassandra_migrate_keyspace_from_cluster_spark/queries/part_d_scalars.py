@@ -1,0 +1,404 @@
+"""Part D — scalar function surface, one composite query per family.
+
+SURVEY.md §2 Part D (d1-d10). Cross-engine alignment decisions (probed
+against DuckDB 1.0, SURVEY §5.4):
+  - integer-returning string/date fns: Spark→int vs DuckDB→bigint —
+    cast BOTH to bigint;
+  - ``round(x, k)`` half-cases: Spark rounds the shortest decimal repr
+    (BigDecimal), DuckDB the binary double — NEVER round a value whose
+    true decimal expansion can sit exactly on the half boundary at k
+    digits (e.g. 2-decimal money at k=1). Rounding after division or at
+    6dp is safe;
+  - cast double→int: DuckDB ROUNDS, Spark TRUNCATES — always floor/ceil
+    explicitly before casting;
+  - DuckDB ``%`` keeps the dividend sign; pmod ≡ ``((a % b) + b) % b``;
+  - ``list_distinct`` does not preserve order — always sort after;
+  - initcap / soundex / crc32 / format_number have no DuckDB 1.0
+    equivalent → excluded from oracle-checked output (format_string ↔
+    printf covers formatting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .util import r6, t
+
+
+# --------------------------------------------------------------------------
+@register(
+    "d1_string_basic",
+    oracle="""
+    SELECT c_custkey,
+           concat(c_name, '|', c_mktsegment)           AS joined,
+           concat_ws('-', c_name, c_mktsegment)        AS joined_ws,
+           upper(c_name)                               AS up,
+           lower(c_name)                               AS lo,
+           trim(concat('  ', c_name, '  '))            AS trimmed,
+           ltrim(concat('  ', c_name))                 AS ltrimmed,
+           rtrim(concat(c_name, '  '))                 AS rtrimmed,
+           substring(c_name, 10, 5)                    AS sub,
+           CAST(length(c_name) AS BIGINT)              AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0')   AS key_pad,
+           rpad(c_mktsegment, 12, '*')                 AS seg_pad,
+           CAST(instr(c_name, '#') AS BIGINT)          AS hash_pos,
+           translate(c_name, '0#', 'X_')               AS translated,
+           repeat(c_mktsegment, 2)                     AS seg2,
+           reverse(c_name)                             AS rev,
+           replace(c_name, 'Customer', 'Cust')         AS repl
+    FROM customer
+    """,
+)
+def d1_string_basic(spark, sf_dir):
+    """String basics: concat/case/trim/pad/substr/instr/translate/
+    repeat/reverse/replace. (initcap excluded: absent in DuckDB 1.0.)"""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat("c_name", F.lit("|"), "c_mktsegment").alias("joined"),
+        F.concat_ws("-", "c_name", "c_mktsegment").alias("joined_ws"),
+        F.upper("c_name").alias("up"),
+        F.lower("c_name").alias("lo"),
+        F.trim(F.concat(F.lit("  "), "c_name", F.lit("  "))).alias("trimmed"),
+        F.ltrim(F.concat(F.lit("  "), "c_name")).alias("ltrimmed"),
+        F.rtrim(F.concat("c_name", F.lit("  "))).alias("rtrimmed"),
+        F.substring("c_name", 10, 5).alias("sub"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+        F.rpad("c_mktsegment", 12, "*").alias("seg_pad"),
+        F.instr("c_name", "#").cast("bigint").alias("hash_pos"),
+        F.translate("c_name", "0#", "X_").alias("translated"),
+        F.repeat("c_mktsegment", 2).alias("seg2"),
+        F.reverse("c_name").alias("rev"),
+        F.replace("c_name", F.lit("Customer"), F.lit("Cust")).alias("repl"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "d2_string_regex",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, 'Customer#(\\d+)', 1)         AS digits,
+           CAST(regexp_extract(c_name, '(\\d+)', 1) AS BIGINT)  AS digits_int,
+           regexp_replace(c_name, '0+', '#', 'g')               AS squashed,
+           regexp_matches(c_name, '00[1-9]')                    AS has_pad,
+           array_to_string(string_split_regex(c_name, '[#0]+'), ',') AS parts
+    FROM customer
+    """,
+)
+def d2_string_regex(spark, sf_dir):
+    """Regex family: extract (group), replace, match-test, split.
+    Oracle needs the 'g' flag: DuckDB regexp_replace is first-match-only
+    by default while Spark's is global."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).alias("digits"),
+        F.regexp_extract("c_name", r"(\d+)", 1).cast("bigint").alias("digits_int"),
+        F.regexp_replace("c_name", "0+", "#").alias("squashed"),
+        F.col("c_name").rlike("00[1-9]").alias("has_pad"),
+        F.array_join(F.split("c_name", "[#0]+"), ",").alias("parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "d3_string_distance",
+    oracle="""
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, replace(c_name, '0', '1')) AS BIGINT)
+             AS dist_zeros,
+           CAST(levenshtein(c_mktsegment, 'MACHINERY') AS BIGINT) AS dist_seg
+    FROM customer
+    """,
+)
+def d3_string_distance(spark, sf_dir):
+    """String-distance scalars: levenshtein (soundex excluded: absent in
+    DuckDB 1.0)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.replace("c_name", F.lit("0"), F.lit("1")))
+        .cast("bigint")
+        .alias("dist_zeros"),
+        F.levenshtein("c_mktsegment", F.lit("MACHINERY")).cast("bigint").alias(
+            "dist_seg"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "d4_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)        AS y,
+           CAST(month(o_orderdate) AS INT)       AS m,
+           CAST(day(o_orderdate) AS INT)         AS d,
+           CAST(isodow(o_orderdate) AS INT)      AS iso_dow,
+           date_trunc('month', o_orderdate)      AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + 5 AS TIMESTAMP) AS plus5d,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS INT)                          AS days_since_95,
+           CAST(date_diff('month', DATE '1995-01-01',
+                date_trunc('month', o_orderdate)) AS INT) AS months_since_95,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+           CAST(make_date(2024, CAST(month(o_orderdate) AS INT), 1)
+                AS TIMESTAMP)                    AS md,
+           strftime(o_orderdate, '%Y-%m-%d')     AS iso_str,
+           CAST(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS TIMESTAMP)
+                                                 AS roundtrip
+    FROM orders
+    """,
+)
+def d4_datetime(spark, sf_dir):
+    """Date/time family. ISO day-of-week derived explicitly on the Spark
+    side (Spark dayofweek is 1=Sunday, DuckDB's 0=Sunday — never compare
+    raw); date-typed results emitted as timestamps (dtype stability)."""
+    o = t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).cast("int").alias("y"),
+        F.month(od).cast("int").alias("m"),
+        F.dayofmonth(od).cast("int").alias("d"),
+        (((F.dayofweek(od) + 5) % 7) + 1).cast("int").alias("iso_dow"),
+        F.date_trunc("month", od).alias("month_start"),
+        F.date_add(F.to_date(od), 5).cast("timestamp").alias("plus5d"),
+        F.datediff(F.to_date(od), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_95"),
+        F.months_between(F.date_trunc("month", od), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("months_since_95"),
+        F.unix_timestamp(od).alias("epoch_s"),
+        F.make_date(F.lit(2024), F.month(od), F.lit(1))
+        .cast("timestamp")
+        .alias("md"),
+        F.date_format(od, "yyyy-MM-dd").alias("iso_str"),
+        F.to_date(F.date_format(od, "yyyy-MM-dd")).cast("timestamp").alias("roundtrip"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "d5_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_extendedprice / 7, 2)            AS div7,
+           CAST(ceil(l_discount * 100) AS BIGINT)   AS ce,
+           CAST(floor(l_discount * 100) AS BIGINT)  AS fl,
+           round(abs(l_discount - 0.05), 6)         AS ab,
+           round(exp(l_discount), 6)                AS ex,
+           round(ln(l_quantity + 1), 6)             AS lnv,
+           round(log10(l_quantity + 1), 6)          AS lg,
+           round(pow(l_quantity, 2), 2)             AS pw,
+           round(sqrt(l_quantity), 6)               AS sq,
+           CAST(((l_orderkey % 7) + 7) % 7 AS BIGINT) AS pm,
+           CAST(sign(l_discount - 0.05) AS INT)     AS sg,
+           round(radians(l_quantity), 6)            AS rad,
+           round(degrees(l_discount), 6)            AS deg
+    FROM lineitem
+    """,
+)
+def d5_math(spark, sf_dir):
+    """Math family. round() applied only post-division / at 6dp (see
+    module docstring for the half-case hazard); pmod spelled explicitly
+    in the oracle because DuckDB % keeps the dividend sign."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") / 7, 2).alias("div7"),
+        F.ceil(F.col("l_discount") * 100).cast("bigint").alias("ce"),
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("fl"),
+        r6(F.abs(F.col("l_discount") - 0.05)).alias("ab"),
+        r6(F.exp("l_discount")).alias("ex"),
+        r6(F.log(F.col("l_quantity") + 1)).alias("lnv"),
+        r6(F.log10(F.col("l_quantity") + 1)).alias("lg"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("pw"),
+        r6(F.sqrt("l_quantity")).alias("sq"),
+        F.pmod("l_orderkey", F.lit(7)).cast("bigint").alias("pm"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("sg"),
+        r6(F.radians("l_quantity")).alias("rad"),
+        r6(F.degrees("l_discount")).alias("deg"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "d6_array",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT)                       AS n_toks,
+           array_to_string(list_slice(toks, 1, 5), ' ')    AS first5,
+           list_contains(toks, 'join')                     AS has_join,
+           CAST(len(list_distinct(toks)) AS BIGINT)        AS n_uniq,
+           array_to_string(list_sort(list_distinct(toks)), ',') AS uniq_csv,
+           array_to_string(list_transform(list_slice(toks, 1, 3),
+                                          x -> upper(x)), ',') AS upper3,
+           CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT)
+                                                           AS n_long,
+           CAST(list_reduce(list_transform(toks, x -> length(x)),
+                            (a, b) -> a + b) AS BIGINT)    AS tot_len
+    FROM d
+    """,
+)
+def d6_array(spark, sf_dir):
+    """Array family incl. higher-order transform/filter/aggregate.
+    Arrays emitted as joined strings (cross-engine array dtype parity);
+    distinct always sorted (DuckDB list_distinct is unordered)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("first5"),
+        F.array_contains(toks, "join").alias("has_join"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("uniq_csv"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), ","
+        ).alias("upper3"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4))
+        .cast("bigint")
+        .alias("n_long"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.length(x).cast("bigint"),
+        ).alias("tot_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "d7_map_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT)       AS k,
+           json_extract_string(props, '$.k')             AS k_str,
+           CAST(json_extract(props, '$.k') AS INT) * 2   AS k2,
+           CAST(json_extract(props, '$.missing') AS INT) AS k_missing,
+           array_to_string(map_keys(
+             MAP {'a': CAST(json_extract(props, '$.k') AS INT),
+                  'b': CAST(json_extract(props, '$.k') AS INT) * 2}), ',')
+                                                         AS mkeys,
+           CAST(list_reduce(map_values(
+             MAP {'a': CAST(json_extract(props, '$.k') AS INT),
+                  'b': CAST(json_extract(props, '$.k') AS INT) * 2}),
+             (x, y) -> x + y) AS BIGINT)                 AS mval_sum
+    FROM events
+    """,
+)
+def d7_map_json(spark, sf_dir):
+    """Map & JSON: get_json_object/from_json extraction with explicit
+    INT casts (DuckDB json_extract returns JSON, Spark returns string —
+    §5.4), map construction + keys/values."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    m = F.create_map(F.lit("a"), k, F.lit("b"), k * 2)
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        (F.from_json("props", "k INT").getField("k") * 2).alias("k2"),
+        F.get_json_object("props", "$.missing").cast("int").alias("k_missing"),
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("mval_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "d8_hash",
+    oracle="""
+    SELECT o_orderkey,
+           md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus))
+             AS row_md5,
+           sha256(CAST(o_orderkey AS VARCHAR)) AS key_sha256
+    FROM orders
+    """,
+)
+def d8_hash(spark, sf_dir):
+    """Hash family: md5 / sha2-256 (standardized → identical across
+    engines). xxhash64/crc32 are Spark-specific: used internally by the
+    migration checksum (a8) but excluded from oracle output."""
+    o = t(spark, sf_dir, "orders")
+    key_str = F.col("o_orderkey").cast("string")
+    return o.select(
+        "o_orderkey",
+        F.md5(F.concat_ws("|", key_str, "o_orderstatus")).alias("row_md5"),
+        F.sha2(key_str, 256).alias("key_sha256"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "d9_conditional_null",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'P')                      AS sn,
+           coalesce(nullif(o_orderstatus, 'P'), 'PEND')    AS co,
+           coalesce(nullif(o_orderstatus, 'P'), 'NA')      AS nv,
+           (nullif(o_orderstatus, 'P') IS NULL)            AS is_pending,
+           CASE WHEN isnan('NaN'::DOUBLE) THEN o_totalprice
+                ELSE 'NaN'::DOUBLE END                     AS nan_fixed,
+           (o_orderstatus IS NOT DISTINCT FROM 'P')        AS nse_p,
+           (nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL) AS nse_null
+    FROM orders
+    """,
+)
+def d9_conditional_null(spark, sf_dir):
+    """Null handling: nullif/coalesce/nvl/isnull/nanvl and null-safe
+    equality (<=> ↔ IS NOT DISTINCT FROM)."""
+    o = t(spark, sf_dir, "orders")
+    sn = F.nullif("o_orderstatus", F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        sn.alias("sn"),
+        F.coalesce(sn, F.lit("PEND")).alias("co"),
+        F.nvl(sn, F.lit("NA")).alias("nv"),
+        F.isnull(sn).alias("is_pending"),
+        F.nanvl(F.lit(float("nan")), F.col("o_totalprice")).alias("nan_fixed"),
+        F.col("o_orderstatus").eqNullSafe(F.lit("P")).alias("nse_p"),
+        sn.eqNullSafe(F.lit(None).cast("string")).alias("nse_null"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "d10_cast_types",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR)                 AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS INT)    AS key_back,
+           CAST(floor(o_totalprice) AS BIGINT)         AS price_floor,
+           date_trunc('day', o_orderdate)              AS order_day,
+           printf('%.2f', o_totalprice)                AS price_fmt,
+           CAST(o_totalprice > 250000 AS VARCHAR)      AS is_big_str
+    FROM orders
+    """,
+)
+def d10_cast_types(spark, sf_dir):
+    """Casts & formatting. Explicit floor before int cast (DuckDB cast
+    rounds, Spark truncates); printf-style formatting is the
+    cross-engine-stable path (format_number's locale separators are not)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("int").alias("key_back"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.date_trunc("day", "o_orderdate").alias("order_day"),
+        F.format_string("%.2f", "o_totalprice").alias("price_fmt"),
+        (F.col("o_totalprice") > 250000).cast("string").alias("is_big_str"),
+    )
