@@ -7,5 +7,6 @@ import side-effect hook used by ``registry.load_all()``.
 from . import part_b_relational  # noqa: F401
 from . import part_c_windows  # noqa: F401
 from . import part_d_scalars  # noqa: F401
+from . import part_e_events  # noqa: F401
 
-ALL_MODULES = [part_b_relational, part_c_windows, part_d_scalars]
+ALL_MODULES = [part_b_relational, part_c_windows, part_d_scalars, part_e_events]

@@ -1,0 +1,256 @@
+"""Part E — streaming-semantics operators over the ``events`` table.
+
+SURVEY.md §2 Part E (e1-e8). Each operator ships as a hash-checked BATCH
+DataFrame query here, plus a Structured Streaming twin in
+``streaming/twins.py`` (same logic over ``readStream`` + watermark,
+smoke-tested in tests/test_streaming.py) — the t2 oracle is batch DuckDB
+SQL, so the batch form is the checkable one.
+
+Window-alignment note: Spark ``F.window`` tumbling/sliding windows align
+to the Unix epoch; DuckDB ``time_bucket`` aligns sub-day buckets to
+2000-01-03 00:00:00 — both are whole-hour/whole-15-min aligned, so the
+boundaries coincide for the intervals used here.
+
+All ts outputs are CAST to TIMESTAMP in the oracle: the parquet column
+is TIMESTAMP_NS on the DuckDB side and µs on the Spark side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .util import r2, t
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e1_tumbling",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def e1_tumbling(spark, sf_dir):
+    """Tumbling 1-hour window aggregate per event type.
+
+    Streaming twin: identical groupBy(F.window(...)) plus
+    ``withWatermark('ts', '10 minutes')`` — see streaming/twins.py.
+    """
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e2_sliding",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
+                - TO_MICROSECONDS(k * 15 * 60 * 1000000) AS TIMESTAMP)
+             AS window_start,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+    GROUP BY 1
+    """,
+)
+def e2_sliding(spark, sf_dir):
+    """Sliding windows: 1 hour long, advancing every 15 minutes — each
+    event belongs to exactly 4 windows. The oracle expands the same
+    membership with a 0..3 offset cross join."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e3_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         >= INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def e3_session(spark, sf_dir):
+    """Session windows: 30-minute inactivity gap per user.
+
+    Spark side uses the native ``F.session_window``; the oracle is the
+    classic gaps-and-islands rewrite. Boundary semantics align: Spark
+    merges an event iff ts < previous_ts + gap (strict), so the oracle
+    starts a new session when the gap is >= 30 minutes.
+    """
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), r2(F.sum("value")).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e4_watermark_late",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+)
+def e4_watermark_late(spark, sf_dir):
+    """Watermark policy, batch form: drop events older than (stream max
+    ts - 7 days), then daily aggregate — the batch rendering of a 7-day
+    watermark at end-of-stream. Streaming twin uses withWatermark."""
+    ev = t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 7 DAYS"))
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e5_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type, value
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def e5_stream_dedup(spark, sf_dir):
+    """Stateful dedup: first occurrence per (user_id, event_type, value)
+    with an explicit deterministic survivor (ts, event_id ordering —
+    never engine-default dropDuplicates). Streaming twin:
+    dropDuplicates within watermark."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type", "value").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e6_stateful_runagg",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS cum_spend
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def e6_stateful_runagg(spark, sf_dir):
+    """Stateful running aggregate: per-user cumulative purchase value.
+    Streaming twin: groupBy(user).agg(sum) in update mode."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", r2(F.sum("value").over(w)).alias("cum_spend")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e7_event_funnel",
+    oracle="""
+    SELECT user_id,
+           CAST(min(CASE WHEN event_type = 'signup' THEN ts END)
+                AS TIMESTAMP) AS first_signup,
+           CAST(min(CASE WHEN event_type = 'purchase' THEN ts END)
+                AS TIMESTAMP) AS first_purchase
+    FROM events
+    GROUP BY user_id
+    HAVING min(CASE WHEN event_type = 'signup' THEN ts END)
+         < min(CASE WHEN event_type = 'purchase' THEN ts END)
+    """,
+)
+def e7_event_funnel(spark, sf_dir):
+    """Ordered-pattern detection: users whose first signup precedes
+    their first purchase (conditional-min funnel — one aggregation, no
+    self-join, the shape that scales)."""
+    ev = t(spark, sf_dir, "events")
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    first_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            first_signup.alias("first_signup"),
+            first_purchase.alias("first_purchase"),
+        )
+        .filter(F.col("first_signup") < F.col("first_purchase"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e8_rate_histogram",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(floor(value / 50) AS INT) AS value_bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def e8_rate_histogram(spark, sf_dir):
+    """Time histogram: events per (day, value-bucket) — daily rate plus
+    a width-50 value histogram in one aggregate."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.floor(F.col("value") / 50).cast("int").alias("value_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))

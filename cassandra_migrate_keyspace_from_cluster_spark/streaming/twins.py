@@ -1,0 +1,88 @@
+"""Structured Streaming twins of the Part E batch queries.
+
+The t2 oracle is batch SQL, so these twins are smoke-tested (file-source
+micro-batch replay through a memory sink must reproduce the batch
+answer) rather than oracle-hashed — SURVEY.md §5.3.5.
+
+At production scale the source would be Kafka (`readStream.format(
+"kafka")`) and the sink a transactional store via ``foreachBatch``; the
+transformation layer is identical, which is the point of keeping the
+batch and streaming forms textually parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of the events table (schema pinned, no
+    inference — streaming sources require an explicit schema).
+
+    ``ts`` arrives as nanos-since-epoch (see sources/parquet_keyspace)
+    and is converted to a µs timestamp, same as the batch loader.
+    """
+    static = spark.read.parquet(src_dir)
+    stream = spark.readStream.schema(static.schema).parquet(src_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of e1_tumbling: 1h tumbling window x event_type
+    with a 10-minute watermark bounding state."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def session_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of e3_session: native session_window + watermark.
+    State per (user, open session) is bounded by the watermark — the
+    100-TB-stream shape."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of e5_stream_dedup: dropDuplicates within the
+    watermark horizon (state = seen keys inside the watermark)."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicates(
+        ["user_id", "event_type", "value"]
+    )
+
+
+def run_to_completion(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a bounded file-source stream to completion through a memory
+    sink (complete mode for aggregates, append for row streams) and
+    return the materialized result as a batch DataFrame."""
+    mode = "complete" if _has_aggregate(stream_df) else "append"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    spark = stream_df.sparkSession
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()  # type: ignore[attr-defined]
+    return "Aggregate" in plan

@@ -1,0 +1,48 @@
+"""Streaming-twin smoke tests: a bounded file-source replay through the
+memory sink must reproduce the batch answers (SURVEY.md §5.3.5)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from cassandra_migrate_keyspace_from_cluster_spark.registry import specs
+from cassandra_migrate_keyspace_from_cluster_spark.streaming import twins
+
+from .conftest import SF_SMOKE
+from .parity import compare_frames
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(os.path.join(SF_SMOKE, "events.parquet"), d / "events.parquet")
+    return str(d)
+
+
+def test_tumbling_twin_matches_batch(spark, events_dir):
+    stream = twins.tumbling_stream(twins.read_events_stream(spark, events_dir))
+    got = twins.run_to_completion(stream, "tumbling_out").toPandas()
+    want = specs()["e1_tumbling"].fn(spark, SF_SMOKE).toPandas()
+    compare_frames(got, want, "tumbling twin vs batch")
+
+
+def test_session_twin_matches_batch(spark, events_dir):
+    stream = twins.session_stream(twins.read_events_stream(spark, events_dir))
+    got = twins.run_to_completion(stream, "session_out").toPandas()
+    want = specs()["e3_session"].fn(spark, SF_SMOKE).toPandas()
+    compare_frames(got, want, "session twin vs batch")
+
+
+def test_dedup_twin_count_matches_batch(spark, events_dir):
+    stream = twins.dedup_stream(twins.read_events_stream(spark, events_dir))
+    got = twins.run_to_completion(stream, "dedup_out")
+    want = specs()["e5_stream_dedup"].fn(spark, SF_SMOKE)
+    # dropDuplicates keeps an arrival-order survivor (not the explicit
+    # (ts, event_id) survivor of the batch form) → compare the key sets.
+    assert got.select("user_id", "event_type", "value").distinct().count() == (
+        want.select("user_id", "event_type", "value").distinct().count()
+    )
+    assert got.count() == want.count()
