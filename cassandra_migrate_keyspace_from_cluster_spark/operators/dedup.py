@@ -1,0 +1,146 @@
+"""Deduplication operators for a training-data pipeline.
+
+Four tiers, trading exactness for scale (SURVEY.md §2 Part F):
+  - exact_dedup: hash-groupBy on normalized text. One shuffle on the
+    hash; survivor chosen by explicit ordering (never engine-default).
+  - jaccard_pairs: exact n-gram/token-set Jaccard within blocking keys.
+    O(block²) — correct but only viable with good blocking; the
+    verifiable ground truth for the approximate tiers.
+  - minhash_lsh_pairs: MinHash + LSH banding via MLlib — the 100-TB
+    path: candidate pairs come from band-bucket joins, not a cross
+    join. Hash seeds are engine-specific → rows-only + recall-tested
+    against jaccard_pairs (tests/test_operators.py).
+  - simhash: 64-bit SimHash per doc as pure column expressions; near-dup
+    = small Hamming distance. Also engine-specific (xxhash64 seeds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized_text_hash(text_col: str = "text") -> F.Column:
+    """Canonical content hash: md5 of lower/trimmed text (md5 is
+    standardized → stable across engines and runs)."""
+    return F.md5(F.lower(F.trim(F.col(text_col))))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one deterministic survivor per normalized-text hash (lowest
+    id). Adds ``text_hash`` and ``n_copies``. Scale: single shuffle on
+    the 128-bit hash — no skew (hashes are uniform)."""
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    wc = Window.partitionBy("text_hash")
+    return (
+        docs.withColumn("text_hash", normalized_text_hash(text_col))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def tokens(text_col: str = "text") -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    blocking: list[str],
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-set Jaccard over pairs sharing the blocking key.
+
+    Scale: the self-join is equi on ``blocking`` → pairs are generated
+    per block only. At 100 TB blocking would be an LSH band (see
+    minhash_lsh_pairs); here (lang, source) keeps blocks ~50 docs.
+    """
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(b) for b in blocking],
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in blocking]
+    cond.append(F.col("a.id") < F.col("b.id"))
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hash_tables: int = 8,
+) -> DataFrame:
+    """Near-dup pairs via MLlib MinHashLSH over hashed token vectors.
+
+    approxSimilarityJoin generates candidates from band-bucket joins
+    (linear in data + bucket sizes) and filters on exact Jaccard
+    distance of the vectors — the scalable shape of jaccard_pairs.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = docs.select(
+        F.col(id_col).alias("id"), F.array_distinct(tokens(text_col)).alias("toks")
+    )
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
+    feat = tf.transform(d)
+    lsh = MinHashLSH(inputCol="features", outputCol="bands", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("doc_a"),
+            F.col("datasetB.id").alias("doc_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard_est"),
+        )
+    )
+
+
+def simhash63(text_col: str = "text") -> F.Column:
+    """63-bit SimHash as a single pure column expression (no UDF).
+
+    Per token: xxhash64; per bit position 0..62: majority vote of token
+    bits (+1/-1 fold via getbit); the sign vector is assembled as a
+    binary string and converted with conv(,2,10) — 63 bits so the BIGINT
+    never overflows into the sign bit. Engine-specific (xxhash64 seeds)
+    → rows-only; semantics tested by property (near-identical docs ⇒
+    small Hamming distance) in tests/test_operators.py.
+    """
+    hashes = F.transform(
+        F.array_distinct(F.split(F.col(text_col), " ")), lambda x: F.xxhash64(x)
+    )
+
+    def vote(i):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + (F.getbit(h, i) * 2 - 1).cast("bigint"),
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(62)),
+        lambda i: F.when(vote(i) > 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.conv(F.array_join(bits, ""), 2, 10).cast("bigint")
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,183 @@
+"""Text-analysis operators for a training-data pipeline (SURVEY.md §2
+Part F: tokenization, TF-IDF, n-grams, language ID, quality scoring,
+token counting, fingerprinting).
+
+Everything is pure DataFrame expressions — explode/groupBy/window — so
+it scales by partitioning on (doc, term) keys; no Python in the hot
+path. Formulas are PINNED (documented per function) so the DuckDB
+oracle can reproduce them digit-for-digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def doc_tokens(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, token, pos) — positions 1-based."""
+    return docs.select(
+        id_col, F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
+
+
+def word_counts(docs: DataFrame) -> DataFrame:
+    """Corpus-wide token counts (partial aggregation makes the shuffle
+    carry only (token, count) per partition — 100-TB-safe)."""
+    return (
+        doc_tokens(docs)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def tf_idf(docs: DataFrame) -> DataFrame:
+    """Pinned TF-IDF: tf = count/doc_len, idf = ln((N+1)/(df+1)),
+    score = tf * idf. (Deliberately NOT MLlib's IDF variant — the
+    formula is pinned so both engines compute identical doubles.)"""
+    toks = doc_tokens(docs)
+    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    term_counts = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    df_counts = term_counts.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    tf = F.col("cnt") / F.col("doc_len")
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+    return (
+        term_counts.join(doc_len, "doc_id")
+        .join(F.broadcast(df_counts), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(tf, 6).alias("tf"),
+            F.round(idf, 6).alias("idf"),
+            F.round(tf * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+def bigrams(docs: DataFrame) -> DataFrame:
+    """(lang, bigram, n) — bigrams built by indexed slicing of the token
+    array (no MLlib NGram needed; stays in codegen)."""
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        docs.select("lang", F.explode(grams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def lang_profiles(docs: DataFrame, top_n: int = 10) -> DataFrame:
+    """Top-N most frequent tokens per language (the corpus-derived
+    'fingerprint' used by classify_language)."""
+    counts = (
+        doc_tokens(docs.select("doc_id", "text"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .groupBy("lang")
+        .agg(F.sort_array(F.collect_set("token")).alias("profile"))
+    )
+
+
+def classify_language(docs: DataFrame, top_n: int = 10) -> DataFrame:
+    """N-gram-profile language ID: score(doc, lang) = |doc_tokens ∩
+    profile(lang)|; predict argmax with alphabetical tie-break.
+    Deterministic and fully relational → oracle-checkable."""
+    profiles = lang_profiles(docs, top_n)
+    d = docs.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    scored = d.crossJoin(F.broadcast(profiles.select(
+        F.col("lang").alias("cand_lang"), "profile"
+    ))).select(
+        "doc_id",
+        "lang",
+        "cand_lang",
+        F.size(F.array_intersect("toks", "profile")).alias("overlap"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap").desc(), F.col("cand_lang")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cand_lang").alias("pred_lang"),
+            F.col("overlap").cast("bigint").alias("overlap"),
+            (F.col("cand_lang") == F.col("lang")).alias("is_correct"),
+        )
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Pinned document quality score:
+       length_score    = least(n_chars / 500, 1.0)
+       type_token_ratio= n_distinct_tokens / n_tokens
+       avg_tok_score   = least(avg_token_len / 10, 1.0)
+       quality         = 0.4*length + 0.3*ttr + 0.3*avg_tok  (6dp)"""
+    toks = F.split("text", " ")
+    n_toks = F.size(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    avg_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x).cast("bigint")
+    ).cast("double") / n_toks
+    length_score = F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+    ttr = n_uniq / n_toks
+    avg_tok_score = F.least(avg_len / 10.0, F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        F.round(length_score, 6).alias("length_score"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(avg_tok_score, 6).alias("avg_tok_score"),
+        F.round(
+            0.4 * length_score + 0.3 * ttr + 0.3 * avg_tok_score, 6
+        ).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex
+    ([a-z]+ runs | digits | other), and the chars/4 LLM estimate."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))")
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("est_llm_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Pinned rolling-hash fingerprint over the token stream:
+       contrib(tok) = 7*len(tok) + ascii(tok[0])
+       h := (h*31 + contrib) mod 1e9+7      (h0 = 0)
+    Pure integer math → identical across engines. Expressed as
+    transform-then-fold so the DuckDB oracle (list_reduce has no
+    initial-value argument) can prepend the 0 seed to the same list."""
+    toks = F.split("text", " ")
+    contrib = F.transform(
+        toks, lambda x: F.length(x).cast("bigint") * 7 + F.ascii(x).cast("bigint")
+    )
+    h = F.aggregate(
+        contrib,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit(1_000_000_007).cast("bigint")),
+    )
+    return docs.select("doc_id", h.alias("fingerprint"))

@@ -8,5 +8,12 @@ from . import part_b_relational  # noqa: F401
 from . import part_c_windows  # noqa: F401
 from . import part_d_scalars  # noqa: F401
 from . import part_e_events  # noqa: F401
+from . import part_f_llm  # noqa: F401
 
-ALL_MODULES = [part_b_relational, part_c_windows, part_d_scalars, part_e_events]
+ALL_MODULES = [
+    part_b_relational,
+    part_c_windows,
+    part_d_scalars,
+    part_e_events,
+    part_f_llm,
+]

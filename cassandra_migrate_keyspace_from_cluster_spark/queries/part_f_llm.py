@@ -1,0 +1,445 @@
+"""Part F — LLM-training-data pipeline operators (dedup, similarity
+search, text analysis, multimodal columns). SURVEY.md §2 Part F
+(f1-f12) plus the extended text/multimodal set (f13-f17).
+
+Heavy lifting lives in operators/{dedup,similarity,text,multimodal}.py;
+this module binds each operator to a declared query + DuckDB oracle.
+Approximate operators (f3 MinHash-LSH, f5 BRP-LSH) are rows-only by
+design — their semantic guarantees (recall vs the exact twins) are
+asserted in tests/test_operators.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ..registry import register
+from .util import r6, t
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f1_exact_dedup",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(text))) AS text_hash,
+           count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n_copies
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                               ORDER BY doc_id) = 1
+    """,
+)
+def f1_exact_dedup(spark, sf_dir):
+    """Exact dedup on normalized-text hash, deterministic survivor."""
+    docs = t(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs).select("doc_id", "text_hash", "n_copies")
+
+
+@register(
+    "f2_token_jaccard_neardup",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, source,
+                      list_distinct(string_split(text, ' ')) AS toks
+               FROM documents)
+    SELECT * FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.6
+    """,
+)
+def f2_token_jaccard_neardup(spark, sf_dir):
+    """Exact token-set Jaccard near-dup pairs, blocked by (lang,
+    source) — the verifiable ground truth for f3's LSH tier."""
+    docs = t(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(docs, blocking=["lang", "source"], threshold=0.6)
+
+
+@register("f3_minhash_lsh", oracle=None)  # hash seeds engine-specific
+def f3_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup (the 100-TB path: band-bucket join instead
+    of a blocked cross join). Rows-only; recall vs f2 in pytest."""
+    docs = t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, threshold=0.6)
+
+
+@register("f3b_simhash", oracle=None)  # xxhash64 is Spark-specific
+def f3b_simhash(spark, sf_dir):
+    """63-bit SimHash per document (pure column expressions) + Hamming
+    distance to a fixed reference doc — rows-only (xxhash64 seeds);
+    locality property tested in pytest."""
+    docs = t(spark, sf_dir, "documents")
+    with_sim = docs.select("doc_id", dd.simhash63("text").alias("simhash"))
+    ref = with_sim.orderBy("doc_id").limit(1).select(
+        F.col("simhash").alias("ref_hash")
+    )
+    return with_sim.crossJoin(F.broadcast(ref)).select(
+        "doc_id",
+        "simhash",
+        dd.hamming64(F.col("simhash"), F.col("ref_hash")).alias("hamming_to_doc0"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f4_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6) DESC,
+                        b.vec_id) AS BIGINT) AS rank
+      FROM e a JOIN e b ON a.vec_id != b.vec_id)
+    WHERE rank <= 5
+    """,
+)
+def f4_cosine_topk(spark, sf_dir):
+    """Exact top-5 cosine neighbors per vector — brute force baseline.
+    Ranking on ROUNDED cosine + vec_id tie-break on both engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, k=5).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+@register(
+    "f4b_cosine_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings)
+    SELECT * FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    WHERE cos_sim >= 0.8
+    """,
+)
+def f4b_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup by semantic
+    similarity): unordered pairs with cosine >= 0.8."""
+    emb = sim.with_double_embedding(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb"
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    from ..functions.vector import cosine
+
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.8)
+    )
+
+
+@register("f5_ann_lsh", oracle=None)  # random projections engine-specific
+def f5_ann_lsh(spark, sf_dir):
+    """Approximate NN pairs via BucketedRandomProjectionLSH (euclidean
+    threshold 6.0). Rows-only; recall vs exact pairs in pytest."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.brp_lsh_neighbors(emb, distance_threshold=6.0)
+
+
+@register(
+    "f6_centroid_knn",
+    oracle="""
+    WITH dims AS (
+        SELECT label, i, avg(embedding[i]::DOUBLE) AS v
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+        GROUP BY 1, 2),
+    cents AS (SELECT label AS centroid_label, list(v ORDER BY i) AS centroid
+              FROM dims GROUP BY 1),
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings),
+    scored AS (
+        SELECT e.vec_id, e.label, c.centroid_label,
+               round(list_cosine_similarity(e.emb, c.centroid), 6) AS cos_sim
+        FROM e CROSS JOIN cents c),
+    assigned AS (
+        SELECT vec_id, label, centroid_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, centroid_label) AS rn
+        FROM scored)
+    SELECT label, centroid_label AS pred_label, count(*) AS n
+    FROM assigned WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def f6_centroid_knn(spark, sf_dir):
+    """Nearest-centroid classification → confusion matrix. The centroid
+    build (posexplode → per-dim avg → reassemble) is the IVF coarse-
+    quantizer shape."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.centroid_classify(emb)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f7_tokenize_wordcount",
+    oracle="""
+    SELECT token, n, rank FROM (
+      SELECT token, n,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+      FROM (SELECT t AS token, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+            GROUP BY 1))
+    WHERE rank <= 50
+    """,
+)
+def f7_tokenize_wordcount(spark, sf_dir):
+    """Top-50 corpus tokens (count desc, alphabetical tie-break)."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        tx.word_counts(docs)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 50)
+    )
+
+
+@register(
+    "f8_tfidf",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+    dfc AS (SELECT token, count(*) AS df FROM tc GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tc.doc_id, tc.token,
+           round(CAST(cnt AS DOUBLE) / doc_len, 6) AS tf,
+           round(ln((n_docs + 1.0) / (df + 1.0)), 6) AS idf,
+           round((CAST(cnt AS DOUBLE) / doc_len)
+                 * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+    FROM tc JOIN dl USING (doc_id) JOIN dfc USING (token) CROSS JOIN nd
+    """,
+)
+def f8_tfidf(spark, sf_dir):
+    """TF-IDF with a PINNED formula (tf=cnt/len, idf=ln((N+1)/(df+1)))
+    so both engines compute identical doubles."""
+    return tx.tf_idf(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "f9_ngrams",
+    oracle="""
+    WITH d AS (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+    SELECT lang, toks[i] || ' ' || toks[i + 1] AS bigram, count(*) AS n
+    FROM d, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+    GROUP BY 1, 2
+    """,
+)
+def f9_ngrams(spark, sf_dir):
+    """Bigram counts per language via indexed token-array slicing."""
+    return tx.bigrams(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "f10_lang_stats",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def f10_lang_stats(spark, sf_dir):
+    """Per-language corpus stats."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(F.avg("n_chars")).alias("avg_chars"),
+        r6(F.avg(F.size(F.split("text", " ")))).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "f11_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, e.label,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+           round(sqrt(list_reduce(
+             list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x),
+             (a, b) -> a + b)), 6) AS l2_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def f11_multimodal_join(spark, sf_dir):
+    """Cross-modality join: text stats + vector norm per id."""
+    from ..functions.vector import l2_norm, to_double_array
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "lang",
+        "label",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+        r6(l2_norm(to_double_array("embedding"))).alias("l2_norm"),
+    )
+
+
+@register(
+    "f12_doc_length_dedup_rate",
+    oracle="""
+    SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
+    UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents
+    UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+    UNION ALL SELECT 'avg_chars', round(avg(n_chars), 6) FROM documents
+    UNION ALL SELECT 'exact_dup_rate',
+        round(1.0 - CAST(count(DISTINCT md5(lower(trim(text)))) AS DOUBLE)
+              / count(*), 6) FROM documents
+    UNION ALL SELECT 'total_tokens',
+        CAST(sum(len(string_split(text, ' '))) AS DOUBLE) FROM documents
+    """,
+)
+def f12_doc_length_dedup_rate(spark, sf_dir):
+    """Corpus quality report as (metric, value) rows — one scan, one
+    aggregate, unpivoted with stack()."""
+    docs = t(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        r6(F.avg("n_chars")).alias("avg_chars"),
+        r6(
+            1.0
+            - F.countDistinct(dd.normalized_text_hash("text")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("exact_dup_rate"),
+        F.sum(F.size(F.split("text", " "))).cast("double").alias("total_tokens"),
+    )
+    return agg.selectExpr(
+        "stack(6, 'n_docs', n_docs, 'n_langs', n_langs, 'n_sources', n_sources, "
+        "'avg_chars', avg_chars, 'exact_dup_rate', exact_dup_rate, "
+        "'total_tokens', total_tokens) AS (metric, value)"
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f13_langid",
+    oracle="""
+    WITH toks AS (SELECT d.doc_id, d.lang, unnest(string_split(d.text, ' ')) AS token
+                  FROM documents d),
+    counts AS (SELECT lang, token, count(*) AS n FROM toks GROUP BY 1, 2),
+    prof AS (SELECT lang AS cand_lang, list(token) AS profile FROM (
+               SELECT lang, token,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY n DESC, token) AS rn
+               FROM counts) WHERE rn <= 10 GROUP BY lang),
+    d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+    scored AS (SELECT d.doc_id, d.lang, p.cand_lang,
+                      CAST(len(list_intersect(d.toks, p.profile)) AS BIGINT)
+                        AS overlap
+               FROM d CROSS JOIN prof p)
+    SELECT doc_id, lang, cand_lang AS pred_lang, overlap,
+           (cand_lang = lang) AS is_correct
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY overlap DESC, cand_lang) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def f13_langid(spark, sf_dir):
+    """Language ID by corpus-derived token profiles (top-10 tokens per
+    language; score = profile overlap, argmax with alphabetical
+    tie-break). Deterministic, fully relational."""
+    return tx.classify_language(t(spark, sf_dir, "documents"), top_n=10)
+
+
+@register(
+    "f14_quality",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             least(n_chars / 500.0, 1.0) AS length_score,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr,
+             least((CAST(list_reduce(list_transform(string_split(text, ' '),
+                      x -> length(x)), (a, b) -> a + b) AS DOUBLE)
+                    / len(string_split(text, ' '))) / 10.0, 1.0) AS avg_tok
+      FROM documents)
+    SELECT doc_id,
+           round(length_score, 6) AS length_score,
+           round(ttr, 6) AS type_token_ratio,
+           round(avg_tok, 6) AS avg_tok_score,
+           round(0.4 * length_score + 0.3 * ttr + 0.3 * avg_tok, 6) AS quality
+    FROM q
+    """,
+)
+def f14_quality(spark, sf_dir):
+    """Pinned-formula document quality scoring (length / type-token
+    ratio / avg token length)."""
+    return tx.quality_scores(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "f15_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+             AS bpe_ish_tokens,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_llm_tokens
+    FROM documents
+    """,
+)
+def f15_token_count(spark, sf_dir):
+    """Token counting: whitespace, BPE-ish regex, chars/4 estimate."""
+    return tx.token_counts(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "f16_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             [0::BIGINT] || list_transform(string_split(text, ' '),
+                    x -> 7 * length(x)::BIGINT + ascii(x)::BIGINT),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def f16_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (pinned integer recurrence)."""
+    return tx.fingerprints(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "f17_multimodal_features",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS mime,
+           CAST(length(text) AS BIGINT) AS byte_len,
+           lower(hex(substring(text, 1, 8))) AS head_hex,
+           CAST(length(text) % 7 AS DOUBLE)  AS f0,
+           CAST(length(text) % 11 AS DOUBLE) AS f1,
+           CAST(length(text) % 13 AS DOUBLE) AS f2,
+           CAST(length(text) % 17 AS DOUBLE) AS f3
+    FROM documents
+    """,
+)
+def f17_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary payload column →
+    mapInPandas (Arrow-batched) deterministic feature extraction. The
+    oracle recomputes the pinned fake features from the source text
+    (payload bytes == utf-8 of the ascii text)."""
+    docs = t(spark, sf_dir, "documents")
+    return mm.extract_features(mm.attach_binary_payload(docs))

@@ -1,0 +1,137 @@
+"""Semantic tests for operators whose values can't hash-match an oracle
+(SURVEY.md §5.3.4): approximate ops are checked against their exact
+twins (recall / rtol / containment), SimHash for its locality property.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_migrate_keyspace_from_cluster_spark.operators import (
+    dedup as dd,
+    similarity as sim,
+)
+from cassandra_migrate_keyspace_from_cluster_spark.registry import specs
+from cassandra_migrate_keyspace_from_cluster_spark.sources import load_table
+
+from .conftest import SF_T2
+
+ALL = specs()
+
+
+def _pair_set(df, a, b):
+    return {(r[a], r[b]) for r in df.select(a, b).collect()}
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """f3 (MinHash-LSH) must recover >=90% of f2's exact pairs.
+
+    Note f2 is blocked by (lang, source) while f3 searches globally, so
+    f3 may legitimately find MORE pairs; recall is measured on f2's set.
+    """
+    exact = _pair_set(ALL["f2_token_jaccard_neardup"].fn(spark, SF_T2), "doc_a", "doc_b")
+    approx = _pair_set(ALL["f3_minhash_lsh"].fn(spark, SF_T2), "doc_a", "doc_b")
+    assert exact, "exact jaccard found no pairs — threshold too high?"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(exact)} exact pairs)"
+
+
+def test_brp_lsh_recall_vs_exact_euclidean(spark):
+    """f5 (BRP-LSH) must recover >=80% of exact close pairs (euclidean
+    < 6.0) — LSH is allowed to miss some, not to hallucinate."""
+    emb = sim.with_double_embedding(load_table(spark, SF_T2, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("ea", "eb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    exact = _pair_set(
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("d", dist)
+        .filter(F.col("d") < 6.0),
+        "vec_a",
+        "vec_b",
+    )
+    approx = _pair_set(ALL["f5_ann_lsh"].fn(spark, SF_T2), "vec_a", "vec_b")
+    assert exact, "no exact close pairs below threshold"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"BRP-LSH recall {recall:.3f} < 0.8 ({len(exact)} pairs)"
+    # no hallucinated pairs: every approx pair really is under threshold
+    assert approx <= exact, "approxSimilarityJoin returned pairs above threshold"
+
+
+def test_simhash_locality(spark):
+    """Near-identical texts get near-identical SimHashes; disjoint-vocab
+    texts do not."""
+    rows = [
+        ("base", "join filter scan window agg hash merge sort table column"),
+        ("near", "join filter scan window agg hash merge sort table row"),
+        ("far", "zebra yak xylophone wombat vulture unicorn tapir snake quail pig"),
+    ]
+    df = spark.createDataFrame(rows, ["name", "text"])
+    got = {
+        r["name"]: r["h"]
+        for r in df.select("name", dd.simhash63("text").alias("h")).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(got["base"], got["near"]) < ham(got["base"], got["far"])
+    assert ham(got["base"], got["near"]) <= 16
+
+
+def test_approx_count_distinct_rtol(spark, duck):
+    """c7 approx distinct within 10% of the exact twin."""
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in ALL["c7_approx_cd"].fn(spark, SF_T2).collect()
+    }
+    exact = dict(
+        duck(SF_T2)
+        .execute("SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1")
+        .fetchall()
+    )
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n < 0.10, (et, approx[et], n)
+
+
+def test_approx_percentile_rtol(spark, duck):
+    """c6 approx percentiles within 10% of exact."""
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p90_approx"])
+        for r in ALL["c6_approx_quantile"].fn(spark, SF_T2).collect()
+    }
+    exact = {
+        et: (p50, p90)
+        for et, p50, p90 in duck(SF_T2)
+        .execute(
+            "SELECT event_type, quantile_cont(value, 0.5), "
+            "quantile_cont(value, 0.9) FROM events GROUP BY 1"
+        )
+        .fetchall()
+    }
+    for et, (p50, p90) in exact.items():
+        assert abs(approx[et][0] - p50) / p50 < 0.10
+        assert abs(approx[et][1] - p90) / p90 < 0.10
+
+
+def test_exact_dedup_idempotent(spark):
+    """Dedup of a deduped corpus is a no-op (fixed point)."""
+    docs = load_table(spark, SF_T2, "documents")
+    once = dd.exact_dedup(docs).select("doc_id", "text")
+    twice = dd.exact_dedup(once).select("doc_id", "text")
+    assert once.count() == twice.count()
+
+
+def test_dedup_removes_injected_duplicates(spark):
+    """Injecting copies with higher ids leaves exactly the originals."""
+    docs = load_table(spark, SF_T2, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    merged = docs.unionByName(copies)
+    kept = dd.exact_dedup(merged)
+    assert kept.count() == docs.count()
+    # survivors are the low-id originals
+    assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
