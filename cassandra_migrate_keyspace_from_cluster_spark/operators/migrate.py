@@ -1,0 +1,159 @@
+"""Keyspace-migration operators (SURVEY.md §2 Part A).
+
+The reference's surface is a Cassandra keyspace copier (reconstructed in
+SURVEY.md §1.1/§3.1 — reference tree empty, so the shape is `[R?]`):
+discover schema, replicate DDL, bulk-copy each table split by token
+range, then validate counts/content. Here each op is expressed
+source-agnostically over the parquet-keyspace simulation (a `sf*/`
+directory = keyspace, each parquet file = table); on a real cluster the
+same dataflow runs through the Spark Cassandra Connector (see
+``sources/cassandra.py`` for the connector-config design notes covering
+A1/A3/A6/A9/A10, which are not exercisable in this sandbox).
+
+Scale notes (100-TB design point):
+  - Bulk copy is pure ``read → write``: no shuffle at all. Parallelism
+    comes from source splits (parquet file splits / connector token
+    ranges), so it scales linearly with executors.
+  - Range splitting (A5) is what the connector does with token ranges;
+    the explicit DataFrame form here uses an ntile window for the
+    *testable* math. At scale you'd use ``df.repartitionByRange(n, key)``
+    which samples range boundaries instead of globally sorting.
+  - Validation (A7/A8) is one pass per table, aggregation-only — the
+    checksum is an order-insensitive reduction, so it needs no sort and
+    shuffles only the tiny partial-agg state.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import TABLES, load_table
+
+# Canonical cross-engine type vocabulary: Spark simpleString → canonical.
+# The DuckDB oracle maps information_schema data_type strings into the
+# same vocabulary (INTEGER→int, BIGINT→bigint, VARCHAR→text,
+# TIMESTAMP*→timestamp, FLOAT[]→array<float>).
+_SPARK_TO_CANONICAL = {
+    "int": "int",
+    "bigint": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "text",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "binary": "blob",
+    "array<float>": "array<float>",
+    "array<double>": "array<double>",
+    "array<string>": "array<text>",
+}
+
+_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("ordinal", T.LongType(), False),
+        T.StructField("data_type", T.StringType(), False),
+    ]
+)
+
+
+def schema_manifest(spark: SparkSession, sf_dir: str, tables=TABLES) -> DataFrame:
+    """Schema discovery (A2): enumerate (table, column, ordinal, type).
+
+    The Cassandra analogue reads ``system_schema.{tables,columns}``; here
+    the parquet footers are the schema registry. This is a driver-side
+    catalog operation (footer reads only, no data scan) — exactly how a
+    migrator plans its copy before moving a single row.
+    """
+    rows = []
+    for name in tables:
+        for i, field in enumerate(load_table(spark, sf_dir, name).schema.fields):
+            canonical = _SPARK_TO_CANONICAL.get(
+                field.dataType.simpleString(), field.dataType.simpleString()
+            )
+            rows.append((name, field.name, i + 1, canonical))
+    return spark.createDataFrame(rows, _MANIFEST_SCHEMA)
+
+
+def copy_table(
+    spark: SparkSession, src_dir: str, dst_dir: str, name: str
+) -> DataFrame:
+    """Bulk table copy (A4): full scan → schema/value-preserving write.
+
+    Shuffle-free: source splits map 1:1 to output files. On Cassandra the
+    same dataflow is ``connector read → connector write`` with writetime/
+    TTL read options carried as extra columns (A6 — see
+    ``sources/cassandra.py``). Returns the re-read target so callers can
+    validate the round trip (A7/A8 run on the result).
+    """
+    dst = os.path.join(dst_dir, f"{name}.parquet")
+    load_table(spark, src_dir, name).write.mode("overwrite").parquet(dst)
+    return spark.read.parquet(dst)
+
+
+def range_split_counts(df: DataFrame, key: str, n_splits: int = 16) -> DataFrame:
+    """Token-range split math (A5): rows per contiguous key range.
+
+    The testable form of the connector's token-range planning: ntile(n)
+    over the key orders rows into n contiguous, near-equal ranges and
+    reports each range's row count and key bounds — the exact manifest a
+    resumable migrator persists (A9). At 100 TB the global-sort window
+    is replaced by ``repartitionByRange`` (sampled boundaries, no global
+    sort); the per-range accounting below is unchanged.
+    """
+    w = Window.orderBy(F.col(key))
+    return (
+        df.select(F.col(key), F.ntile(n_splits).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(key).alias("min_key"),
+            F.max(key).alias("max_key"),
+        )
+        .select(F.col("bucket").cast("bigint").alias("bucket"), "n_rows", "min_key", "max_key")
+    )
+
+
+def table_counts(spark: SparkSession, sf_dir: str, tables=TABLES) -> DataFrame:
+    """Row-count validation (A7): one row per table with its count.
+
+    Post-copy ``count(source) == count(target)`` is the migrator's
+    cheapest invariant; parquet count() is metadata-only (row-group
+    stats), so this is near-free even at 100 TB.
+    """
+    counts = [
+        load_table(spark, sf_dir, name).agg(
+            F.lit(name).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for name in tables
+    ]
+    return reduce(lambda a, b: a.unionByName(b), counts)
+
+
+def content_checksum(df: DataFrame, table_name: str) -> DataFrame:
+    """Content checksum validation (A8): order-insensitive content hash.
+
+    Per-row ``md5(concat_ws('|', cols))`` (md5 is standardized → identical
+    across engines) reduced with order-insensitive aggregates. Matching
+    (n_rows, n_distinct, min, max) on source and target proves the copy
+    preserved values without sorting either side. Restricted to
+    exact-typed columns (int/string) by callers — float formatting is not
+    cross-engine stable (SURVEY.md §5.4).
+    """
+    row_hash = F.md5(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])
+    )
+    return df.select(row_hash.alias("h")).agg(
+        F.lit(table_name).alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("h").alias("n_distinct_hashes"),
+        F.min("h").alias("min_hash"),
+        F.max("h").alias("max_hash"),
+    )

@@ -1,0 +1,124 @@
+"""Part A — the reference's own surface: keyspace migration as dataflow
+(SURVEY.md §2 Part A, testable forms a2/a4/a5/a7/a8).
+
+The parquet-keyspace simulation stands in for Cassandra (SURVEY.md §1.2);
+the real-cluster path (A1/A3/A6/A9/A10) is designed, not exercised, in
+``sources/cassandra.py``.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from ..operators import migrate as mig
+from ..registry import register
+from .util import t
+
+# DuckDB information_schema data_type → the canonical vocabulary used by
+# operators/migrate.py::_SPARK_TO_CANONICAL.
+_DUCK_TYPE_CASE = """
+    CASE
+      WHEN data_type = 'INTEGER' THEN 'int'
+      WHEN data_type = 'BIGINT' THEN 'bigint'
+      WHEN data_type = 'FLOAT' THEN 'float'
+      WHEN data_type = 'DOUBLE' THEN 'double'
+      WHEN data_type = 'VARCHAR' THEN 'text'
+      WHEN data_type = 'BOOLEAN' THEN 'boolean'
+      WHEN data_type = 'DATE' THEN 'date'
+      WHEN data_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+      WHEN data_type = 'BLOB' THEN 'blob'
+      WHEN data_type = 'FLOAT[]' THEN 'array<float>'
+      WHEN data_type = 'DOUBLE[]' THEN 'array<double>'
+      WHEN data_type = 'VARCHAR[]' THEN 'array<text>'
+      ELSE lower(data_type)
+    END
+"""
+
+
+@register(
+    "a2_schema_manifest",
+    oracle=f"""
+    SELECT table_name, column_name,
+           CAST(ordinal_position AS BIGINT) AS ordinal,
+           {_DUCK_TYPE_CASE} AS data_type
+    FROM information_schema.columns
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents','embeddings')
+    """,
+)
+def a2_schema_manifest(spark, sf_dir):
+    """Schema discovery: the keyspace's (table, column, ordinal, type)
+    manifest from parquet footers — the migrator's planning input
+    (Cassandra analogue: system_schema.columns)."""
+    return mig.schema_manifest(spark, sf_dir)
+
+
+@register("a4_copy_roundtrip", oracle="SELECT * FROM lineitem")
+def a4_copy_roundtrip(spark, sf_dir):
+    """Bulk table copy: lineitem → temp parquet → read back. The
+    hash-match against the untouched source proves the copy is schema-
+    and value-preserving (the migrator's core invariant)."""
+    dst = tempfile.mkdtemp(prefix="spark_graft_a4_")
+    return mig.copy_table(spark, sf_dir, dst, "lineitem")
+
+
+@register(
+    "a5_range_partition_counts",
+    oracle="""
+    SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM (SELECT o_orderkey, ntile(16) OVER (ORDER BY o_orderkey) AS bucket
+          FROM orders)
+    GROUP BY bucket
+    """,
+)
+def a5_range_partition_counts(spark, sf_dir):
+    """Token-range split math: 16 contiguous o_orderkey ranges with
+    per-range row counts and key bounds — the scan plan a resumable
+    migrator persists."""
+    return mig.range_split_counts(t(spark, sf_dir, "orders"), "o_orderkey", 16)
+
+
+@register(
+    "a7_table_counts",
+    oracle="""
+    SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    UNION ALL SELECT 'part', count(*) FROM part
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    """,
+)
+def a7_table_counts(spark, sf_dir):
+    """Row-count validation: one row per keyspace table with its count
+    (post-copy count(source)==count(target) is the cheapest check)."""
+    return mig.table_counts(spark, sf_dir)
+
+
+@register(
+    "a8_content_checksum",
+    oracle="""
+    WITH r AS (SELECT md5(concat_ws('|', CAST(r_regionkey AS VARCHAR),
+                                         r_name)) AS h FROM region),
+         n AS (SELECT md5(concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name,
+                                         CAST(n_regionkey AS VARCHAR))) AS h
+               FROM nation)
+    SELECT 'region' AS table_name, count(*) AS n_rows,
+           count(DISTINCT h) AS n_distinct_hashes,
+           min(h) AS min_hash, max(h) AS max_hash FROM r
+    UNION ALL
+    SELECT 'nation', count(*), count(DISTINCT h), min(h), max(h) FROM n
+    """,
+)
+def a8_content_checksum(spark, sf_dir):
+    """Content checksum validation: order-insensitive md5-based content
+    fingerprint per table (exact-typed tables region + nation — float
+    formatting is not cross-engine stable, SURVEY.md §5.4)."""
+    region = mig.content_checksum(t(spark, sf_dir, "region"), "region")
+    nation = mig.content_checksum(t(spark, sf_dir, "nation"), "nation")
+    return region.unionByName(nation)

@@ -1,0 +1,52 @@
+"""Migration-surface unit tests (SURVEY.md §5.3.6 round-trip, plus the
+Cassandra-path design helpers that are string/config-only here)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from cassandra_migrate_keyspace_from_cluster_spark.operators import migrate as mig
+from cassandra_migrate_keyspace_from_cluster_spark.sources import cassandra as cass
+from cassandra_migrate_keyspace_from_cluster_spark.sources import load_table
+
+from .conftest import SF_SMOKE as SMOKE_SF
+
+
+def test_copy_roundtrip_schema_and_checksum(spark):
+    src = load_table(spark, SMOKE_SF, "nation")
+    dst_dir = tempfile.mkdtemp(prefix="mig_rt_")
+    copied = mig.copy_table(spark, SMOKE_SF, dst_dir, "nation")
+    assert copied.schema == src.schema
+    a = mig.content_checksum(src, "nation").collect()
+    b = mig.content_checksum(copied, "nation").collect()
+    assert a == b
+
+
+def test_range_split_covers_all_rows(spark):
+    orders = load_table(spark, SMOKE_SF, "orders")
+    buckets = mig.range_split_counts(orders, "o_orderkey", 8).collect()
+    assert len(buckets) == 8
+    assert sum(r.n_rows for r in buckets) == orders.count()
+    # contiguous, non-overlapping key ranges in bucket order
+    rows = sorted(buckets, key=lambda r: r.bucket)
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.max_key < cur.min_key
+
+
+def test_ddl_emission_maps_types(spark):
+    schema = load_table(spark, SMOKE_SF, "orders").schema
+    ddl = cass.ddl_for(schema, "ks", "orders", ["o_orderkey"], ["o_orderdate"])
+    assert "CREATE TABLE IF NOT EXISTS ks.orders" in ddl
+    assert "o_orderkey bigint" in ddl
+    assert "o_orderdate timestamp" in ddl
+    assert "PRIMARY KEY ((o_orderkey), o_orderdate)" in ddl
+
+
+def test_cluster_config_conf_shape():
+    cfg = cass.ClusterConfig(hosts=("h1", "h2"), username="u", password="p")
+    conf = cfg.spark_conf()
+    assert conf["spark.cassandra.connection.host"] == "h1,h2"
+    assert conf["spark.cassandra.auth.username"] == "u"
+    opts = cass.reader_options("ks", "t", writetime_cols=("v",), ttl_cols=("v",))
+    assert opts["writetime.v"] == "v_writetime"
+    assert opts["ttl.v"] == "v_ttl"
