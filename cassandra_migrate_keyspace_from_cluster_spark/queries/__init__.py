@@ -10,6 +10,7 @@ from . import part_c_windows  # noqa: F401
 from . import part_d_scalars  # noqa: F401
 from . import part_e_events  # noqa: F401
 from . import part_f_llm  # noqa: F401
+from . import part_g_udf  # noqa: F401
 
 ALL_MODULES = [
     part_a_migration,
@@ -18,4 +19,5 @@ ALL_MODULES = [
     part_d_scalars,
     part_e_events,
     part_f_llm,
+    part_g_udf,
 ]

@@ -1,0 +1,210 @@
+"""Part G — UDF / UDAF / UDTF surface (SURVEY.md §2 g1-g6).
+
+Demonstrates every Python-extension execution path Spark offers, each
+hash-checked against a pure-SQL DuckDB twin so the Python path provably
+computes the same thing the declarative path would:
+
+  g1  row-at-a-time Python UDF          (the slow path — baseline)
+  g2  Arrow-vectorized pandas UDF        (Series→Series, ~10-100x g1)
+  g3  grouped-agg pandas UDAF            (Series→scalar in groupBy().agg)
+  g4  applyInPandas grouped map          (split-apply-combine)
+  g5  mapInPandas partition-wise map     (batched generator transform)
+  g6  Python UDTF                        (one row in → many rows out)
+
+Scale notes: every op here crosses JVM→Python over Arrow batches —
+that boundary is the cost, so at 100 TB these run ONLY where built-in
+functions genuinely can't express the logic (SURVEY.md §4). The twins
+(same logic as column expressions / SQL) are what the relational parts
+use; Part G exists to prove the extension surface works and agrees.
+Worker parallelism is per-partition: Python workers scale out with
+executors, no driver-side collect anywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..registry import register
+from .util import r6, t
+
+# Shared price-tier thresholds (exact comparisons on doubles — identical
+# in both engines).
+_TIER_SQL = """
+    CASE WHEN o_totalprice < 50000 THEN 'low'
+         WHEN o_totalprice < 150000 THEN 'mid'
+         ELSE 'high' END
+"""
+
+
+def _tier(p: float) -> str:
+    if p < 50000:
+        return "low"
+    if p < 150000:
+        return "mid"
+    return "high"
+
+
+@register(
+    "g1_python_udf",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice, {_TIER_SQL} AS price_tier
+    FROM orders
+    """,
+)
+def g1_python_udf(spark, sf_dir):
+    """Row-at-a-time Python UDF: custom price-tier bucketing. The
+    baseline extension path — g2 is the same logic vectorized."""
+    tier_udf = F.udf(_tier, T.StringType())
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", tier_udf("o_totalprice").alias("price_tier")
+    )
+
+
+@register(
+    "g2_pandas_udf_scalar",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice, {_TIER_SQL} AS price_tier
+    FROM orders
+    """,
+)
+def g2_pandas_udf_scalar(spark, sf_dir):
+    """Arrow-vectorized scalar pandas UDF (Series→Series): same tiering
+    as g1 but batched through Arrow — the preferred Python path."""
+
+    @pandas_udf("string")
+    def tier_vec(p: pd.Series) -> pd.Series:
+        out = pd.Series("high", index=p.index)
+        out[p < 150000] = "mid"
+        out[p < 50000] = "low"
+        return out
+
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", tier_vec("o_totalprice").alias("price_tier")
+    )
+
+
+@register(
+    "g3_grouped_agg_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_discount) / sum(l_discount), 6)
+             AS discount_weighted_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def g3_grouped_agg_udaf(spark, sf_dir):
+    """Grouped-agg pandas UDAF: discount-weighted mean price per
+    returnflag, computed in pandas, checked against the SQL formula."""
+
+    @pandas_udf("double")
+    def wmean(p: pd.Series, w: pd.Series) -> float:
+        return float((p * w).sum() / w.sum())
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(r6(wmean("l_extendedprice", "l_discount")).alias("discount_weighted_price"))
+    )
+
+
+@register(
+    "g4_grouped_map",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 6)
+             AS zscore
+    FROM events
+    """,
+)
+def g4_grouped_map(spark, sf_dir):
+    """applyInPandas grouped map: per-event-type z-score normalization
+    (ddof=1 to match stddev_samp — SURVEY.md §2 g4)."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": ((pdf["value"] - m) / s).round(6),
+            }
+        )
+
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(normalize, "event_id bigint, event_type string, zscore double")
+    )
+
+
+@register(
+    "g5_map_in_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+             AS net_price
+    FROM lineitem
+    """,
+)
+def g5_map_in_pandas(spark, sf_dir):
+    """mapInPandas partition-wise map: batched net-price computation
+    (generator over Arrow batches — the streaming-friendly shape)."""
+
+    def net(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"],
+                    "l_linenumber": pdf["l_linenumber"],
+                    "net_price": (
+                        pdf["l_extendedprice"]
+                        * (1 - pdf["l_discount"])
+                        * (1 + pdf["l_tax"])
+                    ).round(6),
+                }
+            )
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+        .mapInPandas(net, "l_orderkey bigint, l_linenumber int, net_price double")
+    )
+
+
+@register(
+    "g6_python_udtf",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+    SELECT doc_id, CAST(g.i AS INT) AS chunk_idx,
+           array_to_string(list_slice(tk, CAST(g.i*8+1 AS INT),
+                                      CAST(g.i*8+8 AS INT)), ' ') AS chunk
+    FROM d, LATERAL (SELECT unnest(generate_series(0,
+             CAST(ceil(len(tk) / 8.0) AS BIGINT) - 1)) AS i) g
+    """,
+)
+def g6_python_udtf(spark, sf_dir):
+    """Python UDTF: explode each document into fixed 8-token chunks
+    (one row in → many rows out) via LATERAL correlation."""
+
+    @udtf(returnType="doc_id: bigint, chunk_idx: int, chunk: string")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 8):
+                yield doc_id, i // 8, " ".join(toks[i : i + 8])
+
+    spark.udtf.register("g6_chunk_doc", ChunkDoc)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("g6_documents")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.chunk
+        FROM g6_documents, LATERAL g6_chunk_doc(doc_id, text) c
+        """
+    )
