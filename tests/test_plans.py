@@ -1,0 +1,64 @@
+"""Plan assertions (SURVEY.md §5.3.2): the scale-critical physical-plan
+properties §4 promises must not regress silently.
+
+These run at sf0.001 — plan shape is data-size independent for the
+properties asserted here (pushdown, pruning, broadcast, top-k, absence
+of shuffle), except join-strategy choices AQE makes at runtime, which
+are asserted only where the static planner already commits (dimension
+broadcasts under the configured threshold).
+"""
+
+from __future__ import annotations
+
+from cassandra_migrate_keyspace_from_cluster_spark.plans.explain import (
+    assert_broadcast,
+    assert_contains,
+    assert_pushed_filter,
+    physical_plan,
+)
+from cassandra_migrate_keyspace_from_cluster_spark.registry import specs
+
+from .conftest import SF_SMOKE
+
+ALL_SPECS = specs()
+
+
+def q(spark, name):
+    return ALL_SPECS[name].fn(spark, SF_SMOKE)
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    assert_pushed_filter(q(spark, "b2_filter_pred"), "GreaterThanOrEqual(l_quantity")
+    assert_pushed_filter(q(spark, "b5_agg_groupby"), "l_shipdate")
+
+
+def test_column_pruning_reads_minimal_schema(spark):
+    plan = physical_plan(q(spark, "b5_agg_groupby"))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, f"no ReadSchema in plan:\n{plan}"
+    # Q1 touches 7 of lineitem's 11 columns; the scan must not read the rest.
+    assert "l_orderkey" not in read[0]
+    assert "l_partkey" not in read[0]
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    df = q(spark, "b9_join_multiway_star")
+    assert_broadcast(df)
+    plan = physical_plan(df)
+    # no sort-merge path for the dim joins at smoke scale
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    assert_contains(q(spark, "b21_limit_topk"), "TakeOrderedAndProject")
+
+
+def test_cosine_topk_is_shuffle_free(spark):
+    # broadcast-corpus matmul: one narrow stage, no Exchange anywhere
+    plan = physical_plan(q(spark, "f4_cosine_topk"))
+    assert "Exchange" not in plan, f"unexpected shuffle in f4 plan:\n{plan}"
+
+
+def test_semi_anti_join_plans(spark):
+    assert_contains(q(spark, "b11_join_semi"), "LeftSemi")
+    assert_contains(q(spark, "b12_join_anti"), "LeftAnti")
