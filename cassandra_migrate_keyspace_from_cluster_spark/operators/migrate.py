@@ -98,6 +98,28 @@ def copy_table(
     return spark.read.parquet(dst)
 
 
+def copy_table_via(
+    spark: SparkSession, src_dir: str, dst_dir: str, name: str, fmt: str
+) -> DataFrame:
+    """Format-generic bulk copy (A4 over csv/json sinks): write the table
+    through a text format and read it back with the SOURCE schema
+    enforced — exactly a migrator's flow (replicate DDL first, then load
+    data against it; text formats carry no types of their own).
+
+    Same shuffle-free shape as ``copy_table``; the schema-on-read is what
+    makes the round trip value-preserving (doubles serialize at full
+    precision in both csv and json writers)."""
+    src = load_table(spark, src_dir, name)
+    dst = os.path.join(dst_dir, f"{name}.{fmt}")
+    writer = src.write.mode("overwrite").format(fmt)
+    reader = spark.read.format(fmt).schema(src.schema)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+        reader = reader.option("header", True)
+    writer.save(dst)
+    return reader.load(dst)
+
+
 def range_split_counts(df: DataFrame, key: str, n_splits: int = 16) -> DataFrame:
     """Token-range split math (A5): rows per contiguous key range.
 

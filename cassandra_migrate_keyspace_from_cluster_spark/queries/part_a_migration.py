@@ -62,6 +62,22 @@ def a4_copy_roundtrip(spark, sf_dir):
     return mig.copy_table(spark, sf_dir, dst, "lineitem")
 
 
+@register("a4b_copy_roundtrip_csv", oracle="SELECT * FROM nation")
+def a4b_copy_roundtrip_csv(spark, sf_dir):
+    """Bulk copy through a CSV sink: schema enforced on read-back (text
+    formats are schema-less — the migrator replays DDL first)."""
+    dst = tempfile.mkdtemp(prefix="spark_graft_a4b_")
+    return mig.copy_table_via(spark, sf_dir, dst, "nation", "csv")
+
+
+@register("a4c_copy_roundtrip_json", oracle="SELECT * FROM customer")
+def a4c_copy_roundtrip_json(spark, sf_dir):
+    """Bulk copy through a JSON-lines sink: doubles serialize at full
+    precision, so the round trip is value-preserving."""
+    dst = tempfile.mkdtemp(prefix="spark_graft_a4c_")
+    return mig.copy_table_via(spark, sf_dir, dst, "customer", "json")
+
+
 @register(
     "a5_range_partition_counts",
     oracle="""

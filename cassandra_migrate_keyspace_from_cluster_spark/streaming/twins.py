@@ -66,6 +66,54 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def running_spend_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of e6_stateful_runagg with CUSTOM state:
+    per-user cumulative purchase spend via ``applyInPandasWithState``.
+
+    The built-in twin is ``groupBy(user).agg(sum)`` in update mode; this
+    form exists to exercise arbitrary stateful processing — the state
+    (one running double per user) survives across micro-batches, which
+    is exactly the shape of a 100-TB streaming enrichment operator
+    (state size O(distinct keys), bounded; no watermark interplay since
+    the aggregate never expires).
+
+    Within a micro-batch, rows are folded in (ts, event_id) order so the
+    emitted per-event cumulative values are deterministic and equal to
+    the batch window ``sum ... ROWS UNBOUNDED PRECEDING``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0.0
+        # a group's batch rows can arrive as several Arrow chunks —
+        # concatenate before sorting so the fold order is global
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cum = pdf["value"].cumsum() + total
+        if len(cum):
+            state.update((float(cum.iloc[-1]),))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "cum_spend": cum.round(2),
+            }
+        )
+
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="event_id bigint, user_id bigint, cum_spend double",
+            stateStructType="total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_completion(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a bounded file-source stream to completion through a memory
     sink (complete mode for aggregates, append for row streams) and

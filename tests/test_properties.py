@@ -1,0 +1,96 @@
+"""Property-based tests (SURVEY.md §5.3.3): algebraic laws over
+generated mini-frames. Few examples, tiny data — each example runs real
+Spark jobs, so the budget goes to law diversity, not example count."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cassandra_migrate_keyspace_from_cluster_spark.operators import dedup as dd
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, tag string, v int")
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_filter_commutes(spark, rows):
+    df = _df(spark, rows)
+    a = df.filter(F.col("v") > 0).filter(F.col("tag") != "b")
+    b = df.filter(F.col("tag") != "b").filter(F.col("v") > 0)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@given(rows=rows_st, rows2=rows_st)
+@settings(**SETTINGS)
+def test_union_counts_add(spark, rows, rows2):
+    a, b = _df(spark, rows), _df(spark, rows2)
+    assert a.unionByName(b).count() == a.count() + b.count()
+
+
+@given(rows=rows_st, rows2=rows_st)
+@settings(**SETTINGS)
+def test_inner_join_row_bounds(spark, rows, rows2):
+    a, b = _df(spark, rows), _df(spark, rows2)
+    joined = a.join(b.withColumnRenamed("v", "v2"), on="k", how="inner")
+    n = joined.count()
+    assert n <= a.count() * max(b.count(), 1)
+    # semi-join never exceeds the left side and is a subset of left keys
+    semi = a.join(b, on="k", how="left_semi")
+    assert semi.count() <= a.count()
+    left_keys = {r.k for r in a.select("k").collect()}
+    assert {r.k for r in semi.select("k").collect()} <= left_keys
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_semi_plus_anti_partition_left(spark, rows):
+    a = _df(spark, rows)
+    b = a.filter(F.col("v") > 0)
+    semi = a.join(b, on="k", how="left_semi").count()
+    anti = a.join(b, on="k", how="left_anti").count()
+    assert semi + anti == a.count()
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12), min_size=0, max_size=20
+    )
+)
+@settings(**SETTINGS)
+def test_exact_dedup_idempotent(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = dd.exact_dedup(docs)
+    twice = dd.exact_dedup(once.select("doc_id", "text"))
+    got_once = sorted(r.doc_id for r in once.collect())
+    got_twice = sorted(r.doc_id for r in twice.collect())
+    assert got_once == got_twice
+    # survivor determinism: smallest doc_id per normalized-text group
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, t in enumerate(texts):
+        groups[t.strip().lower()].append(i)
+    want = sorted(min(g) for g in groups.values())
+    assert got_once == want

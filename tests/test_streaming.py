@@ -36,6 +36,15 @@ def test_session_twin_matches_batch(spark, events_dir):
     compare_frames(got, want, "session twin vs batch")
 
 
+def test_stateful_runagg_twin_matches_batch(spark, events_dir):
+    """applyInPandasWithState custom-state twin must reproduce the batch
+    running-sum values exactly (single micro-batch replay)."""
+    stream = twins.running_spend_stream(twins.read_events_stream(spark, events_dir))
+    got = twins.run_to_completion(stream, "runagg_out").toPandas()
+    want = specs()["e6_stateful_runagg"].fn(spark, SF_SMOKE).toPandas()
+    compare_frames(got, want, "stateful runagg twin vs batch")
+
+
 def test_dedup_twin_count_matches_batch(spark, events_dir):
     stream = twins.dedup_stream(twins.read_events_stream(spark, events_dir))
     got = twins.run_to_completion(stream, "dedup_out")
