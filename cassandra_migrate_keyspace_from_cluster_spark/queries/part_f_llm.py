@@ -60,6 +60,15 @@ def f2_token_jaccard_neardup(spark, sf_dir):
     return dd.jaccard_pairs(docs, blocking=["lang", "source"], threshold=0.6)
 
 
+@register("f5b_ivf_topk", oracle=None)  # KMeans cells engine-specific
+def f5b_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) approximate top-5 cosine neighbors: KMeans
+    coarse cells + n_probe-cell search. Rows-only; recall vs f4 truth
+    in pytest."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.ivf_cosine_topk(emb, k=5, n_cells=16, n_probe=4)
+
+
 @register("f3_minhash_lsh", oracle=None)  # hash seeds engine-specific
 def f3_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup (the 100-TB path: band-bucket join instead

@@ -65,6 +65,31 @@ def test_brp_lsh_recall_vs_exact_euclidean(spark):
     assert approx <= exact, "approxSimilarityJoin returned pairs above threshold"
 
 
+def test_ivf_recall_and_probe_monotonicity(spark):
+    """f5b (IVF) recall vs the exact f4 truth. Random gaussian vectors
+    are IVF's worst case (no real cluster structure), so the bound is
+    modest; recall must also improve as more cells are probed."""
+    from cassandra_migrate_keyspace_from_cluster_spark.sources import (
+        load_table as lt,
+    )
+
+    exact = _pair_set(
+        ALL["f4_cosine_topk"].fn(spark, SF_T2), "query_id", "neighbor_id"
+    )
+    emb = lt(spark, SF_T2, "embeddings")
+    r = {}
+    for n_probe in (4, 8):
+        approx = _pair_set(
+            sim.ivf_cosine_topk(emb, k=5, n_cells=16, n_probe=n_probe),
+            "query_id",
+            "neighbor_id",
+        )
+        r[n_probe] = len(exact & approx) / len(exact)
+    assert r[4] >= 0.5, f"IVF n_probe=4 recall {r[4]:.3f} < 0.5"
+    assert r[8] >= 0.75, f"IVF n_probe=8 recall {r[8]:.3f} < 0.75"
+    assert r[8] > r[4], f"recall not monotone in n_probe: {r}"
+
+
 def test_simhash_locality(spark):
     """Near-identical texts get near-identical SimHashes; disjoint-vocab
     texts do not."""
