@@ -42,7 +42,11 @@ def main() -> None:
     qs = queries()
     names = [n for n in HEADLINE if n in qs]
 
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    # Warmup: JVM/codegen startup plus one tiny parquet scan so one-time
+    # reader initialization (footer codecs, vectorized reader classes)
+    # isn't attributed to whichever query happens to run first.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in names:
