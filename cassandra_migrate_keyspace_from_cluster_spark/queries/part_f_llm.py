@@ -55,9 +55,11 @@ def f1_exact_dedup(spark, sf_dir):
 )
 def f2_token_jaccard_neardup(spark, sf_dir):
     """Exact token-set Jaccard near-dup pairs, blocked by (lang,
-    source) — the verifiable ground truth for f3's LSH tier."""
+    source) — the verifiable ground truth for f3's LSH tier. Runs the
+    inverted-index (token-postings) dataflow; equality with the blocked
+    cross-join form is pytest-asserted."""
     docs = t(spark, sf_dir, "documents")
-    return dd.jaccard_pairs(docs, blocking=["lang", "source"], threshold=0.6)
+    return dd.jaccard_pairs_postings(docs, blocking=["lang", "source"], threshold=0.6)
 
 
 @register("f5b_ivf_topk", oracle=None)  # KMeans cells engine-specific

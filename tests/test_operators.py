@@ -65,6 +65,21 @@ def test_brp_lsh_recall_vs_exact_euclidean(spark):
     assert approx <= exact, "approxSimilarityJoin returned pairs above threshold"
 
 
+def test_jaccard_postings_equals_crossjoin(spark):
+    """The inverted-index jaccard (what f2 runs) must produce exactly
+    the blocked cross-join form's pairs and scores."""
+    docs = load_table(spark, SF_T2, "documents")
+    a = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd.jaccard_pairs(docs, ["lang", "source"], 0.6).collect()
+    }
+    b = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd.jaccard_pairs_postings(docs, ["lang", "source"], 0.6).collect()
+    }
+    assert a == b and a
+
+
 def test_ivf_recall_and_probe_monotonicity(spark):
     """f5b (IVF) recall vs the exact f4 truth. Random gaussian vectors
     are IVF's worst case (no real cluster structure), so the bound is
