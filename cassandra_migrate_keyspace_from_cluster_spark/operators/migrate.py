@@ -120,6 +120,34 @@ def copy_table_via(
     return reader.load(dst)
 
 
+def copy_table_partitioned(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    name: str,
+    partition_expr: F.Column,
+    partition_name: str,
+) -> DataFrame:
+    """A4 at scale: copy with a partitioned target layout.
+
+    Writes ``partitionBy(partition_name)`` so the target is a directory
+    per partition value — the layout that turns downstream date filters
+    into partition pruning (no file even opened outside the range) and
+    bounds per-task output size. The partition column is derived (e.g.
+    ``year(o_orderdate)``) and carried alongside the original columns;
+    read-back returns the original column set for value-preservation
+    checks."""
+    src = load_table(spark, src_dir, name)
+    dst = os.path.join(dst_dir, f"{name}_part.parquet")
+    (
+        src.withColumn(partition_name, partition_expr)
+        .write.mode("overwrite")
+        .partitionBy(partition_name)
+        .parquet(dst)
+    )
+    return spark.read.parquet(dst).select(*src.columns)
+
+
 def range_split_counts(df: DataFrame, key: str, n_splits: int = 16) -> DataFrame:
     """Token-range split math (A5): rows per contiguous key range.
 

@@ -78,6 +78,19 @@ def a4c_copy_roundtrip_json(spark, sf_dir):
     return mig.copy_table_via(spark, sf_dir, dst, "customer", "json")
 
 
+@register("a4d_copy_partitioned", oracle="SELECT * FROM orders")
+def a4d_copy_partitioned(spark, sf_dir):
+    """Bulk copy with a partitioned target layout (directory per order
+    year) — the 100-TB A4 shape; partition pruning on the result is
+    plan-asserted in tests/test_plans.py."""
+    from pyspark.sql import functions as F
+
+    dst = tempfile.mkdtemp(prefix="spark_graft_a4d_")
+    return mig.copy_table_partitioned(
+        spark, sf_dir, dst, "orders", F.year("o_orderdate"), "o_year"
+    )
+
+
 @register(
     "a5_range_partition_counts",
     oracle="""

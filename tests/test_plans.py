@@ -59,6 +59,25 @@ def test_cosine_topk_is_shuffle_free(spark):
     assert "Exchange" not in plan, f"unexpected shuffle in f4 plan:\n{plan}"
 
 
+def test_partitioned_copy_prunes_partitions(spark):
+    """A filter on the partition column of a4d's layout must prune at
+    planning time (PartitionFilters), not scan-and-discard."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import migrate as mig
+
+    dst = tempfile.mkdtemp(prefix="plans_a4d_")
+    mig.copy_table_partitioned(
+        spark, SF_SMOKE, dst, "orders", F.year("o_orderdate"), "o_year"
+    )
+    df = spark.read.parquet(f"{dst}/orders_part.parquet").filter(F.col("o_year") == 1996)
+    plan = physical_plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "o_year" in pf[0], f"no partition pruning:\n{plan}"
+
+
 def test_semi_anti_join_plans(spark):
     assert_contains(q(spark, "b11_join_semi"), "LeftSemi")
     assert_contains(q(spark, "b12_join_anti"), "LeftAnti")
