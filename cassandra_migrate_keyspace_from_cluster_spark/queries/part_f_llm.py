@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.vector import l2_norm, to_double_array
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
@@ -69,6 +70,64 @@ def f5b_ivf_topk(spark, sf_dir):
     in pytest."""
     emb = t(spark, sf_dir, "embeddings")
     return sim.ivf_cosine_topk(emb, k=5, n_cells=16, n_probe=4)
+
+
+@register(
+    "f18_pipeline_report",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, text, lang, n_chars
+      FROM documents
+      QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                 ORDER BY doc_id) = 1),
+    q AS (
+      SELECT doc_id, lang,
+             round(0.4 * least(n_chars / 500.0, 1.0)
+           + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           + 0.3 * least((CAST(list_reduce(list_transform(string_split(text, ' '),
+                    x -> length(x)), (a, b) -> a + b) AS DOUBLE)
+                    / len(string_split(text, ' '))) / 10.0, 1.0), 6) AS quality
+      FROM kept),
+    j AS (
+      SELECT q.lang, q.quality,
+             sqrt(list_reduce(list_transform(CAST(e.embedding AS DOUBLE[]),
+                  x -> x * x), (a, b) -> a + b)) AS vec_norm
+      FROM q JOIN embeddings e ON e.vec_id = q.doc_id
+      WHERE q.quality >= 0.5)
+    SELECT lang, count(*) AS n_docs,
+           round(avg(quality), 6) AS avg_quality,
+           round(avg(vec_norm), 6) AS avg_vec_norm
+    FROM j GROUP BY lang
+    """,
+)
+def f18_pipeline_report(spark, sf_dir):
+    """End-to-end training-data pipeline composite: exact dedup →
+    quality score → threshold filter → join the embedding modality →
+    per-language corpus report. Every stage is a tested operator; this
+    query proves they compose (the shape of a real 100-TB curation run:
+    one shuffle for dedup, one for the id-equi-join, one for the final
+    tiny agg)."""
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    kept = dd.exact_dedup(docs).select("doc_id")
+    quality = tx.quality_scores(docs).select("doc_id", "quality")
+    norms = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        l2_norm(to_double_array("embedding")).alias("vec_norm"),
+    )
+    j = (
+        docs.select("doc_id", "lang")
+        .join(kept, "doc_id")
+        .join(quality, "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .join(norms, "doc_id")
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(F.avg("quality")).alias("avg_quality"),
+        r6(F.avg("vec_norm")).alias("avg_vec_norm"),
+    )
 
 
 @register("f3_minhash_lsh", oracle=None)  # hash seeds engine-specific
