@@ -53,6 +53,50 @@ def a2_schema_manifest(spark, sf_dir):
     return mig.schema_manifest(spark, sf_dir)
 
 
+@register(
+    "a3_ddl_manifest",
+    oracle=f"""
+    SELECT table_name,
+           'CREATE TABLE ' || table_name || ' (' ||
+           string_agg(column_name || ' ' || {_DUCK_TYPE_CASE}, ', '
+                      ORDER BY ordinal_position) || ')' AS ddl
+    FROM information_schema.columns
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents','embeddings')
+    GROUP BY table_name
+    """,
+)
+def a3_ddl_manifest(spark, sf_dir):
+    """DDL replication: emit one CREATE TABLE statement per keyspace
+    table from the discovered schema (the step a migrator replays on the
+    target before copying; the CQL-flavored emitter with primary keys is
+    sources/cassandra.py::ddl_for)."""
+    from pyspark.sql import functions as F
+
+    manifest = mig.schema_manifest(spark, sf_dir)
+    col_def = F.concat_ws(" ", "column_name", "data_type")
+    return (
+        manifest.groupBy("table_name")
+        .agg(
+            F.concat(
+                F.lit("CREATE TABLE "),
+                F.col("table_name"),
+                F.lit(" ("),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("ordinal", col_def.alias("cd")))
+                        ),
+                        lambda s: s.getField("cd"),
+                    ),
+                    ", ",
+                ),
+                F.lit(")"),
+            ).alias("ddl")
+        )
+    )
+
+
 @register("a4_copy_roundtrip", oracle="SELECT * FROM lineitem")
 def a4_copy_roundtrip(spark, sf_dir):
     """Bulk table copy: lineitem → temp parquet → read back. The
