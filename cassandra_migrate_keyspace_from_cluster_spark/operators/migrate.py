@@ -171,6 +171,70 @@ def range_split_counts(df: DataFrame, key: str, n_splits: int = 16) -> DataFrame
     )
 
 
+def plan_key_ranges(df: DataFrame, key: str, n_splits: int) -> list[tuple]:
+    """Compute ``n_splits`` contiguous (lo, hi) key ranges covering the
+    table (inclusive bounds) — the migration plan A5 produces and A9
+    persists. One small aggregation job; bounds come from the same
+    ntile math as ``range_split_counts``."""
+    rows = (
+        range_split_counts(df, key, n_splits)
+        .orderBy("bucket")
+        .select("min_key", "max_key")
+        .collect()
+    )
+    return [(r.min_key, r.max_key) for r in rows]
+
+
+class SimulatedFailure(RuntimeError):
+    """Raised by copy_table_resumable(fail_after=k) to test resume."""
+
+
+def copy_table_resumable(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    name: str,
+    key: str,
+    n_splits: int = 16,
+    fail_after: int | None = None,
+) -> DataFrame:
+    """Resumable bulk copy (A9): the table is copied one key range at a
+    time; each completed range writes its data then a done-marker, and a
+    restarted run skips every marked range.
+
+    This is the reference's core control loop (per-token-range copy with
+    persisted progress — SURVEY.md §3.1) expressed over Spark jobs: each
+    range copy is a distributed filtered write whose predicate pushes
+    down to the scan, so a resume re-reads only unfinished ranges.
+    Idempotence: re-running a range overwrites the same subdirectory, so
+    at-least-once execution is safe — no coordination needed beyond the
+    marker (written only after the range's data is durable).
+
+    ``fail_after=k`` aborts after k ranges to let tests exercise the
+    resume path. Returns the re-read of the completed target.
+    """
+    src = load_table(spark, src_dir, name)
+    table_dir = os.path.join(dst_dir, f"{name}.parquet")
+    os.makedirs(table_dir, exist_ok=True)
+    ranges = plan_key_ranges(src, key, n_splits)
+    done = 0
+    for i, (lo, hi) in enumerate(ranges):
+        marker = os.path.join(dst_dir, f"_{name}_range_{i}.done")
+        if os.path.exists(marker):
+            continue
+        if fail_after is not None and done >= fail_after:
+            raise SimulatedFailure(f"injected failure before range {i}")
+        (
+            src.filter((F.col(key) >= lo) & (F.col(key) <= hi))
+            .write.mode("overwrite")
+            .parquet(os.path.join(table_dir, f"range={i}"))
+        )
+        with open(marker, "w") as fh:
+            fh.write(f"{lo}..{hi}\n")
+        done += 1
+    return spark.read.parquet(table_dir).select(*src.columns)
+
+
 def table_counts(spark: SparkSession, sf_dir: str, tables=TABLES) -> DataFrame:
     """Row-count validation (A7): one row per table with its count.
 

@@ -33,6 +33,37 @@ def test_range_split_covers_all_rows(spark):
         assert prev.max_key < cur.min_key
 
 
+def test_resumable_copy_skips_completed_ranges(spark):
+    """A9: an interrupted copy resumes where it stopped — completed
+    ranges are skipped (markers untouched) and the final content equals
+    the source."""
+    import os
+
+    import pytest
+
+    src = load_table(spark, SMOKE_SF, "orders")
+    dst = tempfile.mkdtemp(prefix="mig_resume_")
+    with pytest.raises(mig.SimulatedFailure):
+        mig.copy_table_resumable(
+            spark, SMOKE_SF, dst, "orders", "o_orderkey", n_splits=8, fail_after=3
+        )
+    markers = sorted(f for f in os.listdir(dst) if f.endswith(".done"))
+    assert len(markers) == 3
+    stamps = {m: os.path.getmtime(os.path.join(dst, m)) for m in markers}
+
+    copied = mig.copy_table_resumable(
+        spark, SMOKE_SF, dst, "orders", "o_orderkey", n_splits=8
+    )
+    # all 8 ranges now done; the first 3 markers were not rewritten
+    assert len([f for f in os.listdir(dst) if f.endswith(".done")]) == 8
+    for m, ts in stamps.items():
+        assert os.path.getmtime(os.path.join(dst, m)) == ts
+    assert copied.count() == src.count()
+    a = mig.content_checksum(src.select("o_orderkey", "o_orderstatus"), "orders").collect()
+    b = mig.content_checksum(copied.select("o_orderkey", "o_orderstatus"), "orders").collect()
+    assert a == b
+
+
 def test_ddl_emission_maps_types(spark):
     schema = load_table(spark, SMOKE_SF, "orders").schema
     ddl = cass.ddl_for(schema, "ks", "orders", ["o_orderkey"], ["o_orderdate"])
