@@ -41,6 +41,18 @@ def tumbling_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of e2_sliding: 1h windows advancing every 15min
+    (each event lands in 4 open windows; watermark bounds how long each
+    stays open)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
 def session_stream(events: DataFrame) -> DataFrame:
     """Streaming twin of e3_session: native session_window + watermark.
     State per (user, open session) is bounded by the watermark — the

@@ -29,6 +29,13 @@ def test_tumbling_twin_matches_batch(spark, events_dir):
     compare_frames(got, want, "tumbling twin vs batch")
 
 
+def test_sliding_twin_matches_batch(spark, events_dir):
+    stream = twins.sliding_stream(twins.read_events_stream(spark, events_dir))
+    got = twins.run_to_completion(stream, "sliding_out").toPandas()
+    want = specs()["e2_sliding"].fn(spark, SF_SMOKE).toPandas()
+    compare_frames(got, want, "sliding twin vs batch")
+
+
 def test_session_twin_matches_batch(spark, events_dir):
     stream = twins.session_stream(twins.read_events_stream(spark, events_dir))
     got = twins.run_to_completion(stream, "session_out").toPandas()
