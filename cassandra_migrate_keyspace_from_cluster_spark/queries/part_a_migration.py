@@ -135,6 +135,18 @@ def a4d_copy_partitioned(spark, sf_dir):
     )
 
 
+@register("a9_resumable_copy", oracle="SELECT * FROM orders")
+def a9_resumable_copy(spark, sf_dir):
+    """Resumable range-by-range copy: 8 contiguous o_orderkey ranges,
+    each a filtered pushdown write + done-marker (restart skips marked
+    ranges — interruption path tested in tests/test_migrate.py). The
+    hash-match proves the range union reassembles the table exactly."""
+    dst = tempfile.mkdtemp(prefix="spark_graft_a9_")
+    return mig.copy_table_resumable(
+        spark, sf_dir, dst, "orders", "o_orderkey", n_splits=8
+    )
+
+
 @register(
     "a5_range_partition_counts",
     oracle="""
