@@ -196,6 +196,34 @@ def brp_lsh_neighbors(
     )
 
 
+def quantize_int8(
+    embeddings: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` ∈ [-127, 127].
+
+    The 100-TB memory lever for vector search: 4x smaller than float32
+    (16x smaller than the float64 math copies), so 4x more corpus fits
+    in the f4 broadcast budget / per-IVF-cell memory; dequantized cosine
+    error is bounded (~1/254 per dim, property-tested). Pure column
+    expressions — quantization runs in codegen at scan speed.
+    """
+    e = with_double_embedding(embeddings, "embedding")
+    max_abs = F.aggregate(
+        "emb", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scaled = e.select(
+        F.col(id_col), "emb", (max_abs / F.lit(127.0)).alias("raw_scale")
+    )
+    return scaled.select(
+        id_col,
+        F.round("raw_scale", 6).alias("scale"),
+        F.transform(
+            "emb", lambda x: F.round(x / F.col("raw_scale"), 0).cast("int")
+        ).alias("q"),
+    )
+
+
 def label_centroids(embeddings: DataFrame, label_col: str = "label") -> DataFrame:
     """Per-label mean vector via posexplode → (label, dim) avg →
     re-assemble ordered by position. Two narrow shuffles, both on small

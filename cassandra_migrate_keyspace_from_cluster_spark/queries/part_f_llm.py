@@ -130,6 +130,27 @@ def f18_pipeline_report(spark, sf_dir):
     )
 
 
+@register(
+    "f19_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    s AS (SELECT vec_id, emb,
+                 list_reduce(list_transform(emb, x -> abs(x)),
+                             (a, b) -> greatest(a, b)) / 127.0 AS raw_scale
+          FROM e)
+    SELECT vec_id, round(raw_scale, 6) AS scale,
+           list_transform(emb, x -> CAST(round(x / raw_scale, 0) AS INT)) AS q
+    FROM s
+    """,
+)
+def f19_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (scale = max|x|/127) —
+    the 4x memory lever for the f4/f5b broadcast budget; dequantization
+    error bound is property-tested."""
+    return sim.quantize_int8(t(spark, sf_dir, "embeddings"))
+
+
 @register("f3_minhash_lsh", oracle=None)  # hash seeds engine-specific
 def f3_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup (the 100-TB path: band-bucket join instead

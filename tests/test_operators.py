@@ -65,6 +65,31 @@ def test_brp_lsh_recall_vs_exact_euclidean(spark):
     assert approx <= exact, "approxSimilarityJoin returned pairs above threshold"
 
 
+def test_int8_quantization_error_bound(spark):
+    """Dequantized vectors must stay close: per-dim error <= scale/2
+    by construction, and cosine(orig, dequant) >= 0.999 on real data."""
+    import numpy as np
+
+    emb = load_table(spark, SF_T2, "embeddings")
+    rows = (
+        sim.quantize_int8(emb)
+        .join(emb, "vec_id")
+        .select("vec_id", "scale", "q", "embedding")
+        .limit(200)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        orig = np.asarray(r.embedding, dtype=np.float64)
+        deq = np.asarray(r.q, dtype=np.float64) * r.scale
+        # bound: scale/2 from quantization + 127 * 5e-7 because the
+        # reported scale is rounded to 6dp before dequantization here
+        assert np.max(np.abs(orig - deq)) <= r.scale / 2 + 127 * 5e-7
+        cos = orig @ deq / (np.linalg.norm(orig) * np.linalg.norm(deq))
+        assert cos >= 0.999, (r.vec_id, cos)
+    assert all(max(abs(v) for v in r.q) <= 127 for r in rows)
+
+
 def test_jaccard_postings_equals_crossjoin(spark):
     """The inverted-index jaccard (what f2 runs) must produce exactly
     the blocked cross-join form's pairs and scores."""
