@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_last_earlier
 from ..registry import register
+from ..sources import register_views
 from .util import r2, r6, t
 
 
@@ -584,3 +585,37 @@ def b22_distinct_rows(spark, sf_dir):
     """Row dedup via DISTINCT (hash aggregate on all columns)."""
     ev = t(spark, sf_dir, "events")
     return ev.select("event_type", "user_id").distinct()
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b23_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
+    """,
+)
+def b23_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS via the SQL entry point — Catalyst
+    decorrelates both into semi/anti joins (RewriteCorrelatedSubquery),
+    so the SQL surface and the join-API surface (b11/b12) share one
+    physical shape. Same text runs on both engines."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        """
+    )

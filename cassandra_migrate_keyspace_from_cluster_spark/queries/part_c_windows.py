@@ -456,3 +456,37 @@ def c17_first_last(spark, sf_dir):
         F.last("value").over(w).alias("last_v"),
         F.count(F.lit(1)).over(w).alias("n_day"),
     ).distinct()
+
+
+# --------------------------------------------------------------------------
+@register(
+    "c18_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value
+    FROM events
+    """,
+)
+def c18_forward_fill(spark, sf_dir):
+    """Forward fill (LOCF): error events' values are nulled then carried
+    forward from the last valid observation per user — the classic
+    time-series gap-fill, via last(ignorenulls=True) over a running
+    frame (DuckDB: last_value(... IGNORE NULLS))."""
+    ev = t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("filled_value"),
+    )

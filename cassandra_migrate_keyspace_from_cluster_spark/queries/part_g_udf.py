@@ -208,3 +208,35 @@ def g6_python_udtf(spark, sf_dir):
         FROM g6_documents, LATERAL g6_chunk_doc(doc_id, text) c
         """
     )
+
+
+@register(
+    "g7_map_in_arrow",
+    oracle="""
+    SELECT o_orderkey, o_totalprice * 1.1 AS uplifted
+    FROM orders
+    """,
+)
+def g7_map_in_arrow(spark, sf_dir):
+    """mapInArrow partition-wise map: the zero-copy Arrow RecordBatch
+    path (no pandas materialization — lowest-overhead Python extension
+    point; useful when the Python side is itself Arrow-native)."""
+    import pyarrow as pa
+
+    def uplift(batches):
+        for batch in batches:
+            t_ = pa.table(
+                {
+                    "o_orderkey": batch.column("o_orderkey"),
+                    "uplifted": pa.compute.multiply(
+                        batch.column("o_totalprice"), pa.scalar(1.1)
+                    ),
+                }
+            )
+            yield from t_.to_batches()
+
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .mapInArrow(uplift, "o_orderkey bigint, uplifted double")
+    )
