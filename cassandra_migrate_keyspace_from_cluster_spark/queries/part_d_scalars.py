@@ -402,3 +402,33 @@ def d10_cast_types(spark, sf_dir):
         F.format_string("%.2f", "o_totalprice").alias("price_fmt"),
         (F.col("o_totalprice") > 250000).cast("string").alias("is_big_str"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "d11_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS b_and,
+           event_id | 16 AS b_or,
+           xor(event_id, 255) AS b_xor,
+           event_id << 2 AS b_shl,
+           event_id >> 1 AS b_shr,
+           CAST(bit_count(event_id) AS INT) AS b_cnt
+    FROM events
+    """,
+)
+def d11_bitwise(spark, sf_dir):
+    """Bitwise function family: and/or/xor, shifts, popcount — exact
+    integer ops, identical across engines."""
+    ev = t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("b_and"),
+        e.bitwiseOR(F.lit(16)).alias("b_or"),
+        e.bitwiseXOR(F.lit(255)).alias("b_xor"),
+        F.shiftleft(e, 2).alias("b_shl"),
+        F.shiftright(e, 1).alias("b_shr"),
+        F.bit_count(e).alias("b_cnt"),
+    )

@@ -534,3 +534,32 @@ def f17_multimodal_features(spark, sf_dir):
     (payload bytes == utf-8 of the ascii text)."""
     docs = t(spark, sf_dir, "documents")
     return mm.extract_features(mm.attach_binary_payload(docs))
+
+
+@register(
+    "f20_stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+    FROM h WHERE bucket < 20
+    """,
+)
+def f20_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based 20% sample (md5(doc_id) bucket < 20) —
+    the reproducible distributed sampling pattern for training-data
+    splits: no RNG state, stable under re-runs/retries/repartition,
+    stratum boundaries identical on every engine. (Spark's native
+    df.sample is seed-dependent per-partition → not cross-engine
+    checkable.)"""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < 20
+    )
