@@ -619,3 +619,24 @@ def b23_exists_subquery(spark, sf_dir):
                             AND o.o_orderstatus = 'P')
         """
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b24_salted_agg",
+    oracle="""
+    SELECT event_type, round(sum(value), 2) AS sum_value, count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def b24_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation (explicit skew mitigation,
+    operators/skew.py): identical results to a plain groupBy — the
+    oracle IS the plain form — with the heavy phase spread over
+    (key, salt). The unsalted twin equality is also pytest-asserted."""
+    from ..operators.skew import salted_sum_count
+
+    ev = t(spark, sf_dir, "events")
+    out = salted_sum_count(ev, "event_type", "value", n_salts=8)
+    return out.select("event_type", r2(F.col("sum_value")).alias("sum_value"), "n")

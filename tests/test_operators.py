@@ -200,3 +200,22 @@ def test_dedup_removes_injected_duplicates(spark):
     assert kept.count() == docs.count()
     # survivors are the low-id originals
     assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_salted_agg_equals_plain(spark):
+    """Salting must not change results (decomposable aggregates)."""
+    from cassandra_migrate_keyspace_from_cluster_spark.operators.skew import (
+        plain_sum_count,
+        salted_sum_count,
+    )
+
+    ev = load_table(spark, SF_T2, "events")
+    a = {
+        (r.event_type, round(r.sum_value, 6), r.n)
+        for r in salted_sum_count(ev, "event_type", "value").collect()
+    }
+    b = {
+        (r.event_type, round(r.sum_value, 6), r.n)
+        for r in plain_sum_count(ev, "event_type", "value").collect()
+    }
+    assert a == b
