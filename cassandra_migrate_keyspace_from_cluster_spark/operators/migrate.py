@@ -171,6 +171,37 @@ def range_split_counts(df: DataFrame, key: str, n_splits: int = 16) -> DataFrame
     )
 
 
+def copy_table_with_writetime(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    name: str,
+    ts_col: str,
+    value_cols: tuple,
+) -> DataFrame:
+    """Writetime-preserving copy (A6, simulated): per-cell WRITETIME
+    metadata rides along as ``<col>_writetime`` columns and survives the
+    copy byte-for-byte.
+
+    On Cassandra the connector materializes real per-cell timestamps via
+    its ``writetime.<col>`` read option and replays them on write (see
+    sources/cassandra.py::reader_options); the parquet keyspace has no
+    cell metadata, so the simulation derives a deterministic writetime
+    (epoch micros of ``ts_col``) — the POINT under test is the dataflow:
+    metadata columns attach at read, flow through the shuffle-free copy
+    untouched, and verify on the target."""
+    src = load_table(spark, src_dir, name)
+    # cast NTZ→TZ is a no-op under the UTC session invariant, and
+    # matches DuckDB's epoch_us on the same naive timestamps
+    wt = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    with_meta = src.select(
+        "*", *[wt.alias(f"{c}_writetime") for c in value_cols]
+    )
+    dst = os.path.join(dst_dir, f"{name}.parquet")
+    with_meta.write.mode("overwrite").parquet(dst)
+    return spark.read.parquet(dst)
+
+
 def plan_key_ranges(df: DataFrame, key: str, n_splits: int) -> list[tuple]:
     """Compute ``n_splits`` contiguous (lo, hi) key ranges covering the
     table (inclusive bounds) — the migration plan A5 produces and A9

@@ -135,6 +135,28 @@ def a4d_copy_partitioned(spark, sf_dir):
     )
 
 
+@register(
+    "a6_writetime_copy",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority,
+           epoch_us(o_orderdate) AS o_totalprice_writetime,
+           epoch_us(o_orderdate) AS o_orderstatus_writetime
+    FROM orders
+    """,
+)
+def a6_writetime_copy(spark, sf_dir):
+    """Writetime-preserving copy (simulated A6): per-cell WRITETIME
+    metadata columns attach at read and survive the copy exactly (on
+    Cassandra the connector's writetime read/write options do this with
+    real cell timestamps)."""
+    dst = tempfile.mkdtemp(prefix="spark_graft_a6_")
+    return mig.copy_table_with_writetime(
+        spark, sf_dir, dst, "orders", "o_orderdate",
+        ("o_totalprice", "o_orderstatus"),
+    )
+
+
 @register("a9_resumable_copy", oracle="SELECT * FROM orders")
 def a9_resumable_copy(spark, sf_dir):
     """Resumable range-by-range copy: 8 contiguous o_orderkey ranges,
