@@ -135,6 +135,14 @@ def a4d_copy_partitioned(spark, sf_dir):
     )
 
 
+@register("a4e_copy_roundtrip_orc", oracle="SELECT * FROM supplier")
+def a4e_copy_roundtrip_orc(spark, sf_dir):
+    """Bulk copy through an ORC sink (Spark's other native columnar
+    format) — typed like parquet, so no schema-on-read is needed."""
+    dst = tempfile.mkdtemp(prefix="spark_graft_a4e_")
+    return mig.copy_table_via(spark, sf_dir, dst, "supplier", "orc")
+
+
 @register(
     "a6_writetime_copy",
     oracle="""
