@@ -81,3 +81,33 @@ def test_partitioned_copy_prunes_partitions(spark):
 def test_semi_anti_join_plans(spark):
     assert_contains(q(spark, "b11_join_semi"), "LeftSemi")
     assert_contains(q(spark, "b12_join_anti"), "LeftAnti")
+
+
+def test_exists_subquery_decorrelates(spark):
+    """b23's correlated EXISTS/NOT EXISTS must plan as semi/anti joins,
+    never as a per-row subquery."""
+    plan = physical_plan(q(spark, "b23_exists_subquery"))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_jaccard_postings_no_cartesian(spark):
+    """f2's inverted-index join must be an equi-join on the token key —
+    a Cartesian/BNL product here would be the O(block^2) regression."""
+    plan = physical_plan(q(spark, "f2_token_jaccard_neardup"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_agg_two_phase(spark):
+    """b24 must aggregate in two keyed phases (salted partial, final) —
+    visible as two HashAggregate pairs in the plan."""
+    plan = physical_plan(q(spark, "b24_salted_agg"))
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_python_paths_use_arrow_nodes(spark):
+    """Part G queries must plan their respective Python-exec operators
+    (and g2's Arrow path must not degrade to row-at-a-time eval)."""
+    assert_contains(q(spark, "g2_pandas_udf_scalar"), "ArrowEvalPython")
+    assert_contains(q(spark, "g4_grouped_map"), "FlatMapGroupsInPandas")
+    assert_contains(q(spark, "g5_map_in_pandas"), "MapInPandas")
