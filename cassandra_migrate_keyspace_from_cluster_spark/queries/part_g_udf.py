@@ -22,6 +22,8 @@ executors, no driver-side collect anywhere.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -239,4 +241,33 @@ def g7_map_in_arrow(spark, sf_dir):
         t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
         .mapInArrow(uplift, "o_orderkey bigint, uplifted double")
+    )
+
+
+@register(
+    "g8_pandas_udf_iter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity * l_extendedprice / 100.0, 6) AS qty_weighted
+    FROM lineitem
+    """,
+)
+def g8_pandas_udf_iter(spark, sf_dir):
+    """Iterator-form pandas UDF (Iterator[Series] -> Iterator[Series]):
+    amortizes per-batch setup (model load, connection) across all of a
+    partition's Arrow batches — the shape for expensive-init UDFs."""
+
+    @pandas_udf("double")
+    def qty_weighted(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        scale = 100.0  # stands in for once-per-worker expensive setup
+        for s in batches:
+            yield (s / scale).round(6)
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qty_weighted(F.col("l_quantity") * F.col("l_extendedprice")).alias(
+            "qty_weighted"
+        ),
     )

@@ -52,6 +52,32 @@ def test_stateful_runagg_twin_matches_batch(spark, events_dir):
     compare_frames(got, want, "stateful runagg twin vs batch")
 
 
+def test_foreach_batch_sink_roundtrip(spark, events_dir, tmp_path):
+    """foreachBatch — the production sink pattern (transactional /
+    arbitrary-target writes per micro-batch): stream the tumbling agg
+    into parquet via foreachBatch and verify the materialized result
+    equals the batch answer."""
+    import os
+
+    out = str(tmp_path / "fb_out")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    stream = twins.tumbling_stream(twins.read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    assert os.path.isdir(out)
+    got = spark.read.parquet(out).toPandas()
+    want = specs()["e1_tumbling"].fn(spark, SF_SMOKE).toPandas()
+    compare_frames(got, want, "foreachBatch sink vs batch")
+
+
 def test_dedup_twin_count_matches_batch(spark, events_dir):
     stream = twins.dedup_stream(twins.read_events_stream(spark, events_dir))
     got = twins.run_to_completion(stream, "dedup_out")
