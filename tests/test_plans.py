@@ -105,6 +105,41 @@ def test_salted_agg_two_phase(spark):
     assert plan.count("HashAggregate") >= 4, plan
 
 
+def test_ivf_disk_layout_prunes_to_probed_cells(spark):
+    """SCALE.md's IVF-at-scale claim: write the corpus bucketed by
+    KMeans cell id; a probe-cell filter must prune at planning time
+    (only the probed cells' directories are read) and return exactly
+    those cells' rows."""
+    import tempfile
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators.similarity import (
+        with_double_embedding,
+    )
+    from cassandra_migrate_keyspace_from_cluster_spark.sources import load_table
+
+    emb = with_double_embedding(load_table(spark, SF_SMOKE, "embeddings"))
+    d = emb.select("vec_id", "embedding", array_to_vector("emb").alias("features"))
+    model = KMeans(k=8, seed=42, maxIter=5, featuresCol="features").fit(d)
+    assigned = model.transform(d).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+    out = tempfile.mkdtemp(prefix="ivf_layout_") + "/corpus"
+    assigned.write.partitionBy("cell").parquet(out)
+
+    per_cell = {r.cell: r.n for r in assigned.groupBy("cell").count()
+                .withColumnRenamed("count", "n").collect()}
+    probed = sorted(per_cell)[:3]
+    df = spark.read.parquet(out).filter(F.col("cell").isin(probed))
+    plan = physical_plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], f"no partition pruning:\n{plan}"
+    assert df.count() == sum(per_cell[c] for c in probed)
+
+
 def test_python_paths_use_arrow_nodes(spark):
     """Part G queries must plan their respective Python-exec operators
     (and g2's Arrow path must not degrade to row-at-a-time eval)."""
