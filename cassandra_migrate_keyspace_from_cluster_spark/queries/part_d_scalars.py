@@ -432,3 +432,31 @@ def d11_bitwise(spark, sf_dir):
         F.shiftright(e, 1).alias("b_shr"),
         F.bit_count(e).alias("b_cnt"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "d12_string_parts",
+    oracle="""
+    SELECT o_orderkey,
+           split_part(o_orderpriority, '-', 1) AS pri_num,
+           split_part(o_orderpriority, '-', 2) AS pri_word,
+           left(o_orderpriority, 3) AS l3,
+           right(o_orderpriority, 3) AS r3,
+           ascii(o_orderpriority) AS first_code,
+           chr(65 + CAST(o_orderkey % 26 AS INT)) AS cycle_chr
+    FROM orders
+    """,
+)
+def d12_string_parts(spark, sf_dir):
+    """String parts family: split_part, left/right, ascii, chr."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.split_part("o_orderpriority", F.lit("-"), F.lit(1)).alias("pri_num"),
+        F.split_part("o_orderpriority", F.lit("-"), F.lit(2)).alias("pri_word"),
+        F.left("o_orderpriority", F.lit(3)).alias("l3"),
+        F.right("o_orderpriority", F.lit(3)).alias("r3"),
+        F.ascii("o_orderpriority").alias("first_code"),
+        F.char(F.lit(65) + (F.col("o_orderkey") % 26).cast("int")).alias("cycle_chr"),
+    )
