@@ -20,7 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cassandra_migrate_keyspace_from_cluster_spark.registry import queries
 from cassandra_migrate_keyspace_from_cluster_spark.session import build_session
 
+# One representative per workload class: migration copy (write-heavy),
+# relational agg/join/topk, windows, streaming semantics, text/vector
+# pipeline ops, Python extension path, end-to-end composite.
 HEADLINE = [
+    "a4_copy_roundtrip",
     "b5_agg_groupby",
     "b9_join_multiway_star",
     "b15_join_asof",
@@ -33,6 +37,8 @@ HEADLINE = [
     "f4_cosine_topk",
     "f7_tokenize_wordcount",
     "f8_tfidf",
+    "f18_pipeline_report",
+    "g5_map_in_pandas",
 ]
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..sources import register_views
 from .util import r2, r6, t
 
 
@@ -489,4 +490,37 @@ def c18_forward_fill(spark, sf_dir):
         "event_id",
         "user_id",
         F.last(v, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "c19_filtered_agg",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           round(sum(value) FILTER (WHERE event_type = 'purchase'), 2)
+             AS purchase_value,
+           count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           count(*) AS n_total
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def c19_filtered_agg(spark, sf_dir):
+    """Conditional aggregation with FILTER clauses (ANSI form) through
+    the SQL entry point — one pass computing several differently-
+    filtered aggregates (the idiom behind c9's pivot)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+               round(sum(value) FILTER (WHERE event_type = 'purchase'), 2)
+                 AS purchase_value,
+               count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+               count(*) AS n_total
+        FROM events
+        GROUP BY user_id
+        """
     )
