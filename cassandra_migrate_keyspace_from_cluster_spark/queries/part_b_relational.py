@@ -717,3 +717,57 @@ def b26_tpch_q10_shaped(spark, sf_dir):
         .limit(20)
         .select("c_custkey", "c_name", "n_name", "revenue")
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b15b_asof_pandas_api",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, round(p.value, 6) AS purchase_value,
+           c.click_id AS last_click_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def b15b_asof_pandas_api(spark, sf_dir):
+    """Same as-of semantics as b15 through the pandas-on-Spark API
+    (``ps.merge_asof`` — the third API surface next to DataFrame and
+    SQL). Hash-matching b15's oracle proves the two implementations and
+    DuckDB's native ASOF all agree."""
+    import pyspark.pandas as ps
+
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        r6(F.col("value")).alias("purchase_value"),
+    )
+    merged = ps.merge_asof(
+        purchases.pandas_api(),
+        clicks.pandas_api(),
+        on="ts",
+        by="user_id",
+        direction="backward",
+    )
+    return merged.to_spark().select(
+        "purchase_id",
+        "user_id",
+        "purchase_value",
+        F.col("click_id").alias("last_click_id"),
+    )
