@@ -169,6 +169,65 @@ def minhash_lsh_pairs(
     )
 
 
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc gets
+    ``cluster_id`` = the smallest doc id reachable through near-dup
+    edges (docs with no pair are singleton clusters).
+
+    This is the real production dedup output — pairs (from the exact or
+    LSH tier) only say "these two match"; keeping one doc per TRANSITIVE
+    group needs components. Algorithm: iterative min-label propagation
+    (each round, every node takes the min label among itself and its
+    neighbors) run to a fixpoint, with ``localCheckpoint`` to truncate
+    the growing lineage. Converges in <= diameter rounds; blocked/LSH
+    pair generation bounds component diameter in practice. At true
+    100-TB scale swap the propagation loop for the alternating
+    small-star/large-star CC algorithm (O(log n) rounds) — same
+    input/output contract.
+
+    Deterministic: min() labels, no tie choices anywhere.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = docs.select(
+        F.col(id_col).alias("doc"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+            .withColumnRenamed("src", "doc2")
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.doc2, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
 def simhash63(text_col: str = "text") -> F.Column:
     """63-bit SimHash as a single pure column expression (no UDF).
 

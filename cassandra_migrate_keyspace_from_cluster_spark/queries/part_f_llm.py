@@ -563,3 +563,38 @@ def f20_stratified_sample(spark, sf_dir):
     return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
         F.col("bucket") < 20
     )
+
+
+@register(
+    "f21_neardup_clusters",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(a.toks || b.toks)) >= 0.6),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.doc)
+    SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc
+    """,
+)
+def f21_neardup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the exact-Jaccard
+    pair graph (f2's pairs) — every doc labeled with its transitive
+    group's smallest doc id. The iterative Spark fixpoint hash-matches
+    DuckDB's recursive-CTE reachability — the strongest cross-engine
+    check of an iterative distributed algorithm in this suite."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs_postings(
+        docs, blocking=["lang", "source"], threshold=0.6
+    )
+    return dd.neardup_clusters(docs, pairs)

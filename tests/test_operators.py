@@ -219,3 +219,21 @@ def test_salted_agg_equals_plain(spark):
         for r in plain_sum_count(ev, "event_type", "value").collect()
     }
     assert a == b
+
+
+def test_neardup_clusters_consistency(spark):
+    """Cluster labels must be consistent with the pair graph: paired
+    docs share a cluster; a cluster's label is its smallest member."""
+    docs = load_table(spark, SF_T2, "documents")
+    pairs = dd.jaccard_pairs_postings(docs, ["lang", "source"], 0.6)
+    clusters = dd.neardup_clusters(docs, pairs)
+    lbl = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    for p in pairs.collect():
+        assert lbl[p.doc_a] == lbl[p.doc_b], (p.doc_a, p.doc_b)
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for d, c in lbl.items():
+        members[c].append(d)
+    for c, ds in members.items():
+        assert c == min(ds)
