@@ -254,3 +254,52 @@ def e8_rate_histogram(spark, sf_dir):
         F.date_trunc("day", "ts").alias("day"),
         F.floor(F.col("value") / 50).cast("int").alias("value_bucket"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e9_retention_cohort",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS act_week
+      FROM events e)
+    SELECT c.cohort_week,
+           CAST(datediff('day', c.cohort_week, a.act_week) / 7 AS BIGINT)
+             AS week_offset,
+           count(DISTINCT c.user_id) AS n_active
+    FROM cohort c
+    JOIN activity a ON a.user_id = c.user_id
+    WHERE a.act_week >= c.cohort_week
+    GROUP BY 1, 2
+    """,
+)
+def e9_retention_cohort(spark, sf_dir):
+    """Cohort retention matrix: users grouped by signup week, counted
+    as active in each subsequent week — the classic product-analytics
+    rollup (two aggs + one equi-join, all key-partitioned)."""
+    ev = t(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
