@@ -241,6 +241,15 @@ def copy_table_resumable(
     at-least-once execution is safe — no coordination needed beyond the
     marker (written only after the range's data is durable).
 
+    Range predicates are HALF-OPEN: range i copies
+    ``key >= lo_i AND key < lo_{i+1}`` (the last range is inclusive of
+    its hi). The planned (lo, hi) bucket bounds come from ntile min/max,
+    so with duplicate key values spanning a bucket boundary the inclusive
+    bounds of adjacent ranges would overlap and copy those rows twice;
+    deriving each upper bound from the NEXT range's lo makes the ranges
+    a partition of the key space for any key distribution — no
+    unique-key precondition.
+
     ``fail_after=k`` aborts after k ranges to let tests exercise the
     resume path. Returns the re-read of the completed target.
     """
@@ -255,8 +264,12 @@ def copy_table_resumable(
             continue
         if fail_after is not None and done >= fail_after:
             raise SimulatedFailure(f"injected failure before range {i}")
+        if i + 1 < len(ranges):
+            pred = (F.col(key) >= lo) & (F.col(key) < ranges[i + 1][0])
+        else:
+            pred = (F.col(key) >= lo) & (F.col(key) <= hi)
         (
-            src.filter((F.col(key) >= lo) & (F.col(key) <= hi))
+            src.filter(pred)
             .write.mode("overwrite")
             .parquet(os.path.join(table_dir, f"range={i}"))
         )

@@ -82,7 +82,7 @@ def e2_sliding(spark, sf_dir):
     "e3_session",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id)
                          >= INTERVAL '30 minutes'
@@ -93,7 +93,10 @@ def e2_sliding(spark, sf_dir):
     ),
     numbered AS (
         SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               -- event_id tie-break keeps the running sum deterministic
+               -- when duplicate (user_id, ts) rows straddle a boundary
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )

@@ -48,7 +48,10 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Driver heap: 16g default leaves headroom inside the 128 GiB
+        # sandbox for the 32 local executor threads that share this JVM;
+        # raise via $SPARK_GRAFT_DRIVER_MEM only for driver-heavy runs
+        # (broadcast corpus builds), never past ~half the box.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
