@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -151,16 +151,29 @@ def copy_table_partitioned(
 def range_split_counts(df: DataFrame, key: str, n_splits: int = 16) -> DataFrame:
     """Token-range split math (A5): rows per contiguous key range.
 
-    The testable form of the connector's token-range planning: ntile(n)
-    over the key orders rows into n contiguous, near-equal ranges and
-    reports each range's row count and key bounds — the exact manifest a
-    resumable migrator persists (A9). At 100 TB the global-sort window
-    is replaced by ``repartitionByRange`` (sampled boundaries, no global
-    sort); the per-range accounting below is unchanged.
+    The testable form of the connector's token-range planning: rows are
+    ordered by key into n contiguous, near-equal ranges; each range
+    reports its row count and key bounds — the exact manifest a
+    resumable migrator persists (A9). The bucket assignment is SQL
+    ``ntile`` semantics, computed WITHOUT a global single-reducer
+    window: the two-phase distributed rank (``repartitionByRange`` →
+    partition-local numbering → broadcast prefix offsets,
+    ``operators/rank.py``) yields the exact global row number, and
+    ntile is closed-form over (row_number, N). A5 is the op whose whole
+    point is scale-out planning, so its own plan must scale too.
+    Deterministic whenever ``key`` is totally ordered (duplicate keys
+    make any engine's ntile bucket-boundary assignment arbitrary).
     """
-    w = Window.orderBy(F.col(key))
+    from .rank import ntile_from_rn, with_global_row_number
+
+    ranked = with_global_row_number(
+        df.select(F.col(key)), [F.col(key).asc()], "__rn", total_col="__n"
+    )
     return (
-        df.select(F.col(key), F.ntile(n_splits).over(w).alias("bucket"))
+        ranked.select(
+            F.col(key),
+            ntile_from_rn(F.col("__rn"), F.col("__n"), n_splits).alias("bucket"),
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -1,0 +1,126 @@
+"""Two-phase global ranking without a single-reducer window.
+
+``Window.orderBy(...)`` with no partition spec pulls the whole table
+through ONE task ("WindowExec: No Partition Defined") — correct but a
+scale-killer: at 100 TB that reducer is the job. The classic distributed
+rewrite computes the same global ``row_number`` in three shuffle-light
+steps, all of them parallel:
+
+  1. range-partition the rows on the sort key(s)
+     (``repartitionByRange`` — sampled boundaries, no global sort),
+  2. number rows LOCALLY inside each range partition
+     (window partitioned by the physical partition id → P parallel
+     sorts of ~n/P rows each),
+  3. offset each partition's local numbers by the total row count of
+     all partitions before it (prefix sums over P tiny count rows,
+     joined back via broadcast).
+
+The partition id must be consistent between the counting pass and the
+numbering pass, so the range-partitioned frame is materialized once via
+``localCheckpoint`` (at cluster scale: ``persist()`` / reliable
+checkpoint — one materialization versus one single-task sort is the
+whole trade, and it wins as soon as the table outgrows one executor).
+
+Prefix sums are computed with a triangular self-join over the P count
+rows rather than an ORDER BY window so that NO unpartitioned window
+appears anywhere in the plan (P² is at most a few thousand cells).
+
+Derived distribution functions (percent_rank / cume_dist / ntile) are
+closed-form over (rn, N) when the ordering is total (unique tie-break,
+which every registry query guarantees — SURVEY.md §5.4):
+
+  percent_rank = (rn - 1) / (N - 1)
+  cume_dist    = rn / N
+  ntile(k)     = first r buckets get q+1 rows, rest q, where
+                 q = N div k, r = N mod k   (SQL-standard fill order)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__gr_pid"
+_LRN = "__gr_lrn"
+_OFS = "__gr_ofs"
+_TOT = "__gr_total"
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    rn_col: str = "rn",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``rn_col`` = global 1-based row number under ``order_cols``.
+
+    ``order_cols`` are sort expressions (``F.col(...).desc()`` etc.) and
+    must form a total order for the numbering to be deterministic.
+    With ``total_col`` set, also attaches the constant total row count N
+    (needed by percent_rank/cume_dist/ntile rewrites) — derived from the
+    same per-partition counts, no extra pass.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__gr_cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(b, F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(
+            F.coalesce(F.sum("b.__gr_cnt"), F.lit(0)).cast("bigint").alias(_OFS),
+            (F.first(f"a.__gr_cnt") + F.coalesce(F.sum("b.__gr_cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("__gr_cum"),
+        )
+    )
+    if total_col is not None:
+        total = offsets.agg(F.max("__gr_cum").cast("bigint").alias(_TOT))
+        offsets = offsets.crossJoin(F.broadcast(total))
+    local = ranged.withColumn(
+        _LRN, F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols))
+    )
+    keep = [_PID, _OFS] + ([_TOT] if total_col is not None else [])
+    out = local.join(F.broadcast(offsets.select(*keep)), _PID).withColumn(
+        rn_col, (F.col(_OFS) + F.col(_LRN)).cast("bigint")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col(_TOT))
+    return out.drop(_PID, _LRN, _OFS, _TOT)
+
+
+def ntile_from_rn(rn: Column, total: Column, k: int) -> Column:
+    """SQL-standard ntile(k) from a total-order row number: the first
+    ``N mod k`` buckets take ``N div k + 1`` rows, the rest ``N div k``.
+    Pure arithmetic — no window, identical to Spark's and DuckDB's
+    ``ntile`` whenever the underlying ordering is total."""
+    q = F.floor(total / k)
+    r = total % k
+    big = q + 1  # rows per bucket in the first r buckets
+    head = (rn - 1 < big * r)
+    return (
+        F.when(head, F.floor((rn - 1) / big))
+        .otherwise(r + F.floor((rn - 1 - big * r) / q))
+        .cast("int")
+        + 1
+    )
+
+
+def percent_rank_from_rn(rn: Column, total: Column) -> Column:
+    """percent_rank over a total order: (rn-1)/(N-1); 0.0 when N=1."""
+    return F.when(total == 1, F.lit(0.0)).otherwise(
+        (rn - 1).cast("double") / (total - 1).cast("double")
+    )
+
+
+def cume_dist_from_rn(rn: Column, total: Column) -> Column:
+    """cume_dist over a total order: rn/N (every prefix is unique)."""
+    return rn.cast("double") / total.cast("double")

@@ -535,11 +535,14 @@ def b20_sort_multikey(spark, sf_dir):
     """Multi-key sort with mixed direction + explicit null placement.
 
     The t2 hash is order-insensitive, so the sort is PROVEN by
-    materializing the global position as ``sort_pos`` (row_number over
-    the same ordering). orderBy itself is also applied so the physical
-    plan contains the global Sort.
+    materializing the global position as ``sort_pos`` — computed with
+    the two-phase distributed rank (range partition → local row_number
+    → broadcast prefix offsets, ``operators/rank.py``), NOT an
+    unpartitioned window: same numbers, no single-reducer sort, so the
+    shape survives 100×. orderBy itself is also applied so the physical
+    plan contains the (sampled, parallel) global Sort.
     """
-    from pyspark.sql import Window
+    from ..operators.rank import with_global_row_number
 
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -551,8 +554,7 @@ def b20_sort_multikey(spark, sf_dir):
         F.col("status_nullable").asc_nulls_first(),
         F.col("o_orderkey").asc(),
     ]
-    w = Window.orderBy(*order)
-    return o.withColumn("sort_pos", F.row_number().over(w)).orderBy(*order)
+    return with_global_row_number(o, order, "sort_pos").orderBy(*order)
 
 
 # --------------------------------------------------------------------------

@@ -411,17 +411,32 @@ def c15_running_total(spark, sf_dir):
 def c16_ntile_pctrank(spark, sf_dir):
     """Distribution functions over a unique global ordering.
 
-    Scale note: a global (unpartitioned) window is a single-reducer sort
-    — acceptable for ranking reports, not for per-row 100-TB transforms;
-    the partitioned windows above are the scale path.
+    ntile/percent_rank/cume_dist are closed-form over (row_number, N)
+    when the ordering is total, so instead of the textbook
+    single-reducer unpartitioned window this uses the two-phase
+    distributed rank (``operators/rank.py``) and derives all three
+    functions arithmetically — identical values, every stage parallel.
     """
-    o = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    from ..operators.rank import (
+        cume_dist_from_rn,
+        ntile_from_rn,
+        percent_rank_from_rn,
+        with_global_row_number,
+    )
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = with_global_row_number(
+        o,
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        "rn",
+        total_col="n_total",
+    )
+    rn, n = F.col("rn"), F.col("n_total")
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        r6(F.percent_rank().over(w)).alias("pct_rank"),
-        r6(F.cume_dist().over(w)).alias("cume_d"),
+        ntile_from_rn(rn, n, 4).alias("quartile"),
+        r6(percent_rank_from_rn(rn, n)).alias("pct_rank"),
+        r6(cume_dist_from_rn(rn, n)).alias("cume_d"),
     )
 
 

@@ -290,15 +290,25 @@ def f6_centroid_knn(spark, sf_dir):
     """,
 )
 def f7_tokenize_wordcount(spark, sf_dir):
-    """Top-50 corpus tokens (count desc, alphabetical tie-break)."""
-    docs = t(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    """Top-50 corpus tokens (count desc, alphabetical tie-break).
 
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    The top-k is ``orderBy().limit(50)`` — Spark plans
+    TakeOrderedAndProject (per-partition top-k, then merge; no global
+    sort of the vocabulary) — and ranks are assigned afterwards over
+    the surviving 50 rows with a windowless triangular join
+    (rank = 1 + count of rows sorting strictly before), so no
+    unpartitioned window exists at any scale."""
+    docs = t(spark, sf_dir, "documents")
+    order = [F.col("n").desc(), F.col("token").asc()]
+    top = tx.word_counts(docs).orderBy(*order).limit(50)
+    a, b = top.alias("a"), top.alias("b")
+    before = (F.col("b.n") > F.col("a.n")) | (
+        (F.col("b.n") == F.col("a.n")) & (F.col("b.token") < F.col("a.token"))
+    )
     return (
-        tx.word_counts(docs)
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 50)
+        a.join(F.broadcast(b), before, "left")
+        .groupBy(F.col("a.token").alias("token"), F.col("a.n").alias("n"))
+        .agg((F.count(F.col("b.token")) + 1).cast("bigint").alias("rank"))
     )
 
 

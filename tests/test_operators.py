@@ -237,3 +237,43 @@ def test_neardup_clusters_consistency(spark):
         members[c].append(d)
     for c, ds in members.items():
         assert c == min(ds)
+
+
+def test_two_phase_rank_matches_window_functions(spark):
+    """operators/rank.py closed-form ntile/percent_rank/cume_dist must
+    equal Spark's own window functions on a total order, across Ns that
+    exercise the uneven-bucket arithmetic (N mod k != 0) and k > N."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators.rank import (
+        cume_dist_from_rn,
+        ntile_from_rn,
+        percent_rank_from_rn,
+        with_global_row_number,
+    )
+
+    for n, k in [(103, 4), (100, 7), (5, 8), (1, 3)]:
+        df = spark.range(n).select(
+            (F.col("id") * 37 % n).alias("key"), F.col("id").alias("uid")
+        )
+        order = [F.col("key").asc(), F.col("uid").asc()]
+        got = with_global_row_number(df, order, "rn", total_col="nt")
+        got = got.select(
+            "uid",
+            F.col("rn"),
+            ntile_from_rn(F.col("rn"), F.col("nt"), k).alias("nt_k"),
+            F.round(percent_rank_from_rn(F.col("rn"), F.col("nt")), 9).alias("pr"),
+            F.round(cume_dist_from_rn(F.col("rn"), F.col("nt")), 9).alias("cd"),
+        )
+        w = Window.orderBy(*order)
+        want = df.select(
+            "uid",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.ntile(k).over(w).alias("nt_k"),
+            F.round(F.percent_rank().over(w), 9).alias("pr"),
+            F.round(F.cume_dist().over(w), 9).alias("cd"),
+        )
+        g = {r.uid: (r.rn, r.nt_k, r.pr, r.cd) for r in got.collect()}
+        e = {r.uid: (r.rn, r.nt_k, r.pr, r.cd) for r in want.collect()}
+        assert g == e, f"mismatch at n={n} k={k}"

@@ -140,6 +140,33 @@ def test_ivf_disk_layout_prunes_to_probed_cells(spark):
     assert df.count() == sum(per_cell[c] for c in probed)
 
 
+def test_global_ranks_use_partitioned_windows(spark):
+    """b20/c16/a5/f7 compute global positions via the two-phase rank
+    (operators/rank.py): every window in their plans must be partitioned
+    (by the range-partition id) — an unpartitioned windowspecdefinition
+    is the single-reducer global sort the rewrite exists to avoid."""
+    import re
+
+    for name in (
+        "b20_sort_multikey",
+        "c16_ntile_pctrank",
+        "a5_range_partition_counts",
+        "f7_tokenize_wordcount",
+    ):
+        plan = physical_plan(q(spark, name))
+        specs_ = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        if name != "f7_tokenize_wordcount":  # f7's rank is windowless
+            assert specs_, f"{name}: no window found (rank rewrite missing?)"
+        for s in specs_:
+            assert "__gr_pid" in s, f"{name}: unpartitioned window: {s}"
+
+
+def test_f7_topk_plans_take_ordered(spark):
+    """f7's vocabulary top-50 must be per-partition top-k + merge, not a
+    global vocabulary sort."""
+    assert_contains(q(spark, "f7_tokenize_wordcount"), "TakeOrderedAndProject")
+
+
 def test_python_paths_use_arrow_nodes(spark):
     """Part G queries must plan their respective Python-exec operators
     (and g2's Arrow path must not degrade to row-at-a-time eval)."""
