@@ -165,6 +165,127 @@ def ivf_cosine_topk(
     )
 
 
+def srp_candidate_pairs(
+    embeddings: DataFrame,
+    n_bands: int = 64,
+    band_bits: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via sign-random-projection (SRP) LSH —
+    the cosine-native banding scheme (Charikar's SimHash for angles).
+
+    Each vector gets ``n_bands`` band keys, every key packing
+    ``band_bits`` sign bits of fixed random projections (deterministic
+    seed → stable across runs/executors, no fitted model to ship).
+    A pair is a candidate iff it collides on at least one (band, key) —
+    a plain equi self-join on the exploded (band, key) postings, so the
+    pair space is Σ bucket², never n².
+
+    Tuning law (θ = angle of a true pair): P(bit match) = 1 − θ/π,
+    P(band match) = p^band_bits, recall = 1 − (1 − p^b)^n_bands.
+    Defaults (64 bands × 16 bits) give recall ≈ 1 − 3e−6 at cos 0.95,
+    ≈ 0.9997 at cos 0.9, degrading toward the 0.8 threshold boundary —
+    the standard LSH contract (same as f3/f5), recall-tested on planted
+    near-dups in tests/test_operators.py. At 100 TB: raise band_bits as
+    n grows (keyspace 2^b bounds bucket sizes; uncorrelated collisions
+    ≈ n_bands·2^−b·n²/2) and raise n_bands to buy recall back; band
+    keys are 16 small ints per row, stored scan-side — no model state.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def hash_bands(batches):
+        proj = None
+        weights = 1 << np.arange(band_bits, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if proj is None:
+                rng = np.random.default_rng(seed)
+                proj = rng.standard_normal((q.shape[1], n_bands * band_bits))
+            bits = ((q @ proj) > 0).astype(np.int64)
+            keys = bits.reshape(len(q), n_bands, band_bits) @ weights
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(q)),
+                    "key": keys.reshape(-1),
+                }
+            )
+
+    bands = embeddings.select(F.col(id_col).alias("id"), "embedding").mapInPandas(
+        hash_bands, "id bigint, band int, key bigint"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            [
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    n_bands: int = 64,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold: SRP-LSH candidate
+    generation + exact rescore — the scalable form of the all-pairs
+    cross join (which materializes n²/2 pairs; at 2×10⁵ vectors that is
+    2×10¹⁰ — the one shape that cannot survive 100×).
+
+    Candidates come from ``srp_candidate_pairs`` (equi-join on band
+    keys); each candidate is then EXACTLY rescored on the original
+    vectors (rounded-6dp cosine, same determinism law as f4), so
+    precision is exact and recall follows the documented SRP law."""
+    cand = srp_candidate_pairs(
+        embeddings, n_bands=n_bands, band_bits=band_bits, id_col=id_col
+    )
+    e = with_double_embedding(embeddings).select(F.col(id_col).alias("id"), "emb")
+    return (
+        cand.join(e.select(F.col("id").alias("id_a"), F.col("emb").alias("ea")), "id_a")
+        .join(e.select(F.col("id").alias("id_b"), F.col("emb").alias("eb")), "id_b")
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_pairs_bruteforce(
+    embeddings: DataFrame, threshold: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """All-pairs exact cosine pairs (crossJoin) — O(n²) ground truth for
+    recall tests of the LSH tier; never the production path."""
+    e = with_double_embedding(embeddings).select(F.col(id_col).alias("id"), "emb")
+    a = e.select(F.col("id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def brp_lsh_neighbors(
     embeddings: DataFrame,
     distance_threshold: float,

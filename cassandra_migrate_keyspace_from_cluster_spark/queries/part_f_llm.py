@@ -216,24 +216,15 @@ def f4_cosine_topk(spark, sf_dir):
 )
 def f4b_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup by semantic
-    similarity): unordered pairs with cosine >= 0.8."""
-    emb = sim.with_double_embedding(t(spark, sf_dir, "embeddings")).select(
-        "vec_id", "emb"
-    )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
-    from ..functions.vector import cosine
+    similarity): unordered pairs with cosine >= 0.8.
 
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.8)
-    )
+    Scalable shape: SRP-LSH band-key candidates + exact rescore
+    (``operators/similarity.py::cosine_neardup_pairs``) — pure
+    equi-joins, no n² pair materialization; exact-equality vs the
+    brute-force all-pairs form and recall on planted near-dups are
+    pytest-asserted (tests/test_operators.py), no-CartesianProduct is
+    plan-asserted (tests/test_plans.py)."""
+    return sim.cosine_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.8)
 
 
 @register("f5_ann_lsh", oracle=None)  # random projections engine-specific

@@ -277,3 +277,60 @@ def test_two_phase_rank_matches_window_functions(spark):
         g = {r.uid: (r.rn, r.nt_k, r.pr, r.cd) for r in got.collect()}
         e = {r.uid: (r.rn, r.nt_k, r.pr, r.cd) for r in want.collect()}
         assert g == e, f"mismatch at n={n} k={k}"
+
+
+def test_srp_neardup_equals_bruteforce(spark):
+    """f4b's LSH-candidates + exact-rescore must return exactly the
+    brute-force all-pairs result. Two regimes: the real embeddings table
+    (no qualifying pairs at 0.8 — both sides must agree on empty) and a
+    lowered threshold where real pairs exist."""
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import similarity as sm
+
+    emb = load_table(spark, SF_T2, "embeddings")
+    # production threshold: exact equality (the sf0.01 corpus has no
+    # qualifying pairs — both tiers must agree on empty, not error)
+    got = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in sm.cosine_neardup_pairs(emb, 0.8).collect()
+    }
+    want = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in sm.cosine_pairs_bruteforce(emb, 0.8).collect()
+    }
+    assert got == want
+    # below the design threshold the SRP recall law <1 applies (that IS
+    # the LSH contract) — but precision must stay exact: every emitted
+    # pair is a true pair with the identical rounded score.
+    got_low = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in sm.cosine_neardup_pairs(emb, 0.45).collect()
+    }
+    want_low = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in sm.cosine_pairs_bruteforce(emb, 0.45).collect()
+    }
+    assert got_low <= want_low, f"false pairs: {sorted(got_low - want_low)[:5]}"
+
+
+def test_srp_neardup_recall_on_planted_dups(spark):
+    """Recall property on data with REAL near-dup structure: plant
+    noisy copies (cos ~0.95+, the regime true duplicates live in) and
+    assert the LSH tier finds the identical pair set brute force finds."""
+    import numpy as np
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import similarity as sm
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((300, 64))
+    rows = [(i, base[i].tolist()) for i in range(300)]
+    # 40 planted near-dups: unit-scale noise at 1/8 amplitude -> cos ~0.96
+    for j in range(40):
+        noisy = base[j] + rng.standard_normal(64) * 0.125 * np.linalg.norm(
+            base[j]
+        ) / 8.0
+        rows.append((1000 + j, noisy.tolist()))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {(r.vec_a, r.vec_b) for r in sm.cosine_neardup_pairs(df, 0.8).collect()}
+    want = {(r.vec_a, r.vec_b) for r in sm.cosine_pairs_bruteforce(df, 0.8).collect()}
+    assert len(want) >= 40  # every planted copy qualifies
+    assert got == want, f"missed: {sorted(want - got)[:5]} extra: {sorted(got - want)[:5]}"

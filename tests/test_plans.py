@@ -173,3 +173,11 @@ def test_python_paths_use_arrow_nodes(spark):
     assert_contains(q(spark, "g2_pandas_udf_scalar"), "ArrowEvalPython")
     assert_contains(q(spark, "g4_grouped_map"), "FlatMapGroupsInPandas")
     assert_contains(q(spark, "g5_map_in_pandas"), "MapInPandas")
+
+
+def test_cosine_neardup_no_cartesian(spark):
+    """f4b must generate candidates via band-key equi-joins — a
+    CartesianProduct/BNLJ is the O(n^2) regression it replaced."""
+    plan = physical_plan(q(spark, "f4b_cosine_neardup"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
