@@ -228,6 +228,93 @@ def neardup_clusters(
     return labels.select(F.col("doc").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 
+def neardup_clusters_star(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating small-star / large-star —
+    the O(log n)-round CC algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"), same input/output contract as
+    ``neardup_clusters``.
+
+    Edges are kept directed big→small. Each round:
+      - LARGE-STAR: per node u over its UNDIRECTED neighborhood Γ(u),
+        m = min(Γ(u) ∪ {u}); rewire every neighbor v > u to m.
+      - SMALL-STAR: per node u over its smaller neighbors S(u) (the
+        directed edge list), m = min(S(u)); rewire every x ∈
+        S(u) ∪ {u}, x ≠ m, to m.
+    Both are one groupBy + one equi-join over the edge list — fully
+    parallel; each round roughly halves the height of every component,
+    so convergence is O(log n) rounds versus the propagation loop's
+    O(diameter) (tests assert the bound on a worst-case path graph).
+    The fixpoint test is (edge count, order-insensitive edge checksum)
+    — one tiny aggregate per round, no edge-set anti-join.
+
+    At convergence components are stars centered at their minimum id:
+    the label read-off is a single left join (docs without any pair stay
+    singleton clusters). Deterministic: min() everywhere, no tie choice.
+    """
+    e = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a bigint sum of ±2^63 hashes can
+            # overflow, which ANSI mode turns into a runtime error
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row.n, row.h
+
+    rounds = 0
+    sig = checksum(e)
+    for _ in range(max_iter):
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        gmin = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        gmin = gmin.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            sym.join(gmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(smin, "u")
+        small = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(joined.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        rounds += 1
+        new_sig = checksum(small)
+        e = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    labels = (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(e.select(F.col("u").alias("doc"), F.col("v").alias("lbl")), "doc", "left")
+        .groupBy("doc")
+        .agg(F.min(F.coalesce("lbl", F.col("doc"))).alias("cluster_id"))
+    )
+    return labels.select(F.col("doc").alias(id_col), "cluster_id")
+
+
 def simhash63(text_col: str = "text") -> F.Column:
     """63-bit SimHash as a single pure column expression (no UDF).
 

@@ -599,3 +599,38 @@ def f21_neardup_clusters(spark, sf_dir):
         docs, blocking=["lang", "source"], threshold=0.6
     )
     return dd.neardup_clusters(docs, pairs)
+
+
+@register(
+    "f21b_neardup_clusters_star",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(a.toks || b.toks)) >= 0.6),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.doc)
+    SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc
+    """,
+)
+def f21b_neardup_clusters_star(spark, sf_dir):
+    """f21's connected components via alternating small-star/large-star
+    (O(log n) rounds — the true 100-TB CC shape) instead of min-label
+    propagation (O(diameter) rounds). Identical labels, same oracle;
+    round-count bound and equality with the propagation loop are
+    pytest-asserted (tests/test_operators.py)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs_postings(
+        docs, blocking=["lang", "source"], threshold=0.6
+    )
+    return dd.neardup_clusters_star(docs, pairs)

@@ -334,3 +334,36 @@ def test_srp_neardup_recall_on_planted_dups(spark):
     want = {(r.vec_a, r.vec_b) for r in sm.cosine_pairs_bruteforce(df, 0.8).collect()}
     assert len(want) >= 40  # every planted copy qualifies
     assert got == want, f"missed: {sorted(want - got)[:5]} extra: {sorted(got - want)[:5]}"
+
+
+def test_star_cc_equals_propagation(spark):
+    """Small-star/large-star CC must produce the identical labeling as
+    the min-label propagation loop on the real sf0.01 pair graph."""
+    docs = load_table(spark, SF_T2, "documents")
+    pairs = dd.jaccard_pairs_postings(docs, ["lang", "source"], 0.6)
+    a = {(r.doc_id, r.cluster_id) for r in dd.neardup_clusters(docs, pairs).collect()}
+    b = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.neardup_clusters_star(docs, pairs).collect()
+    }
+    assert a == b
+
+
+def test_star_cc_logarithmic_rounds_on_path_graph(spark):
+    """Worst case for label propagation: a path of n nodes needs
+    O(n) propagation rounds, but small-star/large-star must converge in
+    O(log n). Assert the bound (2*log2(n)+4) on a 128-node path and
+    that the labeling is the single full-path component."""
+    import math
+
+    n = 128
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    stats = {}
+    labels = dd.neardup_clusters_star(docs, pairs, stats=stats)
+    got = {(r.doc_id, r.cluster_id) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
+    bound = 2 * int(math.log2(n)) + 4
+    assert stats["rounds"] <= bound, f"{stats['rounds']} rounds > {bound}"
