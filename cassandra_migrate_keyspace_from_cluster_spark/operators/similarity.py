@@ -92,6 +92,95 @@ def cosine_topk(
     )
 
 
+def cosine_topk_chunked(
+    embeddings: DataFrame,
+    k: int = 5,
+    chunk_size: int = 100_000,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors when the corpus outgrows ONE
+    broadcast — the documented fallback tier between ``cosine_topk``
+    (single broadcast) and the approximate LSH/IVF tiers.
+
+    The corpus is blocked into ``ceil(n / chunk_size)`` chunks; each
+    chunk runs the same shuffle-free broadcast-matmul pass as f4
+    (queries stay a distributed scan, chunk rides a broadcast), keeping
+    per-executor memory at O(chunk_size · d) instead of O(n · d). The
+    per-chunk top-k candidates (k rows per query per chunk) then merge
+    with a window partitioned by query_id — the only shuffle, over
+    n_queries · k · n_chunks candidate rows, not n² scores. Global
+    top-k ⊆ union of per-chunk top-k, so the result is EXACT; identical
+    ranking law as f4 (6dp-rounded score, neighbor-id tie-break) —
+    hash-equality with f4 is pytest-asserted across chunk sizes.
+
+    Each chunk is its own broadcast variable. At this test scale the
+    chunk branches are planned as one DAG; the true 100-TB form runs
+    the loop pass-at-a-time (materialize per-chunk candidates, then
+    ``bc.unpersist()`` before the next chunk) off a bucketed corpus
+    layout (each chunk = one bucket read, not a driver collect), so
+    peak executor memory stays one chunk regardless of corpus size.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    corpus = embeddings.select(F.col(id_col).alias("id"), "embedding").toPandas()
+    c_ids = corpus["id"].to_numpy(dtype=np.int64)
+    c_mat = np.vstack(corpus["embedding"].to_numpy()).astype(np.float64)
+    c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    n = len(c_ids)
+    n_chunks = max(1, math.ceil(n / chunk_size))
+    spark = embeddings.sparkSession
+    queries = embeddings.select(F.col(id_col).alias("id"), "embedding")
+    out_schema = "query_id bigint, neighbor_id bigint, cos_sim double"
+
+    parts = []
+    for ci in range(n_chunks):
+        lo, hi = ci * chunk_size, min((ci + 1) * chunk_size, n)
+        bc = spark.sparkContext.broadcast((c_ids[lo:hi], c_norm[lo:hi]))
+
+        def chunk_topk(batches, _bc=bc):
+            ids_c, nmat_c = _bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q_ids = pdf["id"].to_numpy(dtype=np.int64)
+                q_mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+                sims = np.round(q_norm @ nmat_c.T, 6)
+                kk = min(k, len(ids_c))
+                rows = []
+                for i in range(len(q_ids)):
+                    row = np.where(ids_c == q_ids[i], -np.inf, sims[i])
+                    order = np.lexsort((ids_c, -row))[:kk]
+                    keep = order[np.isfinite(row[order])]
+                    rows.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": q_ids[i],
+                                "neighbor_id": ids_c[keep],
+                                "cos_sim": row[keep],
+                            }
+                        )
+                    )
+                if rows:
+                    yield pd.concat(rows, ignore_index=True)
+
+        parts.append(queries.mapInPandas(chunk_topk, out_schema))
+
+    from functools import reduce
+
+    cand = reduce(lambda a, b: a.unionAll(b), parts)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_cosine_topk(
     embeddings: DataFrame,
     k: int = 5,

@@ -203,6 +203,35 @@ def f4_cosine_topk(spark, sf_dir):
 
 
 @register(
+    "f4c_cosine_topk_chunked",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6) DESC,
+                        b.vec_id) AS BIGINT) AS rank
+      FROM e a JOIN e b ON a.vec_id != b.vec_id)
+    WHERE rank <= 5
+    """,
+)
+def f4c_cosine_topk_chunked(spark, sf_dir):
+    """f4's exact top-k with the corpus blocked into broadcastable
+    chunks (per-chunk matmul top-k → per-query merge) — the exact tier
+    that survives a corpus too big for one broadcast. chunk_size=200
+    forces multiple chunks even at sf0.01 so the merge path is what the
+    oracle actually checks."""
+    return sim.cosine_topk_chunked(
+        t(spark, sf_dir, "embeddings"), k=5, chunk_size=200
+    ).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+@register(
     "f4b_cosine_neardup",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

@@ -367,3 +367,20 @@ def test_star_cc_logarithmic_rounds_on_path_graph(spark):
     assert got == {(i, 0) for i in range(n)}
     bound = 2 * int(math.log2(n)) + 4
     assert stats["rounds"] <= bound, f"{stats['rounds']} rounds > {bound}"
+
+
+def test_chunked_cosine_equals_single_broadcast(spark):
+    """The chunked exact tier must be value-identical to f4's single
+    broadcast across chunk sizes: many chunks, uneven last chunk, and
+    one degenerate covers-everything chunk."""
+    emb = load_table(spark, SF_T2, "embeddings")
+    want = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in sim.cosine_topk(emb, k=5).collect()
+    }
+    for chunk in (64, 150, 10_000):
+        got = {
+            (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+            for r in sim.cosine_topk_chunked(emb, k=5, chunk_size=chunk).collect()
+        }
+        assert got == want, f"chunk_size={chunk} diverges from f4"
