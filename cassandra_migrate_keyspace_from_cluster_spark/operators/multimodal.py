@@ -5,12 +5,16 @@ metadata (mime, byte length); decode / feature-extraction runs as
 Arrow-batched ``mapInPandas`` so the heavy per-item work is vectorized
 per partition and never leaves executor memory as Python rows.
 
-The image/audio libraries are not in this container, so the real
-decoders are STUBS (clearly marked, raise NotImplementedError). What IS
-real and tested: the Spark-side plumbing — binary encoding, schema,
-partitioning, the mapInPandas batch iterator shape — plus a
-deterministic fake feature extractor that the DuckDB oracle reproduces,
-so the whole path is hash-checked end-to-end (f17).
+AUDIO is decoded for real: a pure-python RIFF/WAVE PCM16 codec
+(encode_wav_pcm16 / decode_wav_pcm16 — no media lib needed) feeds
+per-payload waveform features through the same mapInPandas path, and
+the DuckDB oracle recomputes the features from the deterministic
+generative formula (f17b) — so binary decode is hash-checked
+end-to-end. Image/video decoders remain STUBS (Pillow/ffmpeg are not
+in this container; clearly marked, raise NotImplementedError); their
+plumbing — binary encoding, schema, partitioning, batch iterator
+shape — is the same tested path, exercised with a deterministic fake
+feature extractor (f17).
 """
 
 from __future__ import annotations
@@ -67,7 +71,139 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-# --- real decoders: stubs until the media libs are available ------------
+# --- audio: REAL pure-python PCM16 WAV codec ----------------------------
+#
+# RIFF/WAVE needs no media library — the container format is a short
+# chunk walk and PCM16 samples are a numpy frombuffer. This makes the
+# audio branch of the multimodal path genuinely real end-to-end:
+# synthesize → encode (bytes) → Spark binary column → mapInPandas
+# decode → per-payload waveform features, oracle-checked (f17b).
+
+
+def encode_wav_pcm16(samples, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Encode int16 samples into a standard RIFF/WAVE (PCM16) payload.
+
+    ``samples`` is any int sequence (interleaved if multi-channel);
+    values must fit int16. Pure python/struct — no audio lib."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate,
+        block_align, 16,
+    )
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    if len(pcm) % 2:  # RIFF chunks are word-aligned
+        data += b"\x00"
+    body = b"WAVE" + fmt + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes):
+    """Decode a RIFF/WAVE PCM16 payload → (sample_rate, n_channels,
+    samples ndarray int16, interleaved). Walks the chunk list (any
+    chunk order, word-aligned sizes), validating the PCM16 format —
+    a real parser, not a fixture-shaped shortcut."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    sample_rate = n_channels = None
+    pcm = None
+    while pos + 8 <= min(end, len(payload)):
+        cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_channels, sample_rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size % 2)  # skip pad byte on odd sizes
+    if sample_rate is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    return sample_rate, n_channels, np.frombuffer(pcm, dtype="<i2")
+
+
+WAV_FEATURE_SCHEMA = (
+    "doc_id bigint, sample_rate bigint, n_samples bigint, "
+    "mean_amp double, rms double, peak bigint"
+)
+
+
+def attach_wav_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic PCM16 WAV payload per doc (binary
+    column): n = 64 + doc_id % 64 samples of
+    s_i = ((doc_id·31 + i·17) mod 2003) − 1001 at a rate of
+    8000 + (doc_id % 4)·4000 Hz. Integer-only generation so the DuckDB
+    oracle reproduces the exact waveform arithmetically — the payload
+    bytes themselves only exist Spark-side and must round-trip through
+    the REAL codec for f17b to hash-match."""
+    import numpy as np
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 64 + doc_id % 64
+                i = np.arange(n, dtype=np.int64)
+                s = (doc_id * 31 + i * 17) % 2003 - 1001
+                rate = 8000 + (doc_id % 4) * 4000
+                payloads.append(encode_wav_pcm16(s, int(rate)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id bigint, payload binary, mime string"
+    )
+
+
+def extract_wav_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of WAV payloads → waveform features
+    (rate/length from the parsed header, mean/rms/peak from the PCM
+    samples). Same execution shape as extract_features: one narrow
+    mapInPandas stage, payload bytes never leave the executor."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rates, lens, means, rmss, peaks = [], [], [], [], []
+            for payload in pdf["payload"]:
+                rate, _ch, s = decode_wav_pcm16(bytes(payload))
+                x = s.astype(np.float64)
+                rates.append(rate)
+                lens.append(len(s))
+                means.append(round(float(x.mean()), 6))
+                rmss.append(round(float(np.sqrt((x * x).mean())), 6))
+                peaks.append(int(np.abs(s).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(rates, dtype="int64"),
+                    "n_samples": pd.Series(lens, dtype="int64"),
+                    "mean_amp": pd.Series(means, dtype="float64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=WAV_FEATURE_SCHEMA)
+
+
+# --- image/video decoders: stubs until the media libs are available -----
 
 
 def decode_image(payload: bytes, mime: str):  # pragma: no cover - stub
@@ -81,8 +217,3 @@ def decode_image(payload: bytes, mime: str):  # pragma: no cover - stub
 def sample_video_frames(payload: bytes, every_n: int = 30):  # pragma: no cover
     """STUB: frame sampling (needs pyav/ffmpeg)."""
     raise NotImplementedError("video decode requires pyav/ffmpeg")
-
-
-def decode_audio(payload: bytes):  # pragma: no cover - stub
-    """STUB: audio to waveform (needs soundfile/librosa)."""
-    raise NotImplementedError("audio decode requires soundfile/librosa")

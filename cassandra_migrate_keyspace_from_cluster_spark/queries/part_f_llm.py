@@ -567,6 +567,36 @@ def f17_multimodal_features(spark, sf_dir):
 
 
 @register(
+    "f17b_wav_decode_features",
+    oracle="""
+    WITH params AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+    samples AS (
+      SELECT p.doc_id, ((p.doc_id*31 + g.i*17) % 2003) - 1001 AS s
+      FROM params p,
+           LATERAL (SELECT unnest(generate_series(0, p.n - 1)) AS i) g
+    )
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+           count(*) AS n_samples,
+           round(avg(s), 6) AS mean_amp,
+           round(sqrt(avg(s*s)), 6) AS rms,
+           max(abs(s)) AS peak
+    FROM samples GROUP BY doc_id
+    """,
+)
+def f17b_wav_decode_features(spark, sf_dir):
+    """REAL multimodal decode end-to-end: per-doc PCM16 WAV payloads
+    (deterministic integer waveform, encoded with the pure-python RIFF
+    codec) ride a binary column; mapInPandas PARSES the container —
+    chunk walk, fmt validation, sample extraction — and emits waveform
+    features. The oracle recomputes the features from the generative
+    formula, so any bit error in encode or decode breaks the hash.
+    Sample rate comes from the parsed header, not the formula."""
+    docs = t(spark, sf_dir, "documents")
+    return mm.extract_wav_features(mm.attach_wav_payload(docs))
+
+
+@register(
     "f20_stratified_sample",
     oracle="""
     WITH h AS (

@@ -384,3 +384,26 @@ def test_chunked_cosine_equals_single_broadcast(spark):
             for r in sim.cosine_topk_chunked(emb, k=5, chunk_size=chunk).collect()
         }
         assert got == want, f"chunk_size={chunk} diverges from f4"
+
+
+def test_wav_codec_roundtrip():
+    """Pure-python WAV codec: encode→decode is identity for mono and
+    stereo, odd/even sample counts (pad-byte path), varied rates."""
+    import numpy as np
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    for n, ch, rate in [(7, 1, 8000), (64, 1, 44100), (10, 2, 16000), (1, 1, 12000)]:
+        s = rng.integers(-32768, 32767, size=n * ch, dtype=np.int16)
+        payload = mm.encode_wav_pcm16(s, rate, n_channels=ch)
+        r_rate, r_ch, r_s = mm.decode_wav_pcm16(payload)
+        assert (r_rate, r_ch) == (rate, ch)
+        assert np.array_equal(r_s, s)
+    # malformed payloads must be rejected, not mis-parsed
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.decode_wav_pcm16(b"RIFFxxxxJUNK")
+    with pytest.raises(ValueError):
+        mm.decode_wav_pcm16(b"\x00" * 40)
