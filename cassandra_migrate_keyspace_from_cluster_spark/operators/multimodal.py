@@ -5,13 +5,14 @@ metadata (mime, byte length); decode / feature-extraction runs as
 Arrow-batched ``mapInPandas`` so the heavy per-item work is vectorized
 per partition and never leaves executor memory as Python rows.
 
-AUDIO is decoded for real: a pure-python RIFF/WAVE PCM16 codec
-(encode_wav_pcm16 / decode_wav_pcm16 — no media lib needed) feeds
-per-payload waveform features through the same mapInPandas path, and
-the DuckDB oracle recomputes the features from the deterministic
-generative formula (f17b) — so binary decode is hash-checked
-end-to-end. Image/video decoders remain STUBS (Pillow/ffmpeg are not
-in this container; clearly marked, raise NotImplementedError); their
+AUDIO and IMAGE decode for real: a pure-python RIFF/WAVE PCM16 codec
+(encode_wav_pcm16 / decode_wav_pcm16) and a pure-python uncompressed
+24-bit BMP codec (encode_bmp_24 / decode_bmp_24) — no media lib needed
+— feed per-payload features through the same mapInPandas path, and the
+DuckDB oracle recomputes the features from the deterministic
+generative formulas (f17b audio, f17c image), so binary decode is
+hash-checked end-to-end. Compressed-image and video decoders remain
+STUBS (Pillow/ffmpeg are not in this container; clearly marked); their
 plumbing — binary encoding, schema, partitioning, batch iterator
 shape — is the same tested path, exercised with a deterministic fake
 feature extractor (f17).
@@ -203,14 +204,149 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=WAV_FEATURE_SCHEMA)
 
 
-# --- image/video decoders: stubs until the media libs are available -----
+# --- image: REAL pure-python 24-bit BMP codec ---------------------------
+#
+# Uncompressed 24-bit BMP (BITMAPINFOHEADER) is a fixed header + padded
+# bottom-up BGR rows — parseable with struct/numpy alone, making the
+# image branch of the multimodal path real end-to-end (f17c), exactly
+# like the WAV audio branch above. Compressed formats (png/jpeg) still
+# need Pillow — see decode_image below.
+
+
+def encode_bmp_24(pixels) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as an uncompressed 24-bit BMP
+    (bottom-up rows, BGR byte order, rows padded to 4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    rgb = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    row_len = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = rgb[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows.append(row + b"\x00" * (row_len - len(row)))
+    data = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return header + info + data
+
+
+def decode_bmp_24(payload: bytes):
+    """Decode an uncompressed 24-bit BMP → HxWx3 uint8 RGB array.
+    Validates magic/bpp/compression, honors the pixel-array offset,
+    row padding, and both bottom-up (h>0) and top-down (h<0) layouts —
+    a real parser, not a fixture-shaped shortcut."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    hdr_size, w, h = struct.unpack("<Iii", payload[14:26])
+    planes, bpp, compression = struct.unpack("<HHI", payload[26:34])
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_len = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_len * h, offset=data_offset)
+    rows = raw.reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+BMP_FEATURE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def attach_bmp_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic 24-bit BMP payload per doc (binary
+    column): a (6 + doc_id % 7) × (8 + doc_id % 9) image with
+    r=(doc_id+3x+5y)%256, g=(2·doc_id+7x+y)%256, b=(5·doc_id+x+11y)%256
+    — integer-only so the DuckDB oracle reproduces the channel means
+    arithmetically while the bytes must round-trip the REAL codec."""
+    import numpy as np
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = 8 + doc_id % 9
+                h = 6 + doc_id % 7
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                img = np.stack(
+                    [
+                        (doc_id + 3 * x + 5 * y) % 256,
+                        (2 * doc_id + 7 * x + y) % 256,
+                        (5 * doc_id + x + 11 * y) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_bmp_24(img))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/bmp",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id bigint, payload binary, mime string"
+    )
+
+
+def extract_bmp_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of BMP payloads → image features
+    (dimensions from the parsed header, per-channel means from the
+    pixel array). Same narrow mapInPandas shape as the other branches."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, mr, mg, mb = [], [], [], [], []
+            for payload in pdf["payload"]:
+                img = decode_bmp_24(bytes(payload))
+                h, w, _ = img.shape
+                x = img.astype(np.float64)
+                ws.append(w)
+                hs.append(h)
+                mr.append(round(float(x[:, :, 0].mean()), 6))
+                mg.append(round(float(x[:, :, 1].mean()), 6))
+                mb.append(round(float(x[:, :, 2].mean()), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "mean_r": pd.Series(mr, dtype="float64"),
+                    "mean_g": pd.Series(mg, dtype="float64"),
+                    "mean_b": pd.Series(mb, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=BMP_FEATURE_SCHEMA)
+
+
+# --- compressed-image/video decoders: stubs (libs not in container) -----
 
 
 def decode_image(payload: bytes, mime: str):  # pragma: no cover - stub
-    """STUB: decode an image payload to HxWxC array (needs Pillow)."""
+    """Decode an image payload to an HxWxC array. Uncompressed 24-bit
+    BMP decodes for real via ``decode_bmp_24``; compressed formats
+    (png/jpeg) need Pillow, which is not in this container."""
+    if payload[:2] == b"BM":
+        return decode_bmp_24(payload)
     raise NotImplementedError(
-        "image decode requires Pillow/opencv, not present in this "
-        "container; wire it into extract_features' batch loop"
+        "compressed image decode requires Pillow/opencv, not present in "
+        "this container; wire it into extract_features' batch loop"
     )
 
 

@@ -597,6 +597,38 @@ def f17b_wav_decode_features(spark, sf_dir):
 
 
 @register(
+    "f17c_bmp_decode_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+      FROM documents),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, gx.x, gy.y
+      FROM params p,
+           LATERAL (SELECT unnest(generate_series(0, p.w - 1)) AS x) gx,
+           LATERAL (SELECT unnest(generate_series(0, p.h - 1)) AS y) gy)
+    SELECT doc_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           round(avg((doc_id + 3*x + 5*y) % 256), 6) AS mean_r,
+           round(avg((2*doc_id + 7*x + y) % 256), 6) AS mean_g,
+           round(avg((5*doc_id + x + 11*y) % 256), 6) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def f17c_bmp_decode_features(spark, sf_dir):
+    """REAL image decode end-to-end: per-doc uncompressed 24-bit BMP
+    payloads (deterministic integer pixel pattern, encoded with the
+    pure-python codec) ride a binary column; mapInPandas PARSES the
+    container — header validation, bottom-up padded rows, BGR order —
+    and emits dimensions + per-channel means. The oracle recomputes the
+    features from the generative formula, so any bit error in encode or
+    decode breaks the hash. Dimensions come from the parsed header."""
+    docs = t(spark, sf_dir, "documents")
+    return mm.extract_bmp_features(mm.attach_bmp_payload(docs))
+
+
+@register(
     "f20_stratified_sample",
     oracle="""
     WITH h AS (

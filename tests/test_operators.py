@@ -407,3 +407,29 @@ def test_wav_codec_roundtrip():
         mm.decode_wav_pcm16(b"RIFFxxxxJUNK")
     with pytest.raises(ValueError):
         mm.decode_wav_pcm16(b"\x00" * 40)
+
+
+def test_bmp_codec_roundtrip():
+    """Pure-python BMP codec: encode→decode is identity across widths
+    that exercise every row-padding remainder (w*3 mod 4)."""
+    import numpy as np
+    import pytest
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (2, 3), (3, 2), (4, 5), (5, 4), (8, 6), (13, 7)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = mm.encode_bmp_24(img)
+        back = mm.decode_bmp_24(payload)
+        assert back.shape == (h, w, 3)
+        assert np.array_equal(back, img), (w, h)
+    with pytest.raises(ValueError):
+        mm.decode_bmp_24(b"JUNK" + b"\x00" * 60)
+    # top-down layout (negative height) must also decode
+    import struct
+
+    img = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    p = bytearray(mm.encode_bmp_24(img[::-1]))  # stored rows become top-down
+    p[22:26] = struct.pack("<i", -3)
+    assert np.array_equal(mm.decode_bmp_24(bytes(p)), img[::-1][::-1])
