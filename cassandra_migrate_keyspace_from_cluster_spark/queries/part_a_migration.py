@@ -177,6 +177,39 @@ def a9_resumable_copy(spark, sf_dir):
     )
 
 
+class _FakeClock:
+    """Deterministic clock for the a10 query: sleeping advances virtual
+    time instantly, so the pacing CONTROL FLOW runs for real (the exact
+    schedule is asserted in tests/test_migrate.py) without wall-clock
+    cost in the correctness harness."""
+
+    def __init__(self):
+        self.t = 0.0
+        self.slept = []
+
+    def now(self):
+        return self.t
+
+    def sleep(self, seconds):
+        self.slept.append(seconds)
+        self.t += seconds
+
+
+@register("a10_throttled_copy", oracle="SELECT * FROM orders")
+def a10_throttled_copy(spark, sf_dir):
+    """Rate-limited range-by-range copy (A10): the per-range loop paces
+    itself to a rows/second budget before submitting each range —
+    source-cluster protection made executable. Runs against the
+    injectable clock (deterministic; the sleep schedule itself is
+    asserted in tests/test_migrate.py); hash-match proves throttling
+    changes WHEN ranges copy, never WHAT arrives."""
+    dst = tempfile.mkdtemp(prefix="spark_graft_a10_")
+    return mig.copy_table_throttled(
+        spark, sf_dir, dst, "orders", "o_orderkey", n_splits=8,
+        rows_per_second=1000.0, clock=_FakeClock(),
+    )
+
+
 @register(
     "a5_range_partition_counts",
     oracle="""

@@ -81,3 +81,41 @@ def test_cluster_config_conf_shape():
     opts = cass.reader_options("ks", "t", writetime_cols=("v",), ttl_cols=("v",))
     assert opts["writetime.v"] == "v_writetime"
     assert opts["ttl.v"] == "v_ttl"
+
+
+def test_throttled_copy_pacing_schedule(spark, tmp_path):
+    """A10: with a fake clock, the pacing schedule is exact — before
+    range i starts, virtual time >= rows_copied_before_i / rate; with
+    no rate, no sleeps; the copied table is identical either way."""
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import migrate as mig
+    from cassandra_migrate_keyspace_from_cluster_spark.queries.part_a_migration import (
+        _FakeClock,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rate = 500.0
+    clock = _FakeClock()
+    out = mig.copy_table_throttled(
+        spark, sf, str(tmp_path / "thr"), "orders", "o_orderkey",
+        n_splits=4, rows_per_second=rate, clock=clock,
+    )
+    src = spark.read.parquet(f"{sf}/orders.parquet")
+    assert out.count() == src.count()
+    assert out.exceptAll(src).count() == 0 and src.exceptAll(out).count() == 0
+    counts = [
+        r.n_rows
+        for r in mig.range_split_counts(src, "o_orderkey", 4).orderBy("bucket").collect()
+    ]
+    # ranges run sequentially: cumulative virtual time when the LAST
+    # range starts must be >= everything-before / rate (clock only
+    # advances via sleep, so the schedule is exact, not approximate)
+    assert clock.slept, "throttle never paced"
+    assert abs(clock.t - sum(counts[:-1]) / rate) < 1e-6
+    # unthrottled: same bytes, zero sleeps
+    clock2 = _FakeClock()
+    out2 = mig.copy_table_throttled(
+        spark, sf, str(tmp_path / "unthr"), "orders", "o_orderkey",
+        n_splits=4, rows_per_second=None, clock=clock2,
+    )
+    assert not clock2.slept
+    assert out2.exceptAll(out).count() == 0 and out.exceptAll(out2).count() == 0
