@@ -177,6 +177,23 @@ def a9_resumable_copy(spark, sf_dir):
     )
 
 
+@register("a1_cluster_scan", oracle="SELECT * FROM orders")
+def a1_cluster_scan(spark, sf_dir):
+    """Cluster connect + token-range scan (A1), EXECUTED: the
+    ``keyspace_cluster`` Python DataSource plans one InputPartition per
+    token range (ring math only, no data scan) and each Spark task
+    reads exactly its range's rows — the connector dataflow the
+    reference is built on, running for real against the simulated
+    cluster. Hash-match proves the ranges tile the table: no row lost,
+    none duplicated. Range balance + task count are pytest-asserted
+    (tests/test_migrate.py)."""
+    from ..sources.cluster_source import read_keyspace_table
+
+    return read_keyspace_table(
+        spark, f"{sf_dir}/orders.parquet", "o_orderkey", n_ranges=8
+    )
+
+
 class _FakeClock:
     """Deterministic clock for the a10 query: sleeping advances virtual
     time instantly, so the pacing CONTROL FLOW runs for real (the exact

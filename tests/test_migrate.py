@@ -119,3 +119,33 @@ def test_throttled_copy_pacing_schedule(spark, tmp_path):
     )
     assert not clock2.slept
     assert out2.exceptAll(out).count() == 0 and out.exceptAll(out2).count() == 0
+
+
+def test_cluster_source_token_ranges(spark):
+    """A1 connector simulation: one task per token range, ranges tile
+    the table exactly, and uniform-hash tokens keep splits balanced."""
+    from cassandra_migrate_keyspace_from_cluster_spark.sources.cluster_source import (
+        read_keyspace_table,
+        ring_ranges,
+        token_of,
+    )
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    df = read_keyspace_table(spark, path, "o_orderkey", n_ranges=8)
+    assert df.rdd.getNumPartitions() == 8
+    plain = spark.read.parquet(path)
+    assert df.count() == plain.count()
+    assert df.exceptAll(plain).count() == 0
+    assert plain.exceptAll(df).count() == 0
+    # ring math: ranges are half-open, disjoint, and cover the ring
+    rng = ring_ranges(8)
+    assert rng[0][0] == 0 and rng[-1][1] == 1 << 64
+    assert all(rng[i][1] == rng[i + 1][0] for i in range(7))
+    # balance: md5 tokens are uniform -> no split above 2x the mean
+    sizes = (
+        df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    )
+    assert len(sizes) == 8 and min(sizes) > 0
+    assert max(sizes) <= 2 * (sum(sizes) / len(sizes))
+    # determinism: the same key always lands in the same range
+    assert token_of(42) == token_of(42)
