@@ -306,3 +306,51 @@ def e9_retention_cohort(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e10_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           round(p.value, 2) AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def e10_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join semantics, batch form: each purchase
+    attributed to every click by the same user in the preceding 30
+    minutes. The join is EQUI on user_id (shuffle-partitionable — the
+    100-TB shape) with the time interval as a residual range predicate;
+    the streaming twin runs the identical join between two watermarked
+    streams where the interval bound is also what lets Spark expire
+    join state (tests/test_streaming.py)."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "user_id", "click_id", "purchase_id",
+            "click_ts", "purchase_ts", "purchase_value",
+        )
+    )

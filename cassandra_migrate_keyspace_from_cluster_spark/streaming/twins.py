@@ -146,3 +146,29 @@ def run_to_completion(stream_df: DataFrame, name: str) -> DataFrame:
 def _has_aggregate(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().logical().toString()  # type: ignore[attr-defined]
     return "Aggregate" in plan
+
+
+def stream_stream_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Streaming twin of e10: a real stream-stream inner join. Both
+    sides carry watermarks and the join condition bounds how far apart
+    matching events can be — together these let Spark EXPIRE buffered
+    rows (state stays O(watermark window), the property that makes
+    stream-stream joins viable on unbounded streams)."""
+    c = clicks.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    ).withWatermark("click_ts", "10 minutes")
+    p = purchases.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    ).withWatermark("purchase_ts", "10 minutes")
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "user_id", "click_id", "purchase_id",
+        "click_ts", "purchase_ts", "purchase_value",
+    )

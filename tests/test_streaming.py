@@ -88,3 +88,15 @@ def test_dedup_twin_count_matches_batch(spark, events_dir):
         want.select("user_id", "event_type", "value").distinct().count()
     )
     assert got.count() == want.count()
+
+
+def test_stream_stream_join_twin_matches_batch(spark, events_dir):
+    """A real watermarked stream-stream interval join must reproduce
+    the batch e10 result on a bounded replay."""
+    stream = twins.stream_stream_join(
+        twins.read_events_stream(spark, events_dir),
+        twins.read_events_stream(spark, events_dir),
+    )
+    got = twins.run_to_completion(stream, "ss_join_out").toPandas()
+    want = specs()["e10_stream_stream_join"].fn(spark, SF_SMOKE).toPandas()
+    compare_frames(got, want, "stream-stream join twin vs batch")
