@@ -725,3 +725,117 @@ def f21b_neardup_clusters_star(spark, sf_dir):
         docs, blocking=["lang", "source"], threshold=0.6
     )
     return dd.neardup_clusters_star(docs, pairs)
+
+
+@register(
+    "f22_redact_pii",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail-' || (doc_id % 7)
+                  || '.example.com or call '
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+               AS full_text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(full_text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(full_text, '\d{3}-\d{3}-\d{4}'))
+             AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(full_text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_hash
+    FROM aug
+    """,
+)
+def f22_redact_pii(spark, sf_dir):
+    """PII scrubbing — a training-data pipeline staple: count and
+    redact emails/phone numbers with anchored regexes, all in codegen
+    (regexp_count / regexp_replace — no UDF). Deterministic synthetic
+    PII is appended per doc (both engines build the identical string)
+    so the redaction path is exercised on every row; the md5 of the
+    redacted text proves byte-identical scrubbing, not just counts."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\d{3}-\d{3}-\d{4}"
+    docs = t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail-"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com or call "),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad(((F.col("doc_id") * 13) % 10000).cast("string"), 4, "0"),
+        ).alias("full_text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("full_text", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("full_text", F.lit(email_re)).cast("bigint").alias("n_emails"),
+        F.regexp_count("full_text", F.lit(phone_re)).cast("bigint").alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+@register(
+    "f23_dedup_suppression",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(a.toks || b.toks)) >= 0.6),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.doc),
+    clusters AS (
+      SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc)
+    SELECT c.cluster_id,
+           count(*) AS n_members,
+           count(*) - 1 AS n_suppressed,
+           CAST(sum(CASE WHEN c.doc_id != c.cluster_id THEN length(doc.text)
+                         ELSE 0 END) AS BIGINT) AS bytes_suppressed
+    FROM clusters c JOIN documents doc ON doc.doc_id = c.doc_id
+    GROUP BY c.cluster_id
+    HAVING count(*) > 1
+    """,
+)
+def f23_dedup_suppression(spark, sf_dir):
+    """The dedup DECISION output: per near-dup cluster (f21's connected
+    components), keep the smallest doc id and report what suppression
+    buys — member count and bytes removed. This is the artifact a
+    100-TB curation run actually ships (keep-list + savings report);
+    singleton clusters are excluded (nothing to suppress)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs_postings(
+        docs, blocking=["lang", "source"], threshold=0.6
+    )
+    clusters = dd.neardup_clusters_star(docs, pairs)
+    return (
+        clusters.join(docs.select("doc_id", F.length("text").alias("n_bytes")), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("cluster_id"), F.col("n_bytes"))
+                .otherwise(F.lit(0))
+            ).alias("bytes_suppressed"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
