@@ -48,3 +48,33 @@ def plain_sum_count(df: DataFrame, key: str, value: str) -> DataFrame:
     return df.groupBy(key).agg(
         F.sum(value).alias("sum_value"), F.count(F.lit(1)).alias("n")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe fact⋈dim equi-join by key salting — the explicit form
+    of what AQE's skew-join split does at runtime, for when the skew is
+    known up front (one hot key owning >1 executor's share of rows).
+
+    The FACT side gets a uniform random-ish salt in [0, n_salts); the
+    DIM side is EXPLODED n_salts× (one copy per salt value), and the
+    join key becomes (key, salt) — a hot key's rows now land in
+    n_salts different shuffle partitions instead of one. Results are
+    row-identical to the plain join (every fact row still matches
+    exactly its key's dim row, just via its salted copy). Cost:
+    dim × n_salts rows shuffled — cheap when dim is small relative to
+    the hot key's row count, which is exactly the skew regime.
+
+    Equality with the plain join is pytest-asserted; at true scale pick
+    n_salts ≈ ceil(hot-key rows / target partition rows).
+    """
+    salt = (F.abs(F.xxhash64(*fact.columns)) % n_salts).alias("__salt")
+    salted_fact = fact.select("*", salt)
+    salted_dim = dim.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    )
+    return salted_fact.join(salted_dim, [key, "__salt"]).drop("__salt")

@@ -433,3 +433,20 @@ def test_bmp_codec_roundtrip():
     p = bytearray(mm.encode_bmp_24(img[::-1]))  # stored rows become top-down
     p[22:26] = struct.pack("<i", -3)
     assert np.array_equal(mm.decode_bmp_24(bytes(p)), img[::-1][::-1])
+
+
+def test_salted_join_equals_plain_join(spark):
+    """The explicit salted join must be row-identical to the plain
+    equi-join (fact=orders, dim=customer-per-key aggregate)."""
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import skew
+
+    orders = load_table(spark, SF_T2, "orders")
+    cust = load_table(spark, SF_T2, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    plain = orders.join(cust, "o_custkey")
+    salted = skew.salted_join(orders, cust, "o_custkey", n_salts=8)
+    assert salted.columns == plain.columns
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0

@@ -181,3 +181,44 @@ def test_cosine_neardup_no_cartesian(spark):
     plan = physical_plan(q(spark, "f4b_cosine_neardup"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bucketed_layout_joins_without_shuffle(spark, tmp_path):
+    """The 100-TB co-located-join lever: two tables bucketed (8, key)
+    must sort-merge join with NO shuffle exchange on either side —
+    bucketing pre-partitions the data on disk, so the join reads
+    bucket-aligned splits instead of re-hashing terabytes."""
+    from pyspark.sql import functions as F
+
+    from cassandra_migrate_keyspace_from_cluster_spark.sources import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    for name, df in [("bkt_orders", orders), ("bkt_cust", cust)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_orders").join(spark.table("bkt_cust"), "o_custkey")
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, (
+            f"bucketed join still shuffles:\n{plan}"
+        )
+        # and the result is the plain join's result
+        plain = orders.join(cust, "o_custkey")
+        assert joined.count() == plain.count()
+        assert joined.exceptAll(plain).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for name in ("bkt_orders", "bkt_cust"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
