@@ -773,3 +773,40 @@ def b15b_asof_pandas_api(spark, sf_dir):
         "purchase_value",
         F.col("click_id").alias("last_click_id"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b27_scalar_subquery",
+    oracle="""
+    SELECT l.l_partkey,
+           count(*) AS n_small,
+           round(sum(l.l_extendedprice), 2) AS small_revenue
+    FROM lineitem l
+    WHERE l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY l.l_partkey
+    """,
+)
+def b27_scalar_subquery(spark, sf_dir):
+    """Correlated SCALAR subquery (TPC-H Q17 shape): lineitems below
+    half their part's average quantity. Spark SQL decorrelates the
+    per-row subquery into one aggregate + one equi-join — plan-asserted
+    in tests/test_plans.py (no per-row subquery execution survives;
+    that rewrite is what makes the query a two-shuffle job instead of
+    n_rows subquery executions at 100 TB)."""
+    ev = t(spark, sf_dir, "lineitem")
+    ev.createOrReplaceTempView("b27_lineitem")
+    return spark.sql("""
+        SELECT l.l_partkey,
+               count(*) AS n_small,
+               round(sum(l.l_extendedprice), 2) AS small_revenue
+        FROM b27_lineitem l
+        WHERE l.l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity)
+            FROM b27_lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY l.l_partkey
+    """)

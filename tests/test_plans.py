@@ -222,3 +222,12 @@ def test_bucketed_layout_joins_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for name in ("bkt_orders", "bkt_cust"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_scalar_subquery_decorrelates(spark):
+    """b27's correlated scalar subquery must rewrite to aggregate+join
+    (visible as a join in the plan, no in-flight ScalarSubquery per
+    row); a per-row subquery would be n executions at scale."""
+    plan = physical_plan(q(spark, "b27_scalar_subquery"))
+    assert "Join" in plan, plan
+    assert "ScalarSubquery" not in plan, plan
