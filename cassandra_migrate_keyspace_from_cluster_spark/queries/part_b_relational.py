@@ -810,3 +810,46 @@ def b27_scalar_subquery(spark, sf_dir):
             WHERE l2.l_partkey = l.l_partkey)
         GROUP BY l.l_partkey
     """)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b14b_range_join_banded",
+    oracle="""
+    SELECT p.p_partkey, l.l_orderkey, l.l_linenumber,
+           p.p_retailprice, l.l_extendedprice
+    FROM (SELECT * FROM part WHERE p_size = 1) p
+    JOIN (SELECT * FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00') l
+      ON l.l_extendedprice BETWEEN p.p_retailprice * 0.9
+                               AND p.p_retailprice * 1.1
+    """,
+)
+def b14b_range_join_banded(spark, sf_dir):
+    """b14's range join as a BANDED EQUI-JOIN
+    (``operators/rangejoin.py``): quantize the price axis, replicate
+    each part's [0.9·rp, 1.1·rp] interval to its overlapping bands,
+    equi-join on band + residual BETWEEN — a shuffle hash join that
+    needs NEITHER side broadcastable (the 100-TB form of b14; identical
+    oracle, plan asserted free of CartesianProduct/BNLJ)."""
+    from ..operators.rangejoin import banded_range_join
+
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 1).select(
+        "p_partkey", "p_retailprice"
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+    joined = banded_range_join(
+        li,
+        p,
+        F.col("l_extendedprice"),
+        F.col("p_retailprice") * 0.9,
+        F.col("p_retailprice") * 1.1,
+        band_width=256.0,
+    )
+    return joined.select(
+        "p_partkey", "l_orderkey", "l_linenumber", "p_retailprice", "l_extendedprice"
+    )

@@ -450,3 +450,34 @@ def test_salted_join_equals_plain_join(spark):
     assert plain.count() == salted.count()
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_banded_range_join_equals_nested_loop(spark):
+    """The banded equi-join rewrite must return exactly the plain
+    range-join pairs, across band widths (narrow = high replication,
+    wide = one mega-band degenerating toward the cross form)."""
+    from cassandra_migrate_keyspace_from_cluster_spark.operators.rangejoin import (
+        banded_range_join,
+    )
+
+    p = load_table(spark, SF_T2, "part").filter(F.col("p_size") == 1).select(
+        "p_partkey", "p_retailprice"
+    )
+    li = load_table(spark, SF_T2, "lineitem").limit(2000).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    lo, hi = F.col("p_retailprice") * 0.9, F.col("p_retailprice") * 1.1
+    want = {
+        (r.p_partkey, r.l_orderkey, r.l_linenumber)
+        for r in li.join(
+            p, F.col("l_extendedprice").between(lo, hi)
+        ).collect()
+    }
+    for w in (64.0, 256.0, 1e6):
+        got = {
+            (r.p_partkey, r.l_orderkey, r.l_linenumber)
+            for r in banded_range_join(
+                li, p, F.col("l_extendedprice"), lo, hi, band_width=w
+            ).collect()
+        }
+        assert got == want, f"band_width={w}"

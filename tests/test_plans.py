@@ -231,3 +231,11 @@ def test_scalar_subquery_decorrelates(spark):
     plan = physical_plan(q(spark, "b27_scalar_subquery"))
     assert "Join" in plan, plan
     assert "ScalarSubquery" not in plan, plan
+
+
+def test_banded_range_join_no_nested_loop(spark):
+    """b14b's banded rewrite must plan as an equi join (shuffle/broadcast
+    HASH join on the band key) — no CartesianProduct, no BNLJ."""
+    plan = physical_plan(q(spark, "b14b_range_join_banded"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
