@@ -10,6 +10,9 @@ computes the same thing the declarative path would:
   g4  applyInPandas grouped map          (split-apply-combine)
   g5  mapInPandas partition-wise map     (batched generator transform)
   g6  Python UDTF                        (one row in → many rows out)
+  g7  mapInArrow zero-copy batch map     (no pandas materialization)
+  g8  iterator pandas UDF                (amortized per-worker init)
+  g9  cogrouped map                      (two-sided applyInPandas merge)
 
 Scale notes: every op here crosses JVM→Python over Arrow batches —
 that boundary is the cost, so at 100 TB these run ONLY where built-in
@@ -270,4 +273,70 @@ def g8_pandas_udf_iter(spark, sf_dir):
         qty_weighted(F.col("l_quantity") * F.col("l_extendedprice")).alias(
             "qty_weighted"
         ),
+    )
+
+
+@register(
+    "g9_cogrouped_map",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           count(l.l_orderkey) AS n_lines,
+           CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0)
+                AS BIGINT) AS net_revenue_x10k
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def g9_cogrouped_map(spark, sf_dir):
+    """Cogrouped map (``groupBy().cogroup().applyInPandas``): both
+    relations are co-shuffled on the key and each key's two pandas
+    frames are merged in one Python call — the two-sided
+    split-apply-combine surface (custom join-aggregate logic that a
+    plain join can't express row-wise). Here: per-order line count +
+    net revenue, checked against the LEFT JOIN aggregate SQL twin.
+    Revenue is summed in integer 1e-4-dollar units (2dp price × 2dp
+    discount factor is exact there) — float sums of price*discount
+    land on half-cent boundaries where cross-engine decimal rounding
+    diverges, integers never do. Scale shape: one shuffle per side on
+    the cogroup key (identical to a shuffle join), Python cost per key
+    amortized over Arrow batches."""
+
+    def merge(key, o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        if o.empty:  # lineitem-only key: LEFT JOIN semantics emit nothing
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "o_totalprice": pd.Series([], dtype="float64"),
+                    "n_lines": pd.Series([], dtype="int64"),
+                    "net_revenue_x10k": pd.Series([], dtype="int64"),
+                }
+            )
+        if len(l):
+            cents = (l["l_extendedprice"] * 100).round().astype("int64")
+            disc = (l["l_discount"] * 100).round().astype("int64")
+            net = int((cents * (100 - disc)).sum())
+        else:
+            net = 0
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "o_totalprice": [float(o["o_totalprice"].iloc[0])],
+                "n_lines": [len(l)],
+                "net_revenue_x10k": [net],
+            }
+        )
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            merge,
+            "o_orderkey bigint, o_totalprice double, n_lines bigint, "
+            "net_revenue_x10k bigint",
+        )
     )
