@@ -539,3 +539,118 @@ def c19_filtered_agg(spark, sf_dir):
         GROUP BY user_id
         """
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "c20_unpivot",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(avg(l_discount), 6) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_base_price', sum_base_price FROM w
+    UNION ALL
+    SELECT l_returnflag, 'avg_disc', avg_disc FROM w
+    """,
+)
+def c20_unpivot(spark, sf_dir):
+    """Unpivot / melt (wide → long): per-returnflag aggregate columns
+    melted into (measure, value) rows via ``DataFrame.unpivot`` — the
+    inverse of c9's pivot. Narrow op (each input row emits k rows
+    in-place, no shuffle beyond the upstream agg); the oracle is the
+    equivalent UNION ALL since melt is syntactic sugar over it."""
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        r2(F.sum("l_quantity")).alias("sum_qty"),
+        r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+        r6(F.avg("l_discount")).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_base_price", "avg_disc"],
+        "measure",
+        "value",
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "c21_date_spine_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             count(*) AS n_orders,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, CAST(o.o_orderdate AS DATE)),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (
+      SELECT n.n_name, CAST(g.day AS DATE) AS day
+      FROM nation n, bounds b,
+           LATERAL (SELECT unnest(generate_series(b.lo, b.hi,
+                                  INTERVAL 1 DAY)) AS day) g)
+    SELECT s.n_name, CAST(s.day AS VARCHAR) AS day,
+           coalesce(d.n_orders, 0) AS n_orders,
+           last_value(d.revenue IGNORE NULLS)
+             OVER (PARTITION BY s.n_name ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS revenue_filled,
+           (d.n_orders IS NULL) AS is_gap
+    FROM spine s LEFT JOIN daily d
+      ON d.n_name = s.n_name AND d.day = s.day
+    """,
+)
+def c21_date_spine_gapfill(spark, sf_dir):
+    """Date-spine gap-fill (the time-series densification composite):
+    build a complete per-nation daily calendar with
+    ``sequence(min,max)`` + explode, left-join the real daily order
+    aggregate, zero-fill counts and LOCF the revenue per nation.
+    Scale shape: the spine is |dims| x |days| (tiny vs the fact table,
+    built from a broadcast 1-row bounds agg), the join shuffles on
+    (nation, day), and the fill window is PARTITIONED by nation — no
+    global single-reducer window anywhere (series count scales out)."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r2(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = (
+        nation.select("n_name")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "n_name",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["n_name", "day"], "left")
+        .select(
+            "n_name",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.last("revenue", ignorenulls=True).over(w).alias("revenue_filled"),
+            F.col("n_orders").isNull().alias("is_gap"),
+        )
+    )
