@@ -345,3 +345,111 @@ def simhash63(text_col: str = "text") -> F.Column:
 
 def hamming64(a: F.Column, b: F.Column) -> F.Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# -- pinned-hash MinHash (cross-engine checkable) ---------------------------
+
+def _pinned_hash60(col: F.Column, seed: int) -> F.Column:
+    """Pinned 60-bit token hash: first 15 hex chars of md5(seed ':' tok)
+    as a bigint. md5 is standardized, so ANY engine reproduces the
+    exact same integer — unlike xxhash64/MLlib seeds. 60 bits keeps the
+    value far under 2^63 (no ANSI-mode overflow)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def shingles(text_col: str = "text", k: int = 3) -> F.Column:
+    """Distinct k-token shingles (w-shingling): the MinHash input that
+    makes near-dup detection discriminative — random docs over a small
+    vocabulary share most TOKENS but few token SEQUENCES. Callers must
+    pre-filter docs with < k tokens (empty shingle sets have no
+    minhash)."""
+    toks = F.split(F.col(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+) -> DataFrame:
+    """Long-form MinHash signatures: (doc_id, j, mh) for j in
+    0..n_hashes-1, mh = min over the doc's distinct k-shingles of the
+    pinned seeded hash. Docs with < k_shingle tokens are dropped (no
+    shingles → no signature).
+
+    Shape: shingles explode once, each shingle row emits n_hashes
+    (j, hash) pairs in-place (no extra shuffle), then ONE
+    partial-aggregated min-groupBy on (doc, j) — the shuffle carries
+    n_hashes rows per doc, not per shingle. 100-TB-safe: work ∝
+    shingles × n_hashes, memory O(1)."""
+    toks = (
+        docs.filter(F.size(F.split(F.col(text_col), " ")) >= k_shingle)
+        .select(id_col, F.explode(shingles(text_col, k_shingle)).alias("tk"))
+    )
+    seeded = toks.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), _pinned_hash60(F.col("tk"), j).alias("h"))
+                for j in range(n_hashes)
+            ])
+        ).alias("jh"),
+    ).select(id_col, F.col("jh.j").alias("j"), F.col("jh.h").alias("h"))
+    return seeded.groupBy(id_col, "j").agg(F.min("h").alias("mh"))
+
+
+def minhash_band_candidates(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    band_rows: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+) -> DataFrame:
+    """LSH banding over pinned MinHash signatures → candidate pairs
+    (doc_a < doc_b, n_shared_bands). Docs agreeing on ALL band_rows
+    minhashes of at least one band become candidates — the standard
+    S-curve: P(candidate) = 1 - (1 - s^band_rows)^(n_hashes/band_rows).
+
+    Scale shape: band key = md5 of the band's minhash run; candidates
+    come from an equi-join on (band, band_hash) buckets — pair work is
+    ∝ Σ bucket², never corpus². The whole dataflow is 3 shuffles
+    (sig min-agg, band agg, bucket self-join) regardless of corpus
+    size."""
+    sig = minhash_signatures(
+        docs, n_hashes=n_hashes, id_col=id_col, text_col=text_col, k_shingle=k_shingle
+    )
+    bands = (
+        sig.withColumn("band", (F.col("j") / band_rows).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "mh"))),
+                        lambda x: x["mh"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash")
+        )
+    )
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )

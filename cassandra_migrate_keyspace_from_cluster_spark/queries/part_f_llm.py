@@ -839,3 +839,74 @@ def f23_dedup_suppression(spark, sf_dir):
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f24_minhash_pinned_lsh",
+    oracle="""
+    WITH raw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+    d AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS toks
+          FROM raw),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM d),
+    seeds AS (SELECT unnest(range(16)) AS j),
+    sig AS (
+      SELECT doc_id, j,
+             min(CAST(('0x' || substr(md5(concat(CAST(j AS VARCHAR), ':', tk)),
+                                      1, 15)) AS BIGINT)) AS mh
+      FROM tok, seeds GROUP BY doc_id, j),
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS band_hash
+      FROM sig GROUP BY doc_id, j // 4),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+           round(CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+                 / len(list_distinct(da.toks || db.toks)), 6) AS jaccard
+    FROM cand c
+    JOIN d da ON da.doc_id = c.doc_a
+    JOIN d db ON db.doc_id = c.doc_b
+    """,
+)
+def f24_minhash_pinned_lsh(spark, sf_dir):
+    """MinHash-LSH with PINNED hashes (md5-derived, seed j baked into
+    the hashed string) — the same band-bucket candidate generation as
+    f3's MLlib tier, but cross-engine reproducible, so the whole
+    LSH dataflow is hash-checked against DuckDB rather than rows-only:
+    3-token shingling, signatures (16 min-hashes), 4-row banding,
+    bucket self-join candidates, exact shingle-Jaccard rescore of
+    candidates only. Shingles (not unigrams) make banding
+    discriminative — random docs over a shared vocabulary overlap in
+    tokens but not token sequences. Candidate work is ∝ Σ bucket²
+    (docs agreeing on a full band), never corpus² — the verifiable
+    form of the 100-TB near-dup path."""
+    docs = t(spark, sf_dir, "documents")
+    cand = dd.minhash_band_candidates(docs, n_hashes=16, band_rows=4, k_shingle=3)
+    d = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", dd.shingles("text", 3).alias("toks")
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            r6(
+                F.size(F.array_intersect("toks_a", "toks_b"))
+                / F.size(F.array_union("toks_a", "toks_b"))
+            ).alias("jaccard"),
+        )
+    )

@@ -481,3 +481,32 @@ def test_banded_range_join_equals_nested_loop(spark):
             ).collect()
         }
         assert got == want, f"band_width={w}"
+
+
+def test_pinned_minhash_recall_vs_exact_shingle_jaccard(spark):
+    """f24 (pinned-hash MinHash-LSH) candidates must recover >=90% of
+    the truly-near-dup pairs (exact 3-shingle Jaccard >= 0.9, computed
+    by brute force here). Deterministic: pinned md5 hashes mean the
+    same candidates on every run/engine, so the measured recall is a
+    constant of the dataset, not a flaky sample."""
+    docs = load_table(spark, SF_T2, "documents")
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", dd.shingles("text", 3).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    exact_df = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("j") >= 0.9)
+    )
+    exact = _pair_set(exact_df, "doc_a", "doc_b")
+    cand = _pair_set(ALL["f24_minhash_pinned_lsh"].fn(spark, SF_T2), "doc_a", "doc_b")
+    assert exact, "no exact near-dup pairs at >=0.9 — planted dups missing?"
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, f"pinned-LSH recall {recall:.3f} < 0.9 ({len(exact)} exact pairs)"
