@@ -910,3 +910,240 @@ def f24_minhash_pinned_lsh(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f25_contamination",
+    oracle="""
+    WITH raw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+    d AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+          FROM raw),
+    eval_sh AS (SELECT DISTINCT unnest(sh) AS tk FROM d WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, sh FROM d WHERE doc_id % 97 <> 0),
+    train_sh AS (SELECT doc_id, unnest(sh) AS tk FROM train),
+    hits AS (SELECT t.doc_id, count(*) AS n_contaminated
+             FROM train_sh t JOIN eval_sh e ON e.tk = t.tk
+             GROUP BY t.doc_id)
+    SELECT tr.doc_id, CAST(len(tr.sh) AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / len(tr.sh), 6)
+             AS contamination_rate
+    FROM train tr LEFT JOIN hits h ON h.doc_id = tr.doc_id
+    """,
+)
+def f25_contamination(spark, sf_dir):
+    """Benchmark-contamination check: fraction of each training doc's
+    distinct 3-gram shingles that collide with the held-out eval set
+    (doc_id % 97 == 0 — a deterministic split). The canonical
+    train/eval decontamination op for an LLM corpus.
+    Scale shape: the eval n-gram index is orders of magnitude smaller
+    than the corpus → broadcast it and the whole check is a narrow
+    map-side join over the exploded training shingles (no shuffle of
+    the big side); per-doc counts partial-aggregate before the one
+    small shuffle on doc_id."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 3
+    )
+    d = docs.select(
+        "doc_id", dd.shingles("text", 3).alias("sh"), (F.col("doc_id") % 97 == 0).alias("is_eval")
+    )
+    eval_sh = (
+        d.filter("is_eval").select(F.explode("sh").alias("tk")).distinct()
+    )
+    train = d.filter(~F.col("is_eval"))
+    train_sh = train.select("doc_id", F.explode("sh").alias("tk"))
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "tk")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        train.select("doc_id", F.size("sh").cast("long").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            r6(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles")
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f26_repetition",
+    oracle="""
+    WITH raw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+    tok AS (SELECT doc_id, unnest(w) AS tk FROM raw),
+    tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
+    top AS (SELECT doc_id, max(c) AS top_c FROM tc GROUP BY doc_id),
+    tri AS (SELECT doc_id, len(w) AS n_tokens,
+                   len(w) - 2 AS n_trigrams,
+                   len(list_distinct(list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS n_distinct_tri
+            FROM raw)
+    SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(p.top_c AS DOUBLE) / t.n_tokens, 6) AS top_token_frac,
+           round(1.0 - CAST(t.n_distinct_tri AS DOUBLE) / t.n_trigrams, 6)
+             AS dup_trigram_frac,
+           (CAST(p.top_c AS DOUBLE) / t.n_tokens > 0.2
+            OR 1.0 - CAST(t.n_distinct_tri AS DOUBLE) / t.n_trigrams > 0.5)
+             AS flag_repetitive
+    FROM tri t JOIN top p ON p.doc_id = t.doc_id
+    """,
+)
+def f26_repetition(spark, sf_dir):
+    """Within-doc repetition stats (Gopher-style repetition filters):
+    top-token mass fraction + duplicate-trigram fraction per doc, with
+    a pinned-threshold repetitive flag. Catches the "same line/phrase
+    looped" degenerate docs that exact- and near-dedup both miss.
+    Scale shape: one explode + two partial-aggregated groupBys keyed by
+    doc (token counts combine map-side); trigram stats are pure column
+    exprs — no shuffle at all for that branch."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 3
+    )
+    toks = F.split("text", " ")
+    top = (
+        docs.select("doc_id", F.explode(toks).alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    tri = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - 2).alias("n_trigrams"),
+        F.size(dd.shingles("text", 3)).alias("n_distinct_tri"),
+    )
+    top_frac = F.col("top_c") / F.col("n_tokens")
+    dup_frac = F.lit(1.0) - F.col("n_distinct_tri") / F.col("n_trigrams")
+    return tri.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        r6(top_frac).alias("top_token_frac"),
+        r6(dup_frac).alias("dup_trigram_frac"),
+        ((top_frac > 0.2) | (dup_frac > 0.5)).alias("flag_repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f27_rule_filters",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           round(CAST(list_reduce(list_transform(w, x -> length(x)),
+                                  (a, b) -> a + b) AS DOUBLE) / len(w), 6)
+             AS mean_tok_len,
+           round(CAST(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))
+                      AS DOUBLE) / len(w), 6) AS alpha_frac,
+           len(list_intersect(w, ['the', 'a', 'of', 'to', 'and'])) > 0
+             AS has_stopword,
+           (len(w) BETWEEN 10 AND 1000
+            AND CAST(list_reduce(list_transform(w, x -> length(x)),
+                                 (a, b) -> a + b) AS DOUBLE) / len(w)
+                BETWEEN 2 AND 12
+            AND CAST(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))
+                     AS DOUBLE) / len(w) >= 0.8
+            AND len(list_intersect(w, ['the', 'a', 'of', 'to', 'and'])) > 0)
+             AS keep
+    FROM d
+    """,
+)
+def f27_rule_filters(spark, sf_dir):
+    """Rule-based quality gate (C4/Gopher-style document filters):
+    token-count bounds, mean token length bounds, alphabetic-token
+    fraction, stopword presence — each flag emitted plus the composite
+    keep decision, all with pinned thresholds. Pure column expressions
+    (higher-order array fns) → whole-stage codegen, scan-speed at any
+    scale: zero shuffles, zero Python."""
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    tok_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+    )
+    mean_len = tok_chars / n
+    alpha_frac = F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$"))) / n
+    stop = F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in
+                                                 ["the", "a", "of", "to", "and"]]))) > 0
+    keep = (
+        (n >= 10) & (n <= 1000)
+        & (mean_len >= 2) & (mean_len <= 12)
+        & (alpha_frac >= 0.8)
+        & stop
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        r6(mean_len).alias("mean_tok_len"),
+        r6(alpha_frac).alias("alpha_frac"),
+        stop.alias("has_stopword"),
+        keep.alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f28_source_mix_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(substr(source, 4) AS INT) AS src_k,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents),
+    w AS (
+      SELECT doc_id, source, bucket,
+             CASE WHEN src_k < 5 THEN 100
+                  WHEN src_k < 10 THEN 50
+                  WHEN src_k < 15 THEN 25
+                  ELSE 10 END AS weight
+      FROM d)
+    SELECT doc_id, source, CAST(weight AS INT) AS weight,
+           CAST(bucket AS BIGINT) AS bucket
+    FROM w WHERE bucket < weight
+    """,
+)
+def f28_source_mix_sample(spark, sf_dir):
+    """Source-mixture weighted sampling: each source gets a pinned
+    retention rate (100/50/25/10% by source tier — the domain-weighting
+    step of a training-data mix), applied via the same deterministic
+    md5 bucket as f20, so the sample is reproducible under re-runs,
+    retries and repartitioning, and composable with f20's split (same
+    hash → consistent nesting). Scan-speed: pure exprs, the filter
+    reaches the parquet scan; in production the per-source weights are
+    a broadcast dim table."""
+    docs = t(spark, sf_dir, "documents")
+    src_k = F.substring("source", 4, 10).cast("int")
+    weight = (
+        F.when(src_k < 5, 100)
+        .when(src_k < 10, 50)
+        .when(src_k < 15, 25)
+        .otherwise(10)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            weight.cast("int").alias("weight"),
+            bucket.alias("bucket"),
+        )
+        .filter(F.col("bucket") < F.col("weight"))
+    )
