@@ -21,7 +21,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .util import r2, t
+from .util import r2, r6, t
 
 
 # --------------------------------------------------------------------------
@@ -353,4 +353,52 @@ def e10_stream_stream_join(spark, sf_dir):
             "user_id", "click_id", "purchase_id",
             "click_ts", "purchase_ts", "purchase_value",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e11_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, value,
+             count(*) OVER w AS n_frame,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts)
+                   RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, round(value, 6) AS value, n_frame,
+           CASE WHEN sd > 0 THEN round((value - mu) / sd, 6) END AS zscore,
+           coalesce(sd > 0 AND abs((value - mu) / sd) > 2, FALSE) AS is_anomaly
+    FROM s
+    """,
+)
+def e11_anomaly_zscore(spark, sf_dir):
+    """Sliding-baseline anomaly detection: each event's value scored
+    against the SAME USER's trailing 7-day mean/stddev (RANGE frame as
+    in c14; 7 days ≈ 15 events/user here — enough history for a stable
+    baseline), flagged when |z| > 2. The streaming-analytics staple
+    (fraud/outlier detection over a rolling per-key baseline).
+    Scale shape: windows partition on user_id — high-cardinality
+    scale-out, no global reducer; frame state per partition is one
+    week of one user's events. sd=0 frames (constant values / frame of
+    one) yield NULL z, not a division blowup — pinned identically in
+    both engines."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return ev.select(
+        "event_id",
+        "user_id",
+        r6(F.col("value")).alias("value"),
+        F.count(F.lit(1)).over(w).alias("n_frame"),
+        F.when(sd > 0, r6(z)).alias("zscore"),
+        F.coalesce((sd > 0) & (F.abs(z) > 2), F.lit(False)).alias("is_anomaly"),
     )
