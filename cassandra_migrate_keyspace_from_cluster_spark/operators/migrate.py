@@ -401,3 +401,81 @@ def content_checksum(df: DataFrame, table_name: str) -> DataFrame:
         F.min("h").alias("min_hash"),
         F.max("h").alias("max_hash"),
     )
+
+
+def copy_table_compacted(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    name: str,
+    rows_per_file: int,
+) -> DataFrame:
+    """Compaction copy (the small-files lever of a migration): size the
+    target layout explicitly — ceil(rows / rows_per_file) output files
+    via round-robin repartition — instead of inheriting however many
+    fragments the source scan produced.
+
+    Why it matters at 100 TB: a migrator that writes one file per input
+    task turns a fragmented source into a fragmented target; every
+    downstream scan then pays per-file open/seek overhead. Sizing from
+    a cheap count() (metadata-only on parquet) keeps target files near
+    the optimal ~128 MB-1 GB band regardless of source layout. The
+    repartition is the one (round-robin, balanced) shuffle a compaction
+    copy fundamentally requires."""
+    src = load_table(spark, src_dir, name)
+    n_files = max(1, -(-src.count() // rows_per_file))
+    dst = os.path.join(dst_dir, f"{name}.parquet")
+    src.repartition(n_files).write.mode("overwrite").parquet(dst)
+    return spark.read.parquet(dst)
+
+
+def snapshot_diff(
+    source: DataFrame,
+    target: DataFrame,
+    key: str,
+    cols: tuple[str, ...],
+) -> DataFrame:
+    """Incremental-migration diff: compare source and target snapshots
+    by per-row content hash over ``cols`` and emit a repair plan —
+    (key, status, action) for every key that is missing, changed, or
+    extra; in-sync keys are filtered out and never materialize.
+
+    status -> action: missing_in_target -> copy, changed -> recopy,
+    extra_in_target -> delete.
+
+    Scale shape: one md5 projection per side at scan speed, a full
+    outer join that shuffles each side once on the key (co-located if
+    both sides are bucketed on it), and the output is proportional to
+    the DRIFT, not the table — the property that makes incremental
+    re-migration cheap. ``cols`` must be exact-typed (no floats):
+    float formatting is not cross-engine stable (SURVEY.md §5.4)."""
+    def hashed(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(key),
+            F.md5(
+                F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+            ).alias(out),
+        )
+
+    s = hashed(source, "h_src")
+    tg = hashed(target, "h_tgt").withColumnRenamed(key, "_tgt_key")
+    j = s.join(tg, s[key] == tg["_tgt_key"], "full_outer")
+    status = (
+        F.when(F.col("_tgt_key").isNull(), "missing_in_target")
+        .when(F.col(key).isNull(), "extra_in_target")
+        .when(F.col("h_src") != F.col("h_tgt"), "changed")
+    )
+    action = (
+        F.when(F.col("_tgt_key").isNull(), "copy")
+        .when(F.col(key).isNull(), "delete")
+        .otherwise("recopy")
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            F.coalesce(F.col(key), F.col("_tgt_key")).alias(key),
+            "status",
+            action.alias("action"),
+        )
+    )

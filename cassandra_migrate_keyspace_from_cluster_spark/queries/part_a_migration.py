@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import tempfile
 
+from pyspark.sql import functions as F
+
 from ..operators import migrate as mig
 from ..registry import register
 from .util import t
@@ -287,3 +289,69 @@ def a8_content_checksum(spark, sf_dir):
     region = mig.content_checksum(t(spark, sf_dir, "region"), "region")
     nation = mig.content_checksum(t(spark, sf_dir, "nation"), "nation")
     return region.unionByName(nation)
+
+
+@register("a4f_copy_compacted", oracle="SELECT * FROM lineitem")
+def a4f_copy_compacted(spark, sf_dir):
+    """Compaction copy (A4 with explicit target sizing): the migrated
+    table lands in ceil(rows / 20k) balanced files instead of
+    inheriting the source's fragmentation — the small-files remedy a
+    100-TB target layout needs (file count asserted in
+    tests/test_migrate.py)."""
+    dst = tempfile.mkdtemp(prefix="spark_graft_a4f_")
+    return mig.copy_table_compacted(spark, sf_dir, dst, "lineitem", rows_per_file=20000)
+
+
+@register(
+    "a11_snapshot_diff",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders),
+    kept AS (SELECT o_orderkey,
+                    CASE WHEN o_orderkey % 103 = 0 THEN 'X'
+                         ELSE o_orderstatus END AS o_orderstatus,
+                    o_orderpriority
+             FROM base WHERE o_orderkey % 101 <> 0),
+    extra AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus,
+                     o_orderpriority
+              FROM base WHERE o_orderkey % 107 = 0),
+    tgt AS (SELECT * FROM kept UNION ALL SELECT * FROM extra),
+    s AS (SELECT o_orderkey AS k,
+                 md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                               o_orderpriority)) AS h FROM base),
+    t2 AS (SELECT o_orderkey AS k,
+                  md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                                o_orderpriority)) AS h FROM tgt)
+    SELECT coalesce(s.k, t2.k) AS o_orderkey,
+           CASE WHEN t2.k IS NULL THEN 'missing_in_target'
+                WHEN s.k IS NULL THEN 'extra_in_target'
+                ELSE 'changed' END AS status,
+           CASE WHEN t2.k IS NULL THEN 'copy'
+                WHEN s.k IS NULL THEN 'delete'
+                ELSE 'recopy' END AS action
+    FROM s FULL JOIN t2 ON t2.k = s.k
+    WHERE t2.k IS NULL OR s.k IS NULL OR s.h <> t2.h
+    """,
+)
+def a11_snapshot_diff(spark, sf_dir):
+    """Incremental-migration diff (the op that turns one-shot bulk copy
+    into repeatable sync): per-row content hashes of source vs a
+    deterministically-drifted target snapshot (keys %101 dropped, %103
+    status-mutated, %107 duplicated under new keys) are full-outer
+    joined on the key; output is the repair plan — copy / recopy /
+    delete per drifted key, NOTHING for in-sync rows. Drift-
+    proportional output is what makes re-running a 100-TB migration
+    cheap: the diff costs two scans + one key-partitioned join, and
+    the repair work is bounded by the drift, not the keyspace."""
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    kept = base.filter(k % 101 != 0).withColumn(
+        "o_orderstatus",
+        F.when(k % 103 == 0, "X").otherwise(F.col("o_orderstatus")),
+    )
+    extra = base.filter(k % 107 == 0).withColumn("o_orderkey", k + 10000000)
+    target = kept.unionByName(extra)
+    return mig.snapshot_diff(
+        base, target, "o_orderkey", ("o_orderkey", "o_orderstatus", "o_orderpriority")
+    )

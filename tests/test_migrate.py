@@ -149,3 +149,30 @@ def test_cluster_source_token_ranges(spark):
     assert max(sizes) <= 2 * (sum(sizes) / len(sizes))
     # determinism: the same key always lands in the same range
     assert token_of(42) == token_of(42)
+
+
+def test_compacted_copy_file_count_and_values(spark):
+    """a4f: compaction copy produces exactly ceil(rows/rows_per_file)
+    parquet data files and preserves values."""
+    import glob
+    import os
+
+    dst = tempfile.mkdtemp(prefix="spark_graft_test_a4f_")
+    out = mig.copy_table_compacted(spark, SMOKE_SF, dst, "orders", rows_per_file=100)
+    src = load_table(spark, SMOKE_SF, "orders")
+    n_rows = src.count()
+    expected_files = -(-n_rows // 100)
+    files = glob.glob(os.path.join(dst, "orders.parquet", "part-*"))
+    assert len(files) == expected_files, (len(files), expected_files)
+    assert out.count() == n_rows
+    assert out.exceptAll(src).count() == 0
+    assert src.exceptAll(out).count() == 0
+
+
+def test_snapshot_diff_empty_on_identical(spark):
+    """snapshot_diff of a table against itself emits zero repair rows
+    (drift-proportional output)."""
+    orders = load_table(spark, SMOKE_SF, "orders")
+    cols = ("o_orderkey", "o_orderstatus", "o_orderpriority")
+    diff = mig.snapshot_diff(orders, orders, "o_orderkey", cols)
+    assert diff.count() == 0
