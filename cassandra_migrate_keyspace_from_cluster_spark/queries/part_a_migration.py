@@ -355,3 +355,40 @@ def a11_snapshot_diff(spark, sf_dir):
     return mig.snapshot_diff(
         base, target, "o_orderkey", ("o_orderkey", "o_orderstatus", "o_orderpriority")
     )
+
+
+@register(
+    "a12_schema_evolution_copy",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(NULL AS BIGINT) AS n_name_len
+    FROM nation WHERE n_nationkey % 2 = 0
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(length(n_name) AS BIGINT) AS n_name_len
+    FROM nation WHERE n_nationkey % 2 = 1
+    """,
+)
+def a12_schema_evolution_copy(spark, sf_dir):
+    """Schema-evolution copy (the mid-migration ALTER TABLE case): an
+    early batch lands with the original schema, a later batch carries
+    an added column; reading the target with mergeSchema=true unifies
+    them — old rows take NULL for the new column, exactly Cassandra's
+    semantics for rows written before an ALTER. Proves the target
+    layout tolerates additive evolution without rewriting history (at
+    100 TB, rewriting old files for a new column is not an option)."""
+    dst = tempfile.mkdtemp(prefix="spark_graft_a12_")
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    old = nation.filter(F.col("n_nationkey") % 2 == 0)
+    new = nation.filter(F.col("n_nationkey") % 2 == 1).withColumn(
+        "n_name_len", F.length("n_name").cast("bigint")
+    )
+    old.write.parquet(f"{dst}/nation.parquet/batch=0")
+    new.write.parquet(f"{dst}/nation.parquet/batch=1")
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(f"{dst}/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey", "n_name_len")
+    )

@@ -853,3 +853,65 @@ def b14b_range_join_banded(spark, sf_dir):
     return joined.select(
         "p_partkey", "l_orderkey", "l_linenumber", "p_retailprice", "l_extendedprice"
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b28_join_disjunctive",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+    by_block AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             TRUE AS same_block, FALSE AS same_len
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+    by_len AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             FALSE AS same_block, TRUE AS same_len
+      FROM d a JOIN d b
+        ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+    u AS (SELECT * FROM by_block UNION ALL SELECT * FROM by_len)
+    SELECT doc_a, doc_b,
+           bool_or(same_block) AS same_block,
+           bool_or(same_len) AS same_len
+    FROM u GROUP BY doc_a, doc_b
+    """,
+)
+def b28_join_disjunctive(spark, sf_dir):
+    """Disjunctive (OR-predicate) join, decomposed: candidate doc pairs
+    matching on (lang, source) OR equal n_chars — the multi-blocking-
+    key union of entity resolution. A literal OR join would plan as a
+    BroadcastNestedLoop/cartesian scan (O(n²) compares); the rewrite
+    runs one shuffle EQUI-join per disjunct and merges with a
+    groupBy(pair) bool_or — each disjunct hash-partitionable, total
+    work ∝ Σ block², the shape that survives 100 TB."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+
+    def pairs(on_cols, flags):
+        a = d.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(c).alias(f"a_{c}") for c in on_cols],
+        )
+        b = d.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(c).alias(f"b_{c}") for c in on_cols],
+        )
+        cond = [F.col(f"a_{c}") == F.col(f"b_{c}") for c in on_cols]
+        return (
+            a.join(b, cond)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.lit(flags[0]).alias("same_block"),
+                F.lit(flags[1]).alias("same_len"),
+            )
+        )
+
+    u = pairs(["lang", "source"], (True, False)).unionByName(
+        pairs(["n_chars"], (False, True))
+    )
+    return u.groupBy("doc_a", "doc_b").agg(
+        F.bool_or("same_block").alias("same_block"),
+        F.bool_or("same_len").alias("same_len"),
+    )

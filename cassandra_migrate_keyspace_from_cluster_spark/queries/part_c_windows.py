@@ -654,3 +654,50 @@ def c21_date_spine_gapfill(spark, sf_dir):
             F.col("n_orders").isNull().alias("is_gap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "c22_window_count_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(sum(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def c22_window_count_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) over a window — an aggregate Spark (and
+    most engines) refuse directly (`count(distinct) OVER` is
+    unsupported) — via the standard rewrite: flag each (user, type)'s
+    FIRST occurrence with a per-(user,type) row_number, then running-sum
+    the flags per user. Two partitioned windows, both keyed on
+    user-grained keys → scales out with user cardinality; no
+    collect_set state accumulation (whose per-row set copy is O(k²))."""
+    ev = t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+    )

@@ -460,3 +460,32 @@ def d12_string_parts(spark, sf_dir):
         F.ascii("o_orderpriority").alias("first_code"),
         F.char(F.lit(65) + (F.col("o_orderkey") % 26).cast("int")).alias("cycle_chr"),
     )
+
+
+@register(
+    "d13_regex_array",
+    oracle="""
+    SELECT event_id,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_nums,
+           CAST(regexp_extract_all(props, '[0-9]+')[1] AS BIGINT) AS first_num,
+           array_to_string(regexp_extract_all(props, '[0-9]+'), ',') AS nums_csv,
+           regexp_extract_all(lower(props), '[a-z]+')[1] AS first_word
+    FROM events
+    """,
+)
+def d13_regex_array(spark, sf_dir):
+    """Array-returning regex family: regexp_extract_all + element_at /
+    size / array_join over the extracted arrays (the pattern behind
+    log-field and entity extraction). Pure codegen exprs; arrays are
+    emitted as CSV (array cells are not portably hashable across the
+    comparison harness)."""
+    ev = t(spark, sf_dir, "events")
+    nums = F.regexp_extract_all("props", F.lit("[0-9]+"), 0)
+    words = F.regexp_extract_all(F.lower("props"), F.lit("[a-z]+"), 0)
+    return ev.select(
+        "event_id",
+        F.size(nums).alias("n_nums"),
+        F.element_at(nums, 1).cast("bigint").alias("first_num"),
+        F.array_join(nums, ",").alias("nums_csv"),
+        F.element_at(words, 1).alias("first_word"),
+    )

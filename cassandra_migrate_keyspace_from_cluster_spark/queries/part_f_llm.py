@@ -140,15 +140,25 @@ def f18_pipeline_report(spark, sf_dir):
                              (a, b) -> greatest(a, b)) / 127.0 AS raw_scale
           FROM e)
     SELECT vec_id, round(raw_scale, 6) AS scale,
-           list_transform(emb, x -> CAST(round(x / raw_scale, 0) AS INT)) AS q
+           array_to_string(list_transform(emb,
+             x -> CAST(round(x / raw_scale, 0) AS INT)), ',') AS q_csv
     FROM s
     """,
 )
 def f19_quantize_int8(spark, sf_dir):
     """Symmetric per-vector int8 quantization (scale = max|x|/127) —
     the 4x memory lever for the f4/f5b broadcast budget; dequantization
-    error bound is property-tested."""
-    return sim.quantize_int8(t(spark, sf_dir, "embeddings"))
+    error bound is property-tested. The query emits the codes as CSV
+    (nested-array cells are not portably hashable across comparison
+    harnesses); the operator keeps the typed array."""
+    q = sim.quantize_int8(t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform("q", lambda x: x.cast("string")), ","
+        ).alias("q_csv"),
+    )
 
 
 @register("f3_minhash_lsh", oracle=None)  # hash seeds engine-specific

@@ -239,3 +239,12 @@ def test_banded_range_join_no_nested_loop(spark):
     plan = physical_plan(q(spark, "b14b_range_join_banded"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_disjunctive_join_no_nested_loop(spark):
+    """b28's OR-predicate join is decomposed into per-disjunct equi
+    joins + union + bool_or merge — the plan must contain only hash
+    joins (a literal OR join would be CartesianProduct/BNLJ)."""
+    plan = physical_plan(q(spark, "b28_join_disjunctive"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
