@@ -1157,3 +1157,103 @@ def f28_source_mix_sample(spark, sf_dir):
         )
         .filter(F.col("bucket") < F.col("weight"))
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f30_pipeline_yield",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    scored AS (
+      SELECT source, len(w) AS n_tokens,
+             (len(w) BETWEEN 10 AND 1000
+              AND CAST(list_reduce(list_transform(w, x -> length(x)),
+                                   (a, b) -> a + b) AS DOUBLE) / len(w)
+                  BETWEEN 2 AND 12
+              AND CAST(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))
+                       AS DOUBLE) / len(w) >= 0.8
+              AND len(list_intersect(w, ['the', 'a', 'of', 'to', 'and'])) > 0)
+               AS keep
+      FROM d)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(coalesce(sum(n_tokens) FILTER (WHERE keep), 0) AS BIGINT)
+             AS tokens_kept,
+           round(CAST(coalesce(sum(n_tokens) FILTER (WHERE keep), 0) AS DOUBLE)
+                 / sum(n_tokens), 6) AS token_yield
+    FROM scored GROUP BY source
+    """,
+)
+def f30_pipeline_yield(spark, sf_dir):
+    """Pipeline yield report: per source, how many documents and tokens
+    survive the f27 rule gate — THE planning number for a training-data
+    mix (token budgets are set on post-filter counts, not raw crawl
+    size). One scan with codegen'd rule flags, one partial-aggregated
+    groupBy on source; FILTER-style conditional sums avoid a second
+    pass."""
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    tok_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+    )
+    keep = (
+        (n >= 10) & (n <= 1000)
+        & (tok_chars / n >= 2) & (tok_chars / n <= 12)
+        & (F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$"))) / n >= 0.8)
+        & (F.size(F.array_intersect(w, F.array(*[F.lit(x) for x in
+                                                 ["the", "a", "of", "to", "and"]]))) > 0)
+    )
+    scored = docs.select("source", n.alias("n_tokens"), keep.alias("keep"))
+    kept_tokens = F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        kept_tokens.cast("long").alias("tokens_kept"),
+        r6(kept_tokens / F.sum("n_tokens")).alias("token_yield"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f31_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+    freq AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+    total AS (SELECT sum(c) AS n FROM freq)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(CAST(f.c AS DOUBLE) / total.n)), 6) AS avg_logprob
+    FROM tok t JOIN freq f ON f.tk = t.tk, total
+    GROUP BY t.doc_id
+    """,
+)
+def f31_unigram_logprob(spark, sf_dir):
+    """Corpus-LM fluency scoring (the KenLM-shaped quality signal,
+    unigram tier): train a unigram model ON the corpus itself (token →
+    relative frequency), then score each doc by its mean token
+    log-probability. Low scorers are gibberish/outlier docs.
+    Scale shape: the LM table is vocabulary-sized → broadcast to the
+    token stream (map-side join, no shuffle of the exploded corpus);
+    per-doc averaging partial-aggregates. The 100-TB version swaps the
+    unigram table for a KenLM shard per worker — same dataflow."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    lm = freq.crossJoin(F.broadcast(total)).select(
+        "tk", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    return (
+        tok.join(F.broadcast(lm), "tk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            r6(F.avg(F.log("p"))).alias("avg_logprob"),
+        )
+    )
