@@ -489,3 +489,47 @@ def d13_regex_array(spark, sf_dir):
         F.array_join(nums, ",").alias("nums_csv"),
         F.element_at(words, 1).alias("first_word"),
     )
+
+
+@register(
+    "d14_timestamp_arith",
+    oracle="""
+    SELECT event_id,
+           CAST(date_trunc('second', ts) + INTERVAL 90 MINUTE AS VARCHAR) AS plus_90m,
+           CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_floor,
+           CAST(date_diff('minute', date_trunc('day', ts), ts) AS BIGINT)
+             AS mins_into_day,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
+                AS BIGINT) AS days_since_epoch_start,
+           CAST(make_timestamp(1995, 1, 1, 12, 0, 0) AS VARCHAR) AS anchor
+    FROM events
+    """,
+)
+def d14_timestamp_arith(spark, sf_dir):
+    """Timestamp-arithmetic family: interval add, trunc, timestampdiff
+    at two grains, make_timestamp — emitted as ISO strings (timestamp
+    cell formatting is normalized identically that way in both
+    engines). Spark's timestampdiff(MINUTE,...) and DuckDB's
+    date_diff('minute',...) both count whole-unit boundaries."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format(
+            F.col("ts") + F.expr("INTERVAL 90 MINUTES"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("plus_90m"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_floor"
+        ),
+        F.expr("timestampdiff(MINUTE, date_trunc('day', ts), ts)")
+        .cast("long")
+        .alias("mins_into_day"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_format(
+            F.make_timestamp(
+                F.lit(1995), F.lit(1), F.lit(1), F.lit(12), F.lit(0), F.lit(0)
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("anchor"),
+    )

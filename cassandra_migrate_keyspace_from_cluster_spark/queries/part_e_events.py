@@ -402,3 +402,40 @@ def e11_anomaly_zscore(spark, sf_dir):
         F.when(sd > 0, r6(z)).alias("zscore"),
         F.coalesce((sd > 0) & (F.abs(z) > 2), F.lit(False)).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e12_out_of_order_profile",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY event_id) AS prev_ts
+      FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE prev_ts IS NOT NULL AND ts < prev_ts)
+                AS BIGINT) AS n_out_of_order,
+           round(CAST(count(*) FILTER (WHERE prev_ts IS NOT NULL AND ts < prev_ts)
+                      AS DOUBLE) / count(*), 6) AS ooo_rate
+    FROM s GROUP BY user_id
+    """,
+)
+def e12_out_of_order_profile(spark, sf_dir):
+    """Late-data profiling: per user, how often event-time regresses
+    against arrival order (event_id) — the measurement that justifies a
+    watermark bound before deploying e1-e6's streaming twins (pick the
+    delay that covers the observed disorder). Window partitions on
+    user_id; the profile agg partial-aggregates."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    s = ev.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    ooo = F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts"))
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(ooo.cast("int")).cast("long").alias("n_out_of_order"),
+        r6(F.sum(ooo.cast("int")) / F.count(F.lit(1))).alias("ooo_rate"),
+    )

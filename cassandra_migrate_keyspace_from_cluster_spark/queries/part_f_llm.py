@@ -1257,3 +1257,48 @@ def f31_unigram_logprob(spark, sf_dir):
             r6(F.avg(F.log("p"))).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f32_quality_aware_dedup",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, md5(lower(trim(text))) AS text_hash,
+             round(0.4 * least(n_chars / 500.0, 1.0)
+           + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           + 0.3 * least((CAST(list_reduce(list_transform(string_split(text, ' '),
+                    x -> length(x)), (a, b) -> a + b) AS DOUBLE)
+                    / len(string_split(text, ' '))) / 10.0, 1.0), 6) AS quality
+      FROM documents)
+    SELECT doc_id, text_hash, quality,
+           count(*) OVER (PARTITION BY text_hash) AS n_copies
+    FROM q
+    QUALIFY row_number() OVER (PARTITION BY text_hash
+                               ORDER BY quality DESC, doc_id) = 1
+    """,
+)
+def f32_quality_aware_dedup(spark, sf_dir):
+    """Quality-aware dedup survivor selection: within each exact-dup
+    group, keep the HIGHEST-quality copy (f14's pinned score, tie-break
+    doc_id) instead of f1's lowest-id — what a production pipeline does
+    when duplicates differ in extraction quality. Same single-shuffle
+    window shape as f1; only the survivor ordering changes."""
+    docs = t(spark, sf_dir, "documents")
+    q = tx.quality_scores(docs).select("doc_id", "quality")
+    d = docs.select(
+        "doc_id", dd.normalized_text_hash("text").alias("text_hash")
+    ).join(q, "doc_id")
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("text_hash").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("text_hash")
+    return (
+        d.withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text_hash", "quality", "n_copies")
+    )
