@@ -81,8 +81,30 @@ _DRIVER_GREEN = frozenset({
 })
 
 
+# Queries first declared in this round's build session (no prior local-
+# parity history in any driver artifact): highest priority for the
+# driver's 50-entry window, ahead of the r1-unchecked block.
+_NEW_THIS_ROUND = frozenset({
+    "g9_cogrouped_map", "c20_unpivot", "c21_date_spine_gapfill",
+    "f24_minhash_pinned_lsh", "f25_contamination", "f26_repetition",
+    "f27_rule_filters", "f28_source_mix_sample", "e11_anomaly_zscore",
+    "a4f_copy_compacted", "a11_snapshot_diff", "a12_schema_evolution_copy",
+    "c22_window_count_distinct", "d13_regex_array", "b28_join_disjunctive",
+    "f30_pipeline_yield", "f31_unigram_logprob", "f32_quality_aware_dedup",
+    "e12_out_of_order_profile", "d14_timestamp_arith",
+})
+
+
+def _tier(name: str) -> int:
+    if name in _NEW_THIS_ROUND:
+        return 0
+    if name in _DRIVER_GREEN:
+        return 2
+    return 1
+
+
 def _ordered() -> list[tuple[str, QuerySpec]]:
-    return sorted(QUERIES.items(), key=lambda kv: (kv[0] in _DRIVER_GREEN, kv[0]))
+    return sorted(QUERIES.items(), key=lambda kv: (_tier(kv[0]), kv[0]))
 
 
 def queries() -> dict[str, QueryFn]:
