@@ -701,3 +701,55 @@ def c22_window_count_distinct(spark, sf_dir):
         "user_id",
         F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "c23_listagg",
+    oracle="""
+    WITH st AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem),
+    ln AS (SELECT DISTINCT l_returnflag,
+                  CAST(l_linenumber AS VARCHAR) AS lnum FROM lineitem),
+    a AS (SELECT l_returnflag,
+                 string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+          FROM st GROUP BY l_returnflag),
+    b AS (SELECT l_returnflag,
+                 string_agg(lnum, '|' ORDER BY lnum) AS line_nums
+          FROM ln GROUP BY l_returnflag),
+    c AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag)
+    SELECT a.l_returnflag, a.statuses, b.line_nums, c.n
+    FROM a JOIN b ON b.l_returnflag = a.l_returnflag
+           JOIN c ON c.l_returnflag = a.l_returnflag
+    """,
+)
+def c23_listagg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG WITHIN GROUP, new in Spark
+    4): distinct values concatenated under an explicit ordering — the
+    only deterministic form (unordered listagg is engine-order
+    dependent and would never hash-match). Each list is deduped with a
+    DISTINCT pre-aggregate BEFORE the listagg rather than listagg
+    (DISTINCT ...): dedup-first is the scale shape (combine happens
+    map-side on small distinct sets) and it sidesteps a Spark 4
+    RewriteDistinctAggregates crash when two multi-column DISTINCT
+    ListAggs share one Aggregate (ClassCastException SortOrder)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        WITH st AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem),
+        ln AS (SELECT DISTINCT l_returnflag,
+                      CAST(l_linenumber AS STRING) AS lnum FROM lineitem),
+        a AS (SELECT l_returnflag,
+                     listagg(l_linestatus, ',')
+                       WITHIN GROUP (ORDER BY l_linestatus) AS statuses
+              FROM st GROUP BY l_returnflag),
+        b AS (SELECT l_returnflag,
+                     listagg(lnum, '|') WITHIN GROUP (ORDER BY lnum)
+                       AS line_nums
+              FROM ln GROUP BY l_returnflag),
+        c AS (SELECT l_returnflag, count(*) AS n
+              FROM lineitem GROUP BY l_returnflag)
+        SELECT a.l_returnflag, a.statuses, b.line_nums, c.n
+        FROM a JOIN b ON b.l_returnflag = a.l_returnflag
+               JOIN c ON c.l_returnflag = a.l_returnflag
+        """
+    )

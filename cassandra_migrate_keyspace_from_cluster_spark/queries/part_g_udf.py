@@ -13,6 +13,7 @@ computes the same thing the declarative path would:
   g7  mapInArrow zero-copy batch map     (no pandas materialization)
   g8  iterator pandas UDF                (amortized per-worker init)
   g9  cogrouped map                      (two-sided applyInPandas merge)
+  g10 arrow-optimized row UDF            (useArrow=True drop-in for g1)
 
 Scale notes: every op here crosses JVM→Python over Arrow batches —
 that boundary is the cost, so at 100 TB these run ONLY where built-in
@@ -339,4 +340,24 @@ def g9_cogrouped_map(spark, sf_dir):
             "o_orderkey bigint, o_totalprice double, n_lines bigint, "
             "net_revenue_x10k bigint",
         )
+    )
+
+
+@register(
+    "g10_arrow_python_udf",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice, {_TIER_SQL} AS price_tier
+    FROM orders
+    """,
+)
+def g10_arrow_python_udf(spark, sf_dir):
+    """Arrow-OPTIMIZED Python UDF (``F.udf(..., useArrow=True)``, Spark
+    3.5+): same row-wise function as g1, but batched over Arrow instead
+    of pickled row-by-row — the drop-in accelerator for legacy row UDFs
+    that can't be vectorized (g2 remains the preferred fully-vectorized
+    form). Completes the extension-path matrix: g1 pickle/row, g10
+    arrow/row, g2 arrow/vectorized."""
+    tier_udf = F.udf(_tier, T.StringType(), useArrow=True)
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", tier_udf("o_totalprice").alias("price_tier")
     )

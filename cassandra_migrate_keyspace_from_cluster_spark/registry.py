@@ -91,7 +91,8 @@ _NEW_THIS_ROUND = frozenset({
     "a4f_copy_compacted", "a11_snapshot_diff", "a12_schema_evolution_copy",
     "c22_window_count_distinct", "d13_regex_array", "b28_join_disjunctive",
     "f30_pipeline_yield", "f31_unigram_logprob", "f32_quality_aware_dedup",
-    "e12_out_of_order_profile", "d14_timestamp_arith",
+    "e12_out_of_order_profile", "d14_timestamp_arith", "c23_listagg",
+    "g10_arrow_python_udf",
 })
 
 
