@@ -172,3 +172,56 @@ def stream_stream_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
         "user_id", "click_id", "purchase_id",
         "click_ts", "purchase_ts", "purchase_value",
     )
+
+
+def running_spend_stream_tws(events: DataFrame) -> DataFrame:
+    """running_spend_stream on the Spark 4 ``transformWithStateInPandas``
+    API (StatefulProcessor + typed ValueState) — the successor to
+    applyInPandasWithState: explicit named state handles, timers, and
+    TTL support, backed by the RocksDB state store (the store that
+    scales streaming state past executor memory at the 100-TB design
+    point; tests set the provider conf).
+
+    Same semantics as the applyInPandasWithState form: one running
+    double per user, batch rows folded in (ts, event_id) order.
+    NOTE: the API's Python driver worker imports protobuf at stream
+    start; the pytest twin-equality check importorskips when protobuf
+    is absent from the environment (as in this container)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningSpend(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", "total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self._total.get()[0] if self._total.exists() else 0.0
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            cum = pdf["value"].cumsum() + total
+            if len(cum):
+                self._total.update((float(cum.iloc[-1]),))
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "user_id": pdf["user_id"],
+                    "cum_spend": cum.round(2),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningSpend(),
+            outputStructType="event_id bigint, user_id bigint, cum_spend double",
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

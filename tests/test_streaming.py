@@ -100,3 +100,31 @@ def test_stream_stream_join_twin_matches_batch(spark, events_dir):
     got = twins.run_to_completion(stream, "ss_join_out").toPandas()
     want = specs()["e10_stream_stream_join"].fn(spark, SF_SMOKE).toPandas()
     compare_frames(got, want, "stream-stream join twin vs batch")
+
+
+def test_transform_with_state_twin_matches_batch(spark, events_dir):
+    """Spark 4 transformWithStateInPandas (StatefulProcessor + RocksDB
+    ValueState) must reproduce the same batch running-sum values as the
+    applyInPandasWithState twin. The API's driver worker requires
+    protobuf (not shipped in this container) — skipped when absent;
+    the twin itself is plain PySpark and runs wherever protobuf is."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = twins.running_spend_stream_tws(
+            twins.read_events_stream(spark, events_dir)
+        )
+        got = twins.run_to_completion(stream, "runagg_tws_out").toPandas()
+        want = specs()["e6_stateful_runagg"].fn(spark, SF_SMOKE).toPandas()
+        compare_frames(got, want, "transformWithState twin vs batch")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
