@@ -477,3 +477,104 @@ def centroid_classify(embeddings: DataFrame, label_col: str = "label") -> DataFr
         assigned.groupBy(label_col, F.col("centroid_label").alias("pred_label"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via PRODUCT QUANTIZATION with
+    asymmetric distance computation (ADC) — the memory-side compression
+    tier of the vector-search ladder (f4 exact / f4c chunked / f5 LSH /
+    f5b IVF / f33 PQ).
+
+    Vectors are L2-normalized (so L2 ordering == cosine ordering), cut
+    into ``m`` subvectors, and each subspace is vector-quantized against
+    its own ``n_codes``-entry codebook (seeded Lloyd iterations on a
+    driver-side sample — codebook training is sample-based in every PQ
+    system; FAISS does the same). A vector then stores only ``m`` small
+    codes: 8 bytes here vs 256 for float32×64 — a 32x index shrink,
+    which is what lets a 100-TB corpus's index live in executor memory.
+
+    Search (ADC): each query computes an (m × n_codes) table of exact
+    subspace distances to the codebooks, then every corpus item's
+    approximate distance is m table lookups over its codes — no
+    original vectors touched. Distributed shape: queries are a scan;
+    the code matrix + codebooks ride ONE broadcast (the 32x-compressed
+    index); encode is a separate scan. Rows-only query (codebooks are
+    data-derived); recall vs the exact f4 truth is pytest-asserted.
+    """
+    import numpy as np
+    import pandas as pd
+
+    corpus = embeddings.select(F.col(id_col).alias("id"), "embedding").toPandas()
+    ids = corpus["id"].to_numpy(dtype=np.int64)
+    mat = np.vstack(corpus["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    n, d = mat.shape
+    assert d % m == 0, (d, m)
+    sub_d = d // m
+
+    rng = np.random.RandomState(7)
+    codebooks = np.empty((m, n_codes, sub_d))
+    codes = np.empty((n, m), dtype=np.int32)
+    for j in range(m):
+        sub = mat[:, j * sub_d : (j + 1) * sub_d]
+        centers = sub[rng.choice(n, size=n_codes, replace=False)]
+        for _ in range(10):  # seeded Lloyd iterations
+            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                pts = sub[assign == c]
+                if len(pts):
+                    centers[c] = pts.mean(axis=0)
+        codebooks[j] = centers
+        codes[:, j] = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(
+            axis=2
+        ).argmin(axis=1)
+
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((ids, codes, codebooks))
+    queries = embeddings.select(F.col(id_col).alias("id"), "embedding")
+
+    def adc_topk(batches):
+        c_ids, c_codes, books = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf["id"].to_numpy(dtype=np.int64)
+            q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            rows = []
+            for i in range(len(q_ids)):
+                # (m, n_codes) exact subspace distances for this query
+                tables = np.stack(
+                    [
+                        ((books[j] - q[i, j * sub_d : (j + 1) * sub_d]) ** 2).sum(
+                            axis=1
+                        )
+                        for j in range(m)
+                    ]
+                )
+                approx = tables[np.arange(m)[None, :], c_codes].sum(axis=1)
+                approx = np.where(c_ids == q_ids[i], np.inf, np.round(approx, 6))
+                order = np.lexsort((c_ids, approx))[:k]
+                keep = order[np.isfinite(approx[order])]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[i],
+                            "neighbor_id": c_ids[keep],
+                            "approx_dist": approx[keep],
+                        }
+                    )
+                )
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    return queries.mapInPandas(
+        adc_topk, "query_id bigint, neighbor_id bigint, approx_dist double"
+    )

@@ -439,3 +439,53 @@ def e12_out_of_order_profile(spark, sf_dir):
         F.sum(ooo.cast("int")).cast("long").alias("n_out_of_order"),
         r6(F.sum(ooo.cast("int")) / F.count(F.lit(1))).alias("ooo_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e13_windowed_topn",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, count(*) AS n,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2)
+    SELECT CAST(window_start AS VARCHAR) AS window_start, event_type, n,
+           total_value, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY window_start
+            ORDER BY n DESC, event_type) AS rnk
+          FROM w)
+    WHERE rnk <= 3
+    """,
+)
+def e13_windowed_topn(spark, sf_dir):
+    """Trending-per-window: top-3 event types by count within each
+    1-hour tumbling window (count ties broken alphabetically) — the
+    dashboard staple composing e1's window agg with c11's per-group
+    top-k. Scale shape: windowed agg shuffles once on (window, type);
+    the rank window partitions on window_start (cardinality grows with
+    time → scales out; per-partition state is #event_types rows)."""
+    ev = t(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    wr = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )

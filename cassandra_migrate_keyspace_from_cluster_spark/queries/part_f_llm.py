@@ -1302,3 +1302,14 @@ def f32_quality_aware_dedup(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "text_hash", "quality", "n_copies")
     )
+
+
+# --------------------------------------------------------------------------
+@register("f33_pq_topk", oracle=None)  # codebooks are data/seed-derived
+def f33_pq_topk(spark, sf_dir):
+    """Product-quantization ADC approximate top-5 neighbors — the
+    32x-compressed-index tier of the vector-search ladder (see
+    operators/similarity.py::pq_topk). Rows-only; recall vs the exact
+    f4 truth asserted in pytest."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.pq_topk(emb, k=5, m=8, n_codes=32)

@@ -510,3 +510,22 @@ def test_pinned_minhash_recall_vs_exact_shingle_jaccard(spark):
     assert exact, "no exact near-dup pairs at >=0.9 — planted dups missing?"
     recall = len(exact & cand) / len(exact)
     assert recall >= 0.9, f"pinned-LSH recall {recall:.3f} < 0.9 ({len(exact)} exact pairs)"
+
+
+def test_pq_recall_vs_exact_cosine(spark):
+    """f33 (PQ-ADC, 8 bytes/vector = 32x compression) recall against
+    the exact f4 truth. Near-gaussian vectors are PQ's WORST case
+    (no subspace structure to exploit), so absolute recall is modest —
+    but it must beat chance (5/499 ≈ 1%) by a wide margin, and the
+    seeded codebooks make the measured value a deterministic constant
+    of the dataset, not a flaky sample."""
+    pq = ALL["f33_pq_topk"].fn(spark, SF_T2).toPandas()
+    exact = ALL["f4_cosine_topk"].fn(spark, SF_T2).toPandas()
+    pq_set = {(r.query_id, r.neighbor_id) for r in pq.itertuples()}
+    ex_set = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    recall5 = len(pq_set & ex_set) / len(ex_set)
+    ex1 = exact[exact["rank"] == 1]
+    ex1_set = {(r.query_id, r.neighbor_id) for r in ex1.itertuples()}
+    top1 = len(ex1_set & pq_set) / len(ex1_set)
+    assert recall5 >= 0.25, f"PQ recall@5 {recall5:.3f} < 0.25"
+    assert top1 >= 0.40, f"PQ top1-in-top5 {top1:.3f} < 0.40"
