@@ -915,3 +915,31 @@ def b28_join_disjunctive(spark, sf_dir):
         F.bool_or("same_block").alias("same_block"),
         F.bool_or("same_len").alias("same_len"),
     )
+
+
+# --------------------------------------------------------------------------
+_B29_SQL = """
+SELECT r.n_regionkey, t.n_name, t.n_cust
+FROM (SELECT DISTINCT n_regionkey FROM nation) r,
+LATERAL (
+  SELECT n.n_name, count(c.c_custkey) AS n_cust
+  FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.n_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_cust DESC, n.n_name
+  LIMIT 2
+) t
+"""
+
+
+@register("b29_lateral_join", oracle=_B29_SQL)
+def b29_lateral_join(spark, sf_dir):
+    """Correlated LATERAL subquery join (SQL entry point): per region,
+    the top-2 nations by customer count — the per-row-subquery idiom
+    Catalyst decorrelates into joins + per-group limits rather than
+    executing once per outer row (n subquery runs would be the scale
+    killer; the identical text runs on DuckDB, whose planner does the
+    same rewrite — the strongest cross-engine check of decorrelation
+    semantics)."""
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_B29_SQL)

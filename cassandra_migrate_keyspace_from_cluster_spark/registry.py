@@ -92,7 +92,7 @@ _NEW_THIS_ROUND = frozenset({
     "c22_window_count_distinct", "d13_regex_array", "b28_join_disjunctive",
     "f30_pipeline_yield", "f31_unigram_logprob", "f32_quality_aware_dedup",
     "e12_out_of_order_profile", "d14_timestamp_arith", "c23_listagg",
-    "g10_arrow_python_udf", "e13_windowed_topn", "f33_pq_topk",
+    "g10_arrow_python_udf", "e13_windowed_topn", "f33_pq_topk", "b29_lateral_join",
 })
 
 

@@ -248,3 +248,27 @@ def test_disjunctive_join_no_nested_loop(spark):
     plan = physical_plan(q(spark, "b28_join_disjunctive"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_contamination_eval_index_broadcasts(spark):
+    """f25's eval-set n-gram index must ride a broadcast join (the
+    map-side check is the whole scale story: no shuffle of the
+    exploded training corpus)."""
+    plan = physical_plan(q(spark, "f25_contamination"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_unigram_lm_broadcasts(spark):
+    """f31's unigram LM table must ride a broadcast join over the
+    token stream (vocabulary-sized table → map-side join)."""
+    plan = physical_plan(q(spark, "f31_unigram_logprob"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lateral_join_decorrelates(spark):
+    """b29's LATERAL subquery must decorrelate: no per-outer-row
+    subquery execution (plan shows joins + partitioned rank/limit, not
+    CartesianProduct over the subquery)."""
+    plan = physical_plan(q(spark, "b29_lateral_join"))
+    assert "Join" in plan, plan
+    assert "CartesianProduct" not in plan, plan
