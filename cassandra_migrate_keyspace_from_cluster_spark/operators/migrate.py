@@ -479,3 +479,33 @@ def snapshot_diff(
             action.alias("action"),
         )
     )
+
+
+def migrate_keyspace(
+    spark: SparkSession, src_dir: str, dst_dir: str, tables=TABLES
+) -> DataFrame:
+    """The reference's WHOLE JOB as one operator: copy every table of
+    the keyspace to the target, then emit the per-table validation
+    report (source count, target re-read count, match flag) — A4 + A7
+    composed over the full keyspace.
+
+    Each table's copy is the shuffle-free scan→write pass of
+    ``copy_table``; tables are independent, so on a cluster they
+    parallelize trivially (their jobs interleave across executors —
+    submit order is not a dependency). Counts on the parquet target are
+    metadata-only. The report is a union of 1-row frames: driver-side
+    loop over TABLE NAMES (10 items), never over data."""
+    reports = []
+    for name in tables:
+        src = load_table(spark, src_dir, name)
+        dst = os.path.join(dst_dir, f"{name}.parquet")
+        src.write.mode("overwrite").parquet(dst)
+        n_src = src.count()
+        n_dst = spark.read.parquet(dst).count()
+        reports.append(
+            spark.createDataFrame(
+                [(name, n_src, n_dst, n_src == n_dst)],
+                "table_name string, n_rows_src bigint, n_rows_dst bigint, counts_match boolean",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), reports)

@@ -392,3 +392,28 @@ def a12_schema_evolution_copy(spark, sf_dir):
         .parquet(f"{dst}/nation.parquet")
         .select("n_nationkey", "n_name", "n_regionkey", "n_name_len")
     )
+
+
+@register(
+    "a13_full_keyspace_copy",
+    oracle="""
+    SELECT 'region' AS table_name, count(*) AS n_rows_src,
+           count(*) AS n_rows_dst, TRUE AS counts_match FROM region
+    UNION ALL SELECT 'nation', count(*), count(*), TRUE FROM nation
+    UNION ALL SELECT 'customer', count(*), count(*), TRUE FROM customer
+    UNION ALL SELECT 'supplier', count(*), count(*), TRUE FROM supplier
+    UNION ALL SELECT 'part', count(*), count(*), TRUE FROM part
+    UNION ALL SELECT 'orders', count(*), count(*), TRUE FROM orders
+    UNION ALL SELECT 'lineitem', count(*), count(*), TRUE FROM lineitem
+    UNION ALL SELECT 'events', count(*), count(*), TRUE FROM events
+    UNION ALL SELECT 'documents', count(*), count(*), TRUE FROM documents
+    UNION ALL SELECT 'embeddings', count(*), count(*), TRUE FROM embeddings
+    """,
+)
+def a13_full_keyspace_copy(spark, sf_dir):
+    """The reference's end-to-end job as ONE declared query: migrate
+    the entire keyspace (all 10 tables) to a fresh target and return
+    the per-table validation report. The oracle pins every table's
+    row count and asserts every copy arrived complete."""
+    dst = tempfile.mkdtemp(prefix="spark_graft_a13_")
+    return mig.migrate_keyspace(spark, sf_dir, dst)
