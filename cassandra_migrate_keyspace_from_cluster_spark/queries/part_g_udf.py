@@ -280,65 +280,80 @@ def g8_pandas_udf_iter(spark, sf_dir):
 @register(
     "g9_cogrouped_map",
     oracle="""
-    SELECT o.o_orderkey, o.o_totalprice,
-           count(l.l_orderkey) AS n_lines,
-           CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0)
-                AS BIGINT) AS net_revenue_x10k
-    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    GROUP BY o.o_orderkey, o.o_totalprice
+    WITH o AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS ordered_cents
+      FROM orders GROUP BY 1),
+    l AS (
+      SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+             count(*) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS shipped_x10k
+      FROM lineitem GROUP BY 1)
+    SELECT coalesce(o.month, l.month) AS month,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(o.ordered_cents, 0) AS BIGINT) AS ordered_cents,
+           CAST(coalesce(l.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(l.shipped_x10k, 0) AS BIGINT) AS shipped_x10k
+    FROM o FULL JOIN l ON l.month = o.month
     """,
 )
 def g9_cogrouped_map(spark, sf_dir):
     """Cogrouped map (``groupBy().cogroup().applyInPandas``): both
     relations are co-shuffled on the key and each key's two pandas
-    frames are merged in one Python call — the two-sided
-    split-apply-combine surface (custom join-aggregate logic that a
-    plain join can't express row-wise). Here: per-order line count +
-    net revenue, checked against the LEFT JOIN aggregate SQL twin.
-    Revenue is summed in integer 1e-4-dollar units (2dp price × 2dp
-    discount factor is exact there) — float sums of price*discount
-    land on half-cent boundaries where cross-engine decimal rounding
-    diverges, integers never do. Scale shape: one shuffle per side on
-    the cogroup key (identical to a shuffle join), Python cost per key
-    amortized over Arrow batches."""
+    frames land in ONE Python call — the two-sided split-apply-combine
+    surface. Here: monthly bookkeeping reconciliation — ordered value
+    (orders by order month) vs shipped net revenue (lineitem by ship
+    month) — checked against the FULL JOIN of the two aggregates.
+    Money is summed in integer cent units (2dp inputs are exact there)
+    — float sums land on half-cent boundaries where cross-engine
+    decimal rounding diverges; integers never do.
+    Scale shape: cogroup dispatches ONE Python call PER KEY, so the
+    key must be bounded-cardinality with large frames (months: ~84
+    calls over ~7k-row frames, vectorized inside) — cogrouping on a
+    per-row key like orderkey would mean millions of 5-row pandas
+    round-trips, the classic cogroup anti-pattern (measured 10x slower
+    at sf0.1 before this recast)."""
 
-    def merge(key, o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
-        if o.empty:  # lineitem-only key: LEFT JOIN semantics emit nothing
-            return pd.DataFrame(
-                {
-                    "o_orderkey": pd.Series([], dtype="int64"),
-                    "o_totalprice": pd.Series([], dtype="float64"),
-                    "n_lines": pd.Series([], dtype="int64"),
-                    "net_revenue_x10k": pd.Series([], dtype="int64"),
-                }
-            )
+    def reconcile(key, o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        ordered = (
+            int((o["o_totalprice"] * 100).round().astype("int64").sum())
+            if len(o)
+            else 0
+        )
         if len(l):
             cents = (l["l_extendedprice"] * 100).round().astype("int64")
             disc = (l["l_discount"] * 100).round().astype("int64")
-            net = int((cents * (100 - disc)).sum())
+            shipped = int((cents * (100 - disc)).sum())
         else:
-            net = 0
+            shipped = 0
         return pd.DataFrame(
             {
-                "o_orderkey": [key[0]],
-                "o_totalprice": [float(o["o_totalprice"].iloc[0])],
+                "month": [key[0]],
+                "n_orders": [len(o)],
+                "ordered_cents": [ordered],
                 "n_lines": [len(l)],
-                "net_revenue_x10k": [net],
+                "shipped_x10k": [shipped],
             }
         )
 
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    month = lambda c: F.date_format(F.date_trunc("month", F.col(c)), "yyyy-MM")  # noqa: E731
+    orders = t(spark, sf_dir, "orders").select(
+        month("o_orderdate").alias("month"), "o_totalprice"
+    )
     li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+        month("l_shipdate").alias("month"), "l_extendedprice", "l_discount"
     )
     return (
-        orders.groupBy("o_orderkey")
-        .cogroup(li.groupBy("l_orderkey"))
+        orders.groupBy("month")
+        .cogroup(li.groupBy("month"))
         .applyInPandas(
-            merge,
-            "o_orderkey bigint, o_totalprice double, n_lines bigint, "
-            "net_revenue_x10k bigint",
+            reconcile,
+            "month string, n_orders bigint, ordered_cents bigint, "
+            "n_lines bigint, shipped_x10k bigint",
         )
     )
 
