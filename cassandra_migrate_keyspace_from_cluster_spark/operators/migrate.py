@@ -490,17 +490,21 @@ def migrate_keyspace(
     composed over the full keyspace.
 
     Each table's copy is the shuffle-free scan→write pass of
-    ``copy_table``; tables are independent, so on a cluster they
-    parallelize trivially (their jobs interleave across executors —
-    submit order is not a dependency). Counts on the parquet target are
-    metadata-only. The report is a union of 1-row frames: driver-side
-    loop over TABLE NAMES (10 items), never over data."""
+    ``copy_table``, coalesced to ~1M-row output files so the target
+    never inherits the source's fragmentation (coalesce is narrow — it
+    merges read splits without a shuffle; a4f's repartition form is the
+    rebalancing alternative). Tables are independent, so on a cluster
+    they parallelize trivially (their jobs interleave across executors
+    — submit order is not a dependency). Counts on the parquet target
+    are metadata-only. The report is a union of 1-row frames:
+    driver-side loop over TABLE NAMES (10 items), never over data."""
     reports = []
     for name in tables:
         src = load_table(spark, src_dir, name)
         dst = os.path.join(dst_dir, f"{name}.parquet")
-        src.write.mode("overwrite").parquet(dst)
         n_src = src.count()
+        n_files = max(1, -(-n_src // 1_000_000))
+        src.coalesce(n_files).write.mode("overwrite").parquet(dst)
         n_dst = spark.read.parquet(dst).count()
         reports.append(
             spark.createDataFrame(
