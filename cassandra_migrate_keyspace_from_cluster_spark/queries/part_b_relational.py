@@ -943,3 +943,29 @@ def b29_lateral_join(spark, sf_dir):
     semantics)."""
     register_views(spark, sf_dir, ("nation", "customer"))
     return spark.sql(_B29_SQL)
+
+
+# --------------------------------------------------------------------------
+_B30_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_totalprice > 300000)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderstatus = 'P'
+                          AND o_custkey IS NOT NULL)
+"""
+
+
+@register("b30_in_subquery", oracle=_B30_SQL)
+def b30_in_subquery(spark, sf_dir):
+    """IN / NOT IN subqueries (the membership-predicate surface next to
+    b23's EXISTS): big-spender customers with no pending orders.
+    NOT IN is the classic NULL trap — one NULL in the subquery result
+    makes NOT IN return no rows under three-valued logic — so the
+    subquery carries the explicit IS NOT NULL guard that production SQL
+    must have; Catalyst plans the guarded form as a plain (not
+    null-aware) anti join, IN as a semi join — both hash-partitionable
+    at scale. Identical text runs on DuckDB."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_B30_SQL)
