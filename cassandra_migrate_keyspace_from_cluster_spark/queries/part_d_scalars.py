@@ -533,3 +533,43 @@ def d14_timestamp_arith(spark, sf_dir):
             "yyyy-MM-dd HH:mm:ss",
         ).alias("anchor"),
     )
+
+
+@register(
+    "d15_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END
+             AS size_if,
+           CASE WHEN nullif(o_orderstatus, 'P') IS NOT NULL
+                THEN 'settled' ELSE 'pending' END AS nvl2_demo,
+           coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'default-pri')
+             AS ifnull_demo,
+           CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+                WHEN 'P' THEN 'pending' END AS status_decoded
+    FROM orders
+    """,
+)
+def d15_conditional(spark, sf_dir):
+    """Conditional/branching family: if(), nvl2, ifnull+nullif, and
+    decode-style code→label translation via a MAP LITERAL lookup
+    (``element_at(map(...), col)`` — the idiomatic Spark form of
+    Oracle DECODE; the oracle proves it equals simple CASE). All
+    codegen expressions."""
+    o = t(spark, sf_dir, "orders")
+    status_map = F.create_map(
+        F.lit("O"), F.lit("open"),
+        F.lit("F"), F.lit("finished"),
+        F.lit("P"), F.lit("pending"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.expr("if(o_totalprice > 150000, 'big', 'small')").alias("size_if"),
+        F.expr("nvl2(nullif(o_orderstatus, 'P'), 'settled', 'pending')").alias(
+            "nvl2_demo"
+        ),
+        F.expr("ifnull(nullif(o_orderpriority, '3-MEDIUM'), 'default-pri')").alias(
+            "ifnull_demo"
+        ),
+        F.element_at(status_map, F.col("o_orderstatus")).alias("status_decoded"),
+    )

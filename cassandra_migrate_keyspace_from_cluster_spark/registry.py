@@ -93,7 +93,7 @@ _NEW_THIS_ROUND = frozenset({
     "f30_pipeline_yield", "f31_unigram_logprob", "f32_quality_aware_dedup",
     "e12_out_of_order_profile", "d14_timestamp_arith", "c23_listagg",
     "g10_arrow_python_udf", "e13_windowed_topn", "f33_pq_topk", "b29_lateral_join",
-    "a13_full_keyspace_copy", "b30_in_subquery",
+    "a13_full_keyspace_copy", "b30_in_subquery", "d15_conditional",
 })
 
 
