@@ -1,6 +1,7 @@
 """Part C — advanced aggregation (rollup/cube/grouping sets, stats,
 percentiles, pivot, collect) and window functions (ranking, analytic
-offsets, frames). SURVEY.md §2 Part C (c1-c17).
+offsets, frames). SURVEY.md §2 Part C (c1-c19) + r2 additions
+(c20 unpivot, c21 gap-fill, c22 windowed distinct, c23 listagg).
 
 Engine-alignment notes baked in here:
   - Spark's skewness/kurtosis are POPULATION moments; DuckDB's built-ins

@@ -1,6 +1,6 @@
 """Part F — LLM-training-data pipeline operators (dedup, similarity
 search, text analysis, multimodal columns). SURVEY.md §2 Part F
-(f1-f12) plus the extended text/multimodal set (f13-f17).
+(f1-f12) plus the extended text/multimodal/curation set (f13-f33).
 
 Heavy lifting lives in operators/{dedup,similarity,text,multimodal}.py;
 this module binds each operator to a declared query + DuckDB oracle.

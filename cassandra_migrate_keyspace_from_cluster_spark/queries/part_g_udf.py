@@ -1,4 +1,4 @@
-"""Part G — UDF / UDAF / UDTF surface (SURVEY.md §2 g1-g6).
+"""Part G — UDF / UDAF / UDTF surface (SURVEY.md §2 g1-g10).
 
 Demonstrates every Python-extension execution path Spark offers, each
 hash-checked against a pure-SQL DuckDB twin so the Python path provably
