@@ -489,3 +489,42 @@ def e13_windowed_topn(spark, sf_dir):
         agg.withColumn("rnk", F.row_number().over(wr).cast("int"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e15_interarrival_histogram",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id),
+                       ts) AS gap_s
+      FROM events)
+    SELECT event_type,
+           CAST(least(floor(gap_s / 3600.0), 48) AS BIGINT) AS gap_hours_bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def e15_interarrival_histogram(spark, sf_dir):
+    """Inter-arrival-time histogram: per event type, the distribution
+    of gaps between a user's consecutive events of that type (hour
+    buckets, capped at 48h) — the measurement behind session-gap (e3)
+    and watermark (e12) threshold choices. Windows partition on
+    (user_id, event_type); the histogram agg partial-aggregates to
+    O(types × buckets) rows."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.date_trunc("second", "ts")) - F.unix_timestamp(
+        F.date_trunc("second", F.lag("ts").over(w))
+    )
+    g = ev.select("event_type", gap.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    bucket = F.least(F.floor(F.col("gap_s") / 3600.0), F.lit(48)).cast("long")
+    return g.groupBy(
+        "event_type", bucket.alias("gap_hours_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))

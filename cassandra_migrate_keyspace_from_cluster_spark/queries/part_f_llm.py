@@ -1313,3 +1313,34 @@ def f33_pq_topk(spark, sf_dir):
     f4 truth asserted in pytest."""
     emb = t(spark, sf_dir, "embeddings")
     return sim.pq_topk(emb, k=5, m=8, n_codes=32)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f35_token_spectrum",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+    freq AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk)
+    SELECT c AS token_freq,
+           CAST(count(*) AS BIGINT) AS n_tokens_with_freq
+    FROM freq GROUP BY c
+    """,
+)
+def f35_token_spectrum(spark, sf_dir):
+    """Token frequency-of-frequencies spectrum (the Zipf/Good-Turing
+    count-of-counts): how many vocabulary items occur exactly c times.
+    The corpus-health fingerprint — a truncated head or inflated
+    singleton tail is the first sign of crawl/tokenizer drift.
+    Scale shape: two partial-aggregated groupBys (token, then count);
+    the second input is vocabulary-sized, the output is O(distinct
+    frequencies) — tiny at any corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return freq.groupBy(F.col("c").alias("token_freq")).agg(
+        F.count(F.lit(1)).alias("n_tokens_with_freq")
+    )

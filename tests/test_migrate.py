@@ -176,3 +176,28 @@ def test_snapshot_diff_empty_on_identical(spark):
     cols = ("o_orderkey", "o_orderstatus", "o_orderpriority")
     diff = mig.snapshot_diff(orders, orders, "o_orderkey", cols)
     assert diff.count() == 0
+
+
+def test_copy_with_observed_metrics(spark):
+    """Migration monitoring via DataFrame.observe(): the copy pipeline
+    publishes row-count / sum metrics as a side effect of the ONE write
+    pass (no second validation scan) — at 100 TB this is how per-batch
+    QA counters come out of a copy for free."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    dst = tempfile.mkdtemp(prefix="spark_graft_observe_")
+    src = load_table(spark, SMOKE_SF, "orders")
+    obs = Observation("copy_metrics")
+    observed = src.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_copied"),
+        F.round(F.sum("o_totalprice"), 2).alias("value_copied"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    observed.write.mode("overwrite").parquet(f"{dst}/orders.parquet")
+    m = obs.get
+    assert m["rows_copied"] == src.count()
+    assert m["max_key"] == src.agg(F.max("o_orderkey")).collect()[0][0]
+    got = spark.read.parquet(f"{dst}/orders.parquet")
+    assert got.count() == m["rows_copied"]
