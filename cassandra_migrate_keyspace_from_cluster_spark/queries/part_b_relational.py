@@ -969,3 +969,30 @@ def b30_in_subquery(spark, sf_dir):
     at scale. Identical text runs on DuckDB."""
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_B30_SQL)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b31_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 20
+    """,
+)
+def b31_limit_offset(spark, sf_dir):
+    """Pagination: ORDER BY ... LIMIT k OFFSET n via DataFrame
+    ``offset()`` (Spark 3.4+). Page boundaries are deterministic only
+    under a total order — hence the orderkey tie-break (§5.4). At
+    scale, OFFSET still computes the first n+k rows (TakeOrdered over
+    n+k per partition); deep pagination should keyset-paginate
+    (WHERE key > last_seen) instead — documented here, demonstrated
+    with the shallow page."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(20)
+        .limit(10)
+    )

@@ -573,3 +573,29 @@ def d15_conditional(spark, sf_dir):
         ),
         F.element_at(status_map, F.col("o_orderstatus")).alias("status_decoded"),
     )
+
+
+@register(
+    "d16_encoding",
+    oracle="""
+    SELECT o_orderkey,
+           base64(encode(o_orderpriority)) AS pri_b64,
+           lower(hex(o_orderpriority)) AS pri_hex,
+           decode(unhex(lower(hex(o_orderpriority)))) AS pri_roundtrip
+    FROM orders
+    """,
+)
+def d16_encoding(spark, sf_dir):
+    """Binary-encoding family: base64, hex, and the unhex round trip
+    (string → bytes → hex → bytes → string). Spark's hex() uppercases
+    and DuckDB's lowercases → normalized to lower on both sides. Pure
+    codegen exprs."""
+    o = t(spark, sf_dir, "orders")
+    pri = F.col("o_orderpriority")
+    hexed = F.lower(F.hex(pri.cast("binary")))
+    return o.select(
+        "o_orderkey",
+        F.base64(pri.cast("binary")).alias("pri_b64"),
+        hexed.alias("pri_hex"),
+        F.decode(F.unhex(hexed), "UTF-8").alias("pri_roundtrip"),
+    )

@@ -1344,3 +1344,37 @@ def f35_token_spectrum(spark, sf_dir):
     return freq.groupBy(F.col("c").alias("token_freq")).agg(
         F.count(F.lit(1)).alias("n_tokens_with_freq")
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f36_cross_source_dups",
+    oracle="""
+    WITH h AS (
+      SELECT md5(lower(trim(text))) AS text_hash, source
+      FROM documents),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM h a JOIN h b
+        ON a.text_hash = b.text_hash AND a.source < b.source)
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_docs
+    FROM pairs GROUP BY source_a, source_b
+    """,
+)
+def f36_cross_source_dups(spark, sf_dir):
+    """Cross-source duplication overlap: for every source pair, how
+    many identical (normalized-hash) documents they share — the
+    provenance-overlap matrix that decides which crawls are redundant
+    before mixing (f28) even starts. Scale shape: one shuffle on the
+    content hash; the pair join happens WITHIN hash groups (dup-group
+    sized, bounded), output is O(sources²) — tiny."""
+    docs = t(spark, sf_dir, "documents")
+    h = docs.select(dd.normalized_text_hash("text").alias("text_hash"), "source")
+    a = h.select("text_hash", F.col("source").alias("source_a"))
+    b = h.select("text_hash", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "text_hash")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
+    )
