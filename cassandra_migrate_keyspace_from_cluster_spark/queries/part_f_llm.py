@@ -1350,31 +1350,76 @@ def f35_token_spectrum(spark, sf_dir):
 @register(
     "f36_cross_source_dups",
     oracle="""
-    WITH h AS (
-      SELECT md5(lower(trim(text))) AS text_hash, source
-      FROM documents),
-    pairs AS (
-      SELECT a.source AS source_a, b.source AS source_b
-      FROM h a JOIN h b
-        ON a.text_hash = b.text_hash AND a.source < b.source)
-    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_docs
-    FROM pairs GROUP BY source_a, source_b
+    WITH raw AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                 FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+    d AS (SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS toks
+          FROM raw),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM d),
+    seeds AS (SELECT unnest(range(16)) AS j),
+    sig AS (
+      SELECT doc_id, j,
+             min(CAST(('0x' || substr(md5(concat(CAST(j AS VARCHAR), ':', tk)),
+                                      1, 15)) AS BIGINT)) AS mh
+      FROM tok, seeds GROUP BY doc_id, j),
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS band_hash
+      FROM sig GROUP BY doc_id, j // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    neardup AS (
+      SELECT c.doc_a, c.doc_b, da.source AS sa, db.source AS sb
+      FROM cand c
+      JOIN d da ON da.doc_id = c.doc_a
+      JOIN d db ON db.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+            / len(list_distinct(da.toks || db.toks)) >= 0.9)
+    SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_docs
+    FROM neardup GROUP BY 1, 2
     """,
 )
 def f36_cross_source_dups(spark, sf_dir):
     """Cross-source duplication overlap: for every source pair, how
-    many identical (normalized-hash) documents they share — the
-    provenance-overlap matrix that decides which crawls are redundant
-    before mixing (f28) even starts. Scale shape: one shuffle on the
-    content hash; the pair join happens WITHIN hash groups (dup-group
-    sized, bounded), output is O(sources²) — tiny."""
+    many NEAR-duplicate documents (3-shingle Jaccard >= 0.9, candidates
+    from f24's pinned-hash LSH so both engines see the identical
+    candidate set) they share — the provenance-overlap matrix that
+    decides which crawls are redundant before mixing (f28) even
+    starts. Scale shape: inherits f24's bucket-join candidate
+    generation; the source matrix output is O(sources²) — tiny."""
     docs = t(spark, sf_dir, "documents")
-    h = docs.select(dd.normalized_text_hash("text").alias("text_hash"), "source")
-    a = h.select("text_hash", F.col("source").alias("source_a"))
-    b = h.select("text_hash", F.col("source").alias("source_b"))
+    cand = dd.minhash_band_candidates(docs, n_hashes=16, band_rows=4, k_shingle=3)
+    d = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", "source", dd.shingles("text", 3).alias("toks")
+    )
+    da = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("sa"),
+        F.col("toks").alias("toks_a"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("sb"),
+        F.col("toks").alias("toks_b"),
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
     return (
-        a.join(b, "text_hash")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        cand.select("doc_a", "doc_b")
+        .join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(jac >= 0.9)
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_shared_docs"))
     )
