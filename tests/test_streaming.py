@@ -128,3 +128,56 @@ def test_transform_with_state_twin_matches_batch(spark, events_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_windowed_topn_twin_via_foreach_batch(spark, events_dir, tmp_path):
+    """e13's streaming form: windowed counts stream in complete mode,
+    and the top-N rank is applied INSIDE foreachBatch — streaming
+    queries cannot run window functions after an aggregation, so
+    per-batch post-ranking in the sink is the production top-N
+    pattern. Final materialized result must equal batch e13."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "topn_out")
+
+    def rank_and_write(batch_df, batch_id):
+        wr = Window.partitionBy("window_start").orderBy(
+            F.desc("n"), F.asc("event_type")
+        )
+        (
+            batch_df.withColumn("rnk", F.row_number().over(wr).cast("int"))
+            .filter(F.col("rnk") <= 3)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+    ev = twins.read_events_stream(spark, events_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(rank_and_write)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    assert os.path.isdir(out)
+    got = spark.read.parquet(out).toPandas()
+    want = specs()["e13_windowed_topn"].fn(spark, SF_SMOKE).toPandas()
+    compare_frames(got, want, "windowed topN twin vs batch")
