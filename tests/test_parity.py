@@ -28,3 +28,14 @@ def test_parity(name, spark, duck):
         return
     duck_pdf = duck(PARITY_SF).execute(spec.oracle).df()
     compare_frames(spark_pdf, duck_pdf, name)
+
+
+def test_registry_tier_sets_reference_real_queries():
+    """_DRIVER_GREEN / _NEW_THIS_ROUND must only contain names that are
+    actually registered — a typo would silently fall out of the
+    driver-window rotation policy."""
+    from cassandra_migrate_keyspace_from_cluster_spark import registry
+
+    names = set(registry.specs())
+    assert registry._DRIVER_GREEN <= names, registry._DRIVER_GREEN - names
+    assert registry._NEW_THIS_ROUND <= names, registry._NEW_THIS_ROUND - names
