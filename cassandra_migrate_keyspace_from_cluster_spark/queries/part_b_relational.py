@@ -996,3 +996,23 @@ def b31_limit_offset(spark, sf_dir):
         .offset(20)
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+_B32_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ALL
+"""
+
+
+@register("b32_group_by_all", oracle=_B32_SQL)
+def b32_group_by_all(spark, sf_dir):
+    """GROUP BY ALL (Spark 4 / DuckDB shared syntax): every
+    non-aggregate select item becomes a grouping key — identical text
+    on both engines; the analyzer-sugar surface of b5's hash
+    aggregate."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_B32_SQL)

@@ -599,3 +599,35 @@ def d16_encoding(spark, sf_dir):
         hexed.alias("pri_hex"),
         F.decode(F.unhex(hexed), "UTF-8").alias("pri_roundtrip"),
     )
+
+
+@register(
+    "d17_trig",
+    oracle="""
+    SELECT event_id,
+           round(sin(value), 6) AS sin_v,
+           round(cos(value), 6) AS cos_v,
+           round(atan2(value, 10.0), 6) AS atan2_v,
+           round(degrees(atan(value / 100.0)), 6) AS angle_deg,
+           round((exp(value / 100.0) - exp(-value / 100.0)) / 2, 6) AS sinh_v,
+           round((exp(value / 50.0) - 1) / (exp(value / 50.0) + 1), 6) AS tanh_v
+    FROM events
+    """,
+)
+def d17_trig(spark, sf_dir):
+    """Trigonometric / hyperbolic family: sin, cos, atan2, degrees ∘
+    atan, sinh, tanh — IEEE libm functions are bit-identical across
+    engines, 6dp rounding absorbs the last-ulp libm variation (DuckDB
+    1.0 lacks sinh/tanh → its oracle uses the exp() definitions, equal
+    at 6dp)."""
+    ev = t(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        r6(F.sin(v)).alias("sin_v"),
+        r6(F.cos(v)).alias("cos_v"),
+        r6(F.atan2(v, F.lit(10.0))).alias("atan2_v"),
+        r6(F.degrees(F.atan(v / 100.0))).alias("angle_deg"),
+        r6(F.sinh(v / 100.0)).alias("sinh_v"),
+        r6(F.tanh(v / 100.0)).alias("tanh_v"),
+    )

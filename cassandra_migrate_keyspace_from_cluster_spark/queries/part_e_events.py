@@ -528,3 +528,33 @@ def e15_interarrival_histogram(spark, sf_dir):
     return g.groupBy(
         "event_type", bucket.alias("gap_hours_bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e17_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def e17_transition_matrix(spark, sf_dir):
+    """Event-transition (first-order Markov) matrix: counts of
+    consecutive event-type pairs per user journey — the input to
+    funnel discovery and next-action models. Window partitions on
+    user_id; the matrix agg partial-aggregates to O(types²) rows."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return s.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -95,7 +95,8 @@ _NEW_THIS_ROUND = frozenset({
     "g10_arrow_python_udf", "e13_windowed_topn", "f33_pq_topk", "b29_lateral_join",
     "a13_full_keyspace_copy", "b30_in_subquery", "d15_conditional",
     "f35_token_spectrum", "e15_interarrival_histogram", "b31_limit_offset",
-    "d16_encoding", "f36_cross_source_dups",
+    "d16_encoding", "f36_cross_source_dups", "d17_trig", "b32_group_by_all",
+    "e17_transition_matrix",
 })
 
 
