@@ -1423,3 +1423,76 @@ def f36_cross_source_dups(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_shared_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f37_url_domain_stats",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, source,
+             text || ' see https://site-' || (doc_id % 13)
+                  || '.example.org/page/' || doc_id
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' and http://cdn-' || (doc_id % 5)
+                               || '.example.net/a' || (doc_id % 100)
+                          ELSE '' END AS full_text
+      FROM documents),
+    u AS (
+      SELECT doc_id, source,
+             unnest(regexp_extract_all(full_text, 'https?://[^ ]+')) AS url
+      FROM aug),
+    d AS (
+      SELECT doc_id, source,
+             regexp_extract(url, 'https?://([^/]+)', 1) AS domain
+      FROM u)
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM d GROUP BY domain
+    """,
+)
+def f37_url_domain_stats(spark, sf_dir):
+    """URL / domain extraction and per-domain stats — the crawl-side
+    curation op (domain allow/deny lists, per-domain caps all start
+    here). Deterministic synthetic URLs are appended per doc (both
+    engines build the identical string — same device as f22's PII) so
+    the extraction path is exercised on every row. Extraction is
+    codegen regex; the per-domain rollup partial-aggregates to
+    O(domains) rows."""
+    docs = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site-"), (k % 13).cast("string"),
+            F.lit(".example.org/page/"), k.cast("string"),
+            F.when(
+                k % 3 == 0,
+                F.concat(
+                    F.lit(" and http://cdn-"), (k % 5).cast("string"),
+                    F.lit(".example.net/a"), (k % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("full_text"),
+    )
+    urls = aug.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.regexp_extract_all("full_text", F.lit(r"https?://[^ ]+"), 0)
+        ).alias("url"),
+    )
+    dom = urls.select(
+        "doc_id",
+        "source",
+        F.regexp_extract("url", r"https?://([^/]+)", 1).alias("domain"),
+    )
+    return dom.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
