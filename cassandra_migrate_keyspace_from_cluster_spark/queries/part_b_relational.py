@@ -1016,3 +1016,32 @@ def b32_group_by_all(spark, sf_dir):
     aggregate."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_B32_SQL)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b33_union_evolved",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_name_len
+    FROM nation WHERE n_nationkey < 12
+    UNION ALL
+    SELECT n_nationkey, n_name, CAST(length(n_name) AS BIGINT)
+    FROM nation WHERE n_nationkey >= 12
+    """,
+)
+def b33_union_evolved(spark, sf_dir):
+    """Schema-evolved union: ``unionByName(allowMissingColumns=True)``
+    aligns by NAME and null-fills columns one side lacks — the safe
+    union for frames from different pipeline versions (positional
+    unionAll would silently misalign). The DataFrame-level twin of
+    a12's storage-level mergeSchema."""
+    nation = t(spark, sf_dir, "nation")
+    old = nation.filter(F.col("n_nationkey") < 12).select(
+        "n_nationkey", "n_name"
+    )
+    new = nation.filter(F.col("n_nationkey") >= 12).select(
+        "n_nationkey",
+        "n_name",
+        F.length("n_name").cast("bigint").alias("n_name_len"),
+    )
+    return old.unionByName(new, allowMissingColumns=True)

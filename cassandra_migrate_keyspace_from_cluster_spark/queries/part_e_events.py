@@ -558,3 +558,66 @@ def e17_transition_matrix(spark, sf_dir):
     return s.groupBy(
         "prev_type", F.col("event_type").alias("next_type")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e18_bounded_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+      GROUP BY e.user_id)
+    SELECT s.user_id,
+           CAST(date_trunc('second', s.signup_ts) AS VARCHAR) AS signup_ts,
+           (p.first_purchase_ts IS NOT NULL
+            AND p.first_purchase_ts <= s.signup_ts + INTERVAL 7 DAY)
+             AS converted_7d,
+           CASE WHEN p.first_purchase_ts IS NOT NULL
+                THEN date_diff('second', s.signup_ts, p.first_purchase_ts)
+           END AS seconds_to_convert
+    FROM s LEFT JOIN p ON p.user_id = s.user_id
+    """,
+)
+def e18_bounded_funnel(spark, sf_dir):
+    """Time-bounded funnel conversion (e7 with a deadline): per
+    signed-up user, did the first post-signup purchase land within 7
+    days, and how long did it take. The bounded form is what product
+    funnels actually report (unbounded conversion always reaches 100%
+    eventually). Two partial-aggregated min()s + one user-keyed join —
+    no windows, no n² anything."""
+    ev = t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    j = s.join(p, "user_id", "left")
+    secs = F.unix_timestamp(F.date_trunc("second", "first_purchase_ts")) - F.unix_timestamp(
+        F.date_trunc("second", "signup_ts")
+    )
+    return j.select(
+        "user_id",
+        F.date_format(F.date_trunc("second", "signup_ts"), "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        (
+            F.col("first_purchase_ts").isNotNull()
+            & (
+                F.col("first_purchase_ts")
+                <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")
+            )
+        ).alias("converted_7d"),
+        F.when(F.col("first_purchase_ts").isNotNull(), secs).alias(
+            "seconds_to_convert"
+        ),
+    )

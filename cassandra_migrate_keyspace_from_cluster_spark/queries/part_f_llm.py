@@ -1496,3 +1496,66 @@ def f37_url_domain_stats(spark, sf_dir):
         F.countDistinct("doc_id").alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f38_chunk_dedup",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             array_to_string(list_slice(tk, CAST(g.i*8+1 AS INT),
+                                        CAST(g.i*8+8 AS INT)), ' ') AS chunk
+      FROM d, LATERAL (SELECT unnest(generate_series(0,
+               CAST(ceil(len(tk) / 8.0) AS BIGINT) - 1)) AS i) g),
+    freq AS (
+      SELECT chunk, count(DISTINCT doc_id) AS n_docs_with
+      FROM chunks GROUP BY chunk)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE f.n_docs_with > 1) AS BIGINT)
+             AS n_shared_chunks,
+           round(CAST(count(*) FILTER (WHERE f.n_docs_with > 1) AS DOUBLE)
+                 / count(*), 6) AS shared_frac
+    FROM chunks c JOIN freq f ON f.chunk = c.chunk
+    GROUP BY c.doc_id
+    """,
+)
+def f38_chunk_dedup(spark, sf_dir):
+    """Chunk-level (paragraph-analog) dedup profile — the CCNet/Gopher
+    line-dedup op at 8-token-chunk granularity: for each doc, what
+    fraction of its chunks appear verbatim in OTHER docs too. High
+    shared_frac = boilerplate or near-copy even when whole-doc hashes
+    differ. Scale shape: chunking is g6's narrow slice op; one groupBy
+    on chunk text (partial-agg), one chunk-keyed join back, one doc
+    rollup — all hash-partitioned, nothing pairwise."""
+    docs = t(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(tk) / F.lit(8.0)).cast("long") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(tk, (i * 8 + 1).cast("int"), 8), " "
+                ),
+            )
+        ).alias("chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    shared = F.sum((F.col("n_docs_with") > 1).cast("int"))
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            shared.cast("long").alias("n_shared_chunks"),
+            r6(shared / F.count(F.lit(1))).alias("shared_frac"),
+        )
+    )

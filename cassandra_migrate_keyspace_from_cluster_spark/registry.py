@@ -96,7 +96,8 @@ _NEW_THIS_ROUND = frozenset({
     "a13_full_keyspace_copy", "b30_in_subquery", "d15_conditional",
     "f35_token_spectrum", "e15_interarrival_histogram", "b31_limit_offset",
     "d16_encoding", "f36_cross_source_dups", "d17_trig", "b32_group_by_all",
-    "e17_transition_matrix", "f37_url_domain_stats",
+    "e17_transition_matrix", "f37_url_domain_stats", "e18_bounded_funnel",
+    "f38_chunk_dedup", "b33_union_evolved",
 })
 
 
