@@ -417,3 +417,43 @@ def a13_full_keyspace_copy(spark, sf_dir):
     row count and asserts every copy arrived complete."""
     dst = tempfile.mkdtemp(prefix="spark_graft_a13_")
     return mig.migrate_keyspace(spark, sf_dir, dst)
+
+
+@register(
+    "a14_range_checksums",
+    oracle="""
+    SELECT CAST(floor(o_orderkey / 2000) AS BIGINT) AS key_range,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           min(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus)))
+             AS min_hash,
+           max(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus)))
+             AS max_hash
+    FROM orders GROUP BY 1
+    """,
+)
+def a14_range_checksums(spark, sf_dir):
+    """Range-grained content checksums (A8 at A5's granularity): per
+    key range, row count + exact integer-cents value sum + order-
+    insensitive hash extrema — the unit of incremental re-validation a
+    resumable migration (A9) checks after each range lands, and what
+    a11's diff narrows to when only some ranges drifted. One
+    partial-aggregated groupBy; at scale the ranges align with the
+    copy's token splits so validation reads stay range-local."""
+    o = t(spark, sf_dir, "orders")
+    h = F.md5(
+        F.concat_ws(
+            "|", F.col("o_orderkey").cast("string"), F.col("o_orderstatus")
+        )
+    )
+    return o.groupBy(
+        F.floor(F.col("o_orderkey") / 2000).cast("long").alias("key_range")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+        F.min(h).alias("min_hash"),
+        F.max(h).alias("max_hash"),
+    )

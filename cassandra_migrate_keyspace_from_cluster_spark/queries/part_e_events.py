@@ -621,3 +621,58 @@ def e18_bounded_funnel(spark, sf_dir):
             "seconds_to_convert"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e19_watermark_whatif",
+    oracle="""
+    WITH ordered AS (
+      SELECT ts,
+             max(ts) OVER (PARTITION BY event_id % 8 ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS max_ts_so_far
+      FROM events),
+    lateness AS (
+      SELECT date_diff('second', ts, max_ts_so_far) AS late_s FROM ordered)
+    SELECT delay_min,
+           CAST((SELECT count(*) FROM lateness WHERE late_s > delay_min * 60)
+                AS BIGINT) AS n_dropped
+    FROM (SELECT unnest([0, 5, 10, 30, 60, 240]) AS delay_min)
+    """,
+)
+def e19_watermark_whatif(spark, sf_dir):
+    """Watermark what-if accounting: for candidate watermark delays,
+    how many events would arrive more than `delay` behind the max
+    event-time their ARRIVAL SHARD had already seen — the quantified
+    basis for choosing e1-e6's withWatermark bound (e12 profiles
+    per-user disorder; this prices the global policy). Arrival shards
+    (event_id % 8) model Kafka partitions: each shard's running max is
+    the per-partition watermark input, computed in a SHARD-PARTITIONED
+    window (ordered by arrival id) — exactly the per-partition shape
+    the streaming engine uses, and no global single-reducer window.
+    The tiny threshold table rides a broadcast cross join."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy(F.col("event_id") % 8)
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = ev.select(
+        (
+            F.unix_timestamp(F.date_trunc("second", F.max("ts").over(w)))
+            - F.unix_timestamp(F.date_trunc("second", "ts"))
+        ).alias("late_s")
+    )
+    thresholds = ev.sparkSession.createDataFrame(
+        [(d,) for d in [0, 5, 10, 30, 60, 240]], "delay_min int"
+    )
+    return (
+        late.crossJoin(F.broadcast(thresholds))
+        .groupBy("delay_min")
+        .agg(
+            F.sum((F.col("late_s") > F.col("delay_min") * 60).cast("int"))
+            .cast("long")
+            .alias("n_dropped")
+        )
+    )

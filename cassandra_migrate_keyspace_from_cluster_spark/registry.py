@@ -97,7 +97,8 @@ _NEW_THIS_ROUND = frozenset({
     "f35_token_spectrum", "e15_interarrival_histogram", "b31_limit_offset",
     "d16_encoding", "f36_cross_source_dups", "d17_trig", "b32_group_by_all",
     "e17_transition_matrix", "f37_url_domain_stats", "e18_bounded_funnel",
-    "f38_chunk_dedup", "b33_union_evolved",
+    "f38_chunk_dedup", "b33_union_evolved", "a14_range_checksums",
+    "e19_watermark_whatif",
 })
 
 
