@@ -676,3 +676,46 @@ def e19_watermark_whatif(spark, sf_dir):
             .alias("n_dropped")
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e20_rolling_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    contrib AS (
+      SELECT user_id, CAST(day + CAST(g.o AS INTEGER) AS DATE) AS as_of_day
+      FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS o) g)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM days d JOIN contrib c ON c.as_of_day = d.day
+    GROUP BY d.day
+    """,
+)
+def e20_rolling_wau(spark, sf_dir):
+    """Rolling 7-day distinct actives (WAU per day) — the metric a
+    naive window can't do (COUNT DISTINCT over a sliding frame is
+    unsupported and a per-day DAU sum double-counts). Rewrite: each
+    (user, active-day) pair is exploded forward onto the 7 days it
+    keeps the user 'active' for, then one distinct-count per day —
+    turning an O(days × window) repeated scan into ONE explode (×7)
+    and ONE partial-aggregated distinct per day. Join keys are days
+    (bounded), user sets partial-aggregate map-side."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("as_of_day"),
+    )
+    return (
+        days.join(contrib, days.day == contrib.as_of_day)
+        .groupBy(F.date_format(days.day, "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
