@@ -272,3 +272,12 @@ def test_lateral_join_decorrelates(spark):
     plan = physical_plan(q(spark, "b29_lateral_join"))
     assert "Join" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pinned_lsh_candidates_hash_join_only(spark):
+    """f24's band-bucket candidate generation and rescore must be pure
+    hash joins — no CartesianProduct/BNLJ anywhere in the LSH chain
+    (the whole point of banding is avoiding pairwise comparison)."""
+    plan = physical_plan(q(spark, "f24_minhash_pinned_lsh"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
