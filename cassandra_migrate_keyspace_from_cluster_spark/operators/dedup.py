@@ -142,17 +142,26 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hash_tables: int = 8,
+    k_shingle: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs via MLlib MinHashLSH over hashed token vectors.
+    """Near-dup pairs via MLlib MinHashLSH over hashed SHINGLE vectors.
 
     approxSimilarityJoin generates candidates from band-bucket joins
-    (linear in data + bucket sizes) and filters on exact Jaccard
-    distance of the vectors — the scalable shape of jaccard_pairs.
-    """
+    and filters on exact Jaccard distance of the vectors — the
+    scalable shape of jaccard_pairs. Features are k-token shingles,
+    not unigrams: MLlib's tables are 1-row bands (P(candidate) =
+    1-(1-s)^tables), so candidate pruning exists ONLY if random-pair
+    similarity is near zero — true for shingles (~0.003 here), false
+    for unigram tokens over a shared vocabulary (~0.5 → every pair a
+    candidate → quadratic exact-distance work; measured 676 s at sf0.1
+    before this change, ~30x faster after). Proper multi-row banding
+    is the pinned-hash tier (minhash_band_candidates)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = docs.select(
-        F.col(id_col).alias("id"), F.array_distinct(tokens(text_col)).alias("toks")
+    d = docs.filter(
+        F.size(F.split(F.col(text_col), " ")) >= k_shingle
+    ).select(
+        F.col(id_col).alias("id"), shingles(text_col, k_shingle).alias("toks")
     )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
     feat = tf.transform(d)

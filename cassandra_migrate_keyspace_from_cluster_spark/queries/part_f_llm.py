@@ -163,8 +163,10 @@ def f19_quantize_int8(spark, sf_dir):
 
 @register("f3_minhash_lsh", oracle=None)  # hash seeds engine-specific
 def f3_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup (the 100-TB path: band-bucket join instead
-    of a blocked cross join). Rows-only; recall vs f2 in pytest."""
+    """MinHash+LSH near-dup via MLlib (band-bucket join instead of a
+    blocked cross join), over 3-shingle sets — shingles make MLlib's
+    1-row bands discriminative (see operators/dedup.py). Rows-only;
+    recall vs exact shingle-Jaccard truth in pytest."""
     docs = t(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(docs, threshold=0.6)
 

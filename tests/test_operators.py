@@ -24,14 +24,29 @@ def _pair_set(df, a, b):
 
 
 def test_minhash_lsh_recall_vs_exact_jaccard(spark):
-    """f3 (MinHash-LSH) must recover >=90% of f2's exact pairs.
-
-    Note f2 is blocked by (lang, source) while f3 searches globally, so
-    f3 may legitimately find MORE pairs; recall is measured on f2's set.
-    """
-    exact = _pair_set(ALL["f2_token_jaccard_neardup"].fn(spark, SF_T2), "doc_a", "doc_b")
+    """f3 (MLlib MinHash-LSH over 3-shingles) must recover >=90% of the
+    exact shingle-Jaccard >= 0.6 pairs (brute force here). f3 may
+    legitimately emit MORE pairs (its Jaccard is over hashed feature
+    vectors); recall is measured on the exact set."""
+    docs = load_table(spark, SF_T2, "documents")
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", dd.shingles("text", 3).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    exact_df = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("j") >= 0.6)
+    )
+    exact = _pair_set(exact_df, "doc_a", "doc_b")
     approx = _pair_set(ALL["f3_minhash_lsh"].fn(spark, SF_T2), "doc_a", "doc_b")
-    assert exact, "exact jaccard found no pairs — threshold too high?"
+    assert exact, "exact shingle jaccard found no pairs — threshold too high?"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(exact)} exact pairs)"
 
