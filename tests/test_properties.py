@@ -94,3 +94,57 @@ def test_exact_dedup_idempotent(spark, texts):
         groups[t.strip().lower()].append(i)
     want = sorted(min(g) for g in groups.values())
     assert got_once == want
+
+
+words_st = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+    min_size=3,
+    max_size=12,
+)
+
+
+@given(words=words_st)
+@settings(**SETTINGS)
+def test_shingle_count_law(spark, words):
+    """|k-shingles before dedup| = n_tokens - k + 1, and the distinct
+    set is a subset of that size — for any token sequence (k=3)."""
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    row = df.select(
+        F.size(dd.shingles("text", 3)).alias("n_distinct"),
+        (F.size(F.split("text", " ")) - 2).alias("n_raw"),
+    ).collect()[0]
+    assert 1 <= row.n_distinct <= row.n_raw
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_snapshot_diff_drift_exactness(spark, rows):
+    """snapshot_diff emits EXACTLY the drifted keys: dropping D keys →
+    |D| copy rows; mutating C keys → |C| recopy rows; nothing else."""
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import (
+        migrate as mig,
+    )
+
+    # unique keys required by the diff contract
+    uniq = {}
+    for k, tag, v in rows:
+        uniq[k] = (k, tag, v)
+    rows = list(uniq.values())
+    if not rows:
+        return
+    src = _df(spark, rows)
+    drop = {k for k, _, _ in rows if k % 3 == 0}
+    mutate = {k for k, _, _ in rows if k % 3 == 1}
+    tgt_rows = [
+        (k, tag + "!" if k in mutate else tag, v)
+        for k, tag, v in rows
+        if k not in drop
+    ]
+    tgt = _df(spark, tgt_rows)
+    diff = mig.snapshot_diff(src, tgt, "k", ("k", "tag")).collect()
+    got = {(r.k, r.status) for r in diff}
+    want = {(k, "missing_in_target") for k in drop} | {
+        (k, "changed") for k in mutate
+    }
+    assert got == want, (got, want)
