@@ -270,10 +270,14 @@ def f4b_cosine_neardup(spark, sf_dir):
 
 @register("f5_ann_lsh", oracle=None)  # random projections engine-specific
 def f5_ann_lsh(spark, sf_dir):
-    """Approximate NN pairs via BucketedRandomProjectionLSH (euclidean
-    threshold 6.0). Rows-only; recall vs exact pairs in pytest."""
+    """Approximate NN pairs via BucketedRandomProjectionLSH: euclidean
+    threshold 1.12 ≈ the p0.1 tail of the pairwise-distance
+    distribution (median = sqrt(2) for unit vectors) — a genuinely
+    selective neighbor set, so the bucket join prunes (see
+    operators/similarity.py). Rows-only; recall vs exact pairs in
+    pytest."""
     emb = t(spark, sf_dir, "embeddings")
-    return sim.brp_lsh_neighbors(emb, distance_threshold=6.0)
+    return sim.brp_lsh_neighbors(emb, distance_threshold=1.12)
 
 
 @register(

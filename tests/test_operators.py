@@ -53,7 +53,8 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
 
 def test_brp_lsh_recall_vs_exact_euclidean(spark):
     """f5 (BRP-LSH) must recover >=80% of exact close pairs (euclidean
-    < 6.0) — LSH is allowed to miss some, not to hallucinate."""
+    < 1.12, the selective p0.1-tail threshold) — LSH may miss some,
+    not hallucinate."""
     emb = sim.with_double_embedding(load_table(spark, SF_T2, "embeddings"))
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
@@ -68,7 +69,7 @@ def test_brp_lsh_recall_vs_exact_euclidean(spark):
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("d", dist)
-        .filter(F.col("d") < 6.0),
+        .filter(F.col("d") < 1.12),
         "vec_a",
         "vec_b",
     )
