@@ -1565,3 +1565,49 @@ def f38_chunk_dedup(spark, sf_dir):
             r6(shared / F.count(F.lit(1))).alias("shared_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f39_source_kl_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tk FROM documents),
+    src AS (SELECT source, tk, count(*) AS c FROM tok GROUP BY source, tk),
+    srctot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM src GROUP BY source),
+    corpus AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+    corptot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM corpus)
+    SELECT s.source,
+           st.n AS n_tokens,
+           round(sum((CAST(s.c AS DOUBLE) / st.n)
+                     * ln((CAST(s.c AS DOUBLE) / st.n)
+                          / (CAST(co.c AS DOUBLE) / ct.n))), 6) AS kl_vs_corpus
+    FROM src s
+    JOIN srctot st ON st.source = s.source
+    JOIN corpus co ON co.tk = s.tk, corptot ct
+    GROUP BY s.source, st.n
+    """,
+)
+def f39_source_kl_divergence(spark, sf_dir):
+    """Distribution-shift detection: KL(source token distribution ‖
+    corpus token distribution) per source — the drift metric that flags
+    a crawl whose language suddenly differs from the mix (no smoothing
+    needed: every source token is in the corpus by construction).
+    Scale shape: two partial-aggregated counts (per-source and
+    corpus-wide), the corpus table is vocabulary-sized → broadcast to
+    the per-source terms, one final tiny agg per source."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("tk"))
+    src = tok.groupBy("source", "tk").agg(F.count(F.lit(1)).alias("c"))
+    srctot = src.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("c_corp"))
+    corptot = corpus.agg(F.sum("c_corp").alias("n_corp"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("c_corp").cast("double") / F.col("n_corp")
+    return (
+        src.join(srctot, "source")
+        .join(F.broadcast(corpus), "tk")
+        .crossJoin(F.broadcast(corptot))
+        .groupBy("source", F.col("n").cast("long").alias("n_tokens"))
+        .agg(r6(F.sum(p * F.log(p / q))).alias("kl_vs_corpus"))
+    )
