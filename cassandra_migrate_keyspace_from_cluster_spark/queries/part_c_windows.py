@@ -754,3 +754,29 @@ def c23_listagg(spark, sf_dir):
                JOIN c ON c.l_returnflag = a.l_returnflag
         """
     )
+
+
+# --------------------------------------------------------------------------
+@register("c24_hll_mergeable", oracle=None)  # datasketches binary, engine-specific
+def c24_hll_mergeable(spark, sf_dir):
+    """MERGEABLE distinct-count sketches (Spark 4 datasketches HLL):
+    one HLL sketch per day (pre-aggregation), then ``hll_union_agg``
+    rolls daily sketches into the monthly estimate WITHOUT re-reading
+    events — the scale pattern for distinct counting (store tiny
+    sketches per partition/day; any rollup window is a merge, not a
+    rescan). Rows-only (sketch binaries are engine-specific);
+    merge-consistency and accuracy laws are pytest-asserted
+    (tests/test_operators.py)."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_dau"),
+    )
+    return (
+        daily.groupBy(F.date_format("day", "yyyy-MM").alias("month"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_mau"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("month", "approx_mau", "n_days")
+    )

@@ -98,7 +98,8 @@ _NEW_THIS_ROUND = frozenset({
     "d16_encoding", "f36_cross_source_dups", "d17_trig", "b32_group_by_all",
     "e17_transition_matrix", "f37_url_domain_stats", "e18_bounded_funnel",
     "f38_chunk_dedup", "b33_union_evolved", "a14_range_checksums",
-    "e19_watermark_whatif", "e20_rolling_wau",
+    "e19_watermark_whatif", "e20_rolling_wau", "f39_source_kl_divergence",
+    "c24_hll_mergeable",
 })
 
 

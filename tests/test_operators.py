@@ -545,3 +545,23 @@ def test_pq_recall_vs_exact_cosine(spark):
     top1 = len(ex1_set & pq_set) / len(ex1_set)
     assert recall5 >= 0.25, f"PQ recall@5 {recall5:.3f} < 0.25"
     assert top1 >= 0.40, f"PQ top1-in-top5 {top1:.3f} < 0.40"
+
+
+def test_hll_sketch_merge_consistency(spark):
+    """c24: the union of per-day HLL sketches must estimate the SAME
+    value as one sketch built over the whole month (merge = rescan,
+    the mergeability law), and land within 5% of the exact distinct
+    count."""
+    ev = load_table(spark, SF_T2, "events")
+    merged = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0]["est"]
+    exact = ev.select("user_id").distinct().count()
+    assert merged == direct, (merged, direct)
+    assert abs(merged - exact) / exact < 0.05, (merged, exact)
