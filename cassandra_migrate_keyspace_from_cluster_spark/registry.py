@@ -58,53 +58,78 @@ def load_all() -> None:
     from .queries import ALL_MODULES  # noqa: F401  (import side effect)
 
 
-# Queries already driver-verified green in CORRECTNESS_r01.json. The
-# driver's per-round correctness harness caps at the first 50 registry
-# entries, so ordering is coverage policy: queries with no green row yet
-# are emitted FIRST (sorted among themselves), already-green ones last.
-# Across rounds this rotates the whole inventory through the driver's
-# window; tests/test_parity.py still checks all queries every run.
+# Queries already driver-verified green (CORRECTNESS_r01.json union
+# CORRECTNESS_r02.json — 100 names). The driver's per-round correctness
+# harness caps at the first 50 registry entries, so ordering is coverage
+# policy: this round's explicit window FIRST, then the remaining
+# never-driver-checked queries, already-green ones last. Across rounds
+# this rotates the whole inventory through the driver's window;
+# tests/test_parity.py still checks all queries every run.
 _DRIVER_GREEN = frozenset({
+    # --- CORRECTNESS_r01.json (round 1) ---
     "a2_schema_manifest", "a3_ddl_manifest", "a4_copy_roundtrip", "a4b_copy_roundtrip_csv",
     "a4c_copy_roundtrip_json", "a4d_copy_partitioned", "a4e_copy_roundtrip_orc", "a5_range_partition_counts",
     "a6_writetime_copy", "a7_table_counts", "a8_content_checksum", "a9_resumable_copy",
     "b10_join_outer", "b11_join_semi", "b12_join_anti", "b13_join_cross",
     "b14_join_theta_range", "b15_join_asof", "b15b_asof_pandas_api", "b16_union_all",
     "b17_union_distinct", "b18_intersect", "b19_except", "b1_scan_project",
-    "b20_sort_multikey", "b21_limit_topk", "b22_distinct_rows", "b23_exists_subquery",
+    "b21_limit_topk", "b22_distinct_rows", "b23_exists_subquery",
     "b24_salted_agg", "b25_tpch_q3_shaped", "b26_tpch_q10_shaped", "b2_filter_pred",
     "b3_case_when", "b4_agg_global", "b5_agg_groupby", "b6_count_distinct",
     "b7_having", "b8_join_inner_eq", "b9_join_multiway_star", "c10_row_number",
     "c11_topk_per_group", "c12_lag_lead", "c13_frame_rows", "c14_frame_range",
-    "c15_running_total", "c16_ntile_pctrank", "c17_first_last", "c18_forward_fill",
+    "c15_running_total", "c17_first_last", "c18_forward_fill",
     "c19_filtered_agg", "c1_rollup",
+    # --- CORRECTNESS_r02.json (round 2) ---
+    "a10_throttled_copy", "a11_snapshot_diff", "a12_schema_evolution_copy",
+    "a13_full_keyspace_copy", "a14_range_checksums", "a1_cluster_scan",
+    "a4f_copy_compacted", "b14b_range_join_banded", "b27_scalar_subquery",
+    "b28_join_disjunctive", "b29_lateral_join", "b30_in_subquery",
+    "b31_limit_offset", "b32_group_by_all", "b33_union_evolved",
+    "c20_unpivot", "c21_date_spine_gapfill", "c22_window_count_distinct",
+    "c23_listagg", "c24_hll_mergeable", "c2_cube", "d13_regex_array",
+    "d14_timestamp_arith", "d15_conditional", "d16_encoding", "d17_trig",
+    "e11_anomaly_zscore", "e12_out_of_order_profile", "e13_windowed_topn",
+    "e15_interarrival_histogram", "e17_transition_matrix", "e18_bounded_funnel",
+    "e19_watermark_whatif", "e20_rolling_wau", "f24_minhash_pinned_lsh",
+    "f25_contamination", "f26_repetition", "f27_rule_filters",
+    "f28_source_mix_sample", "f30_pipeline_yield", "f31_unigram_logprob",
+    "f32_quality_aware_dedup", "f33_pq_topk", "f35_token_spectrum",
+    "f36_cross_source_dups", "f37_url_domain_stats", "f38_chunk_dedup",
+    "f39_source_kl_divergence", "g10_arrow_python_udf", "g9_cogrouped_map",
+    # NOTE: b20_sort_multikey / c16_ntile_pctrank ARE in r1 but were
+    # rewritten (two-phase rank) after that check — their rows are stale,
+    # so they ride in this round's window instead of the green tier.
 })
 
 
-# Queries first declared in this round's build session (no prior local-
-# parity history in any driver artifact): highest priority for the
-# driver's 50-entry window, ahead of the r1-unchecked block.
-_NEW_THIS_ROUND = frozenset({
-    "g9_cogrouped_map", "c20_unpivot", "c21_date_spine_gapfill",
-    "f24_minhash_pinned_lsh", "f25_contamination", "f26_repetition",
-    "f27_rule_filters", "f28_source_mix_sample", "e11_anomaly_zscore",
-    "a4f_copy_compacted", "a11_snapshot_diff", "a12_schema_evolution_copy",
-    "c22_window_count_distinct", "d13_regex_array", "b28_join_disjunctive",
-    "f30_pipeline_yield", "f31_unigram_logprob", "f32_quality_aware_dedup",
-    "e12_out_of_order_profile", "d14_timestamp_arith", "c23_listagg",
-    "g10_arrow_python_udf", "e13_windowed_topn", "f33_pq_topk", "b29_lateral_join",
-    "a13_full_keyspace_copy", "b30_in_subquery", "d15_conditional",
-    "f35_token_spectrum", "e15_interarrival_histogram", "b31_limit_offset",
-    "d16_encoding", "f36_cross_source_dups", "d17_trig", "b32_group_by_all",
-    "e17_transition_matrix", "f37_url_domain_stats", "e18_bounded_funnel",
-    "f38_chunk_dedup", "b33_union_evolved", "a14_range_checksums",
-    "e19_watermark_whatif", "e20_rolling_wau", "f39_source_kl_divergence",
-    "c24_hll_mergeable",
+# Round-3 driver window (exactly 50 names): the two stale-row rewrites
+# (b20/c16 — two-phase rank landed after their r1 check) plus 48 of the
+# 62 hash-checkable queries that have never had a driver row. The 14
+# deferred hash-checkable queries (c8/c9, d9-d12, f6, f9-f12, f17*) and
+# the 6 rows-only ones (c6/c7, f3/f3b, f5/f5b) form the next window.
+_WINDOW = frozenset({
+    "b20_sort_multikey", "c16_ntile_pctrank",
+    "c3_grouping_sets", "c4_stats_agg", "c5_percentiles", "c5b_mode",
+    "d1_string_basic", "d2_string_regex", "d3_string_distance", "d4_datetime",
+    "d5_math", "d6_array", "d7_map_json", "d8_hash",
+    "e1_tumbling", "e2_sliding", "e3_session", "e4_watermark_late",
+    "e5_stream_dedup", "e6_stateful_runagg", "e7_event_funnel",
+    "e8_rate_histogram", "e9_retention_cohort", "e10_stream_stream_join",
+    "f1_exact_dedup", "f2_token_jaccard_neardup", "f4_cosine_topk",
+    "f4b_cosine_neardup", "f4c_cosine_topk_chunked", "f7_tokenize_wordcount",
+    "f8_tfidf", "f13_langid", "f14_quality", "f15_token_count",
+    "f16_fingerprint", "f18_pipeline_report", "f19_quantize_int8",
+    "f20_stratified_sample", "f21_neardup_clusters", "f21b_neardup_clusters_star",
+    "f22_redact_pii", "f23_dedup_suppression",
+    "g1_python_udf", "g2_pandas_udf_scalar", "g3_grouped_agg_udaf",
+    "g4_grouped_map", "g5_map_in_pandas", "g6_python_udtf", "g7_map_in_arrow",
+    "g8_pandas_udf_iter",
 })
 
 
 def _tier(name: str) -> int:
-    if name in _NEW_THIS_ROUND:
+    if name in _WINDOW:
         return 0
     if name in _DRIVER_GREEN:
         return 2
