@@ -435,7 +435,7 @@ def snapshot_diff(
     key: str,
     cols: tuple[str, ...],
 ) -> DataFrame:
-    """Incremental-migration diff: compare source and target snapshots
+    r"""Incremental-migration diff: compare source and target snapshots
     by per-row content hash over ``cols`` and emit a repair plan —
     (key, status, action) for every key that is missing, changed, or
     extra; in-sync keys are filtered out and never materialize.
@@ -448,13 +448,29 @@ def snapshot_diff(
     both sides are bucketed on it), and the output is proportional to
     the DRIFT, not the table — the property that makes incremental
     re-migration cheap. ``cols`` must be exact-typed (no floats):
-    float formatting is not cross-engine stable (SURVEY.md §5.4)."""
+    float formatting is not cross-engine stable (SURVEY.md §5.4).
+
+    The per-row hash is NULL- and delimiter-unambiguous: every column
+    is escaped (``\`` doubled, ``|`` → ``\|``) and NULL encodes as the
+    bare ``\N`` sentinel, which no escaped value can produce (escape
+    output only emits backslashes in pairs or before ``|``) — the
+    PostgreSQL COPY convention. A naive ``concat_ws`` hash silently
+    skips NULLs, so rows differing only in WHICH column is NULL (or via
+    an injected delimiter) would hash identical and a drifted row would
+    be reported in-sync — a missed repair."""
     def hashed(df: DataFrame, out: str) -> DataFrame:
+        def enc(c: str):
+            s = F.col(c).cast("string")
+            esc = F.replace(
+                F.replace(s, F.lit("\\"), F.lit("\\\\")),
+                F.lit("|"),
+                F.lit("\\|"),
+            )
+            return F.when(s.isNull(), F.lit("\\N")).otherwise(esc)
+
         return df.select(
             F.col(key),
-            F.md5(
-                F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
-            ).alias(out),
+            F.md5(F.concat_ws("|", *[enc(c) for c in cols])).alias(out),
         )
 
     s = hashed(source, "h_src")

@@ -30,8 +30,14 @@ def salted_sum_count(
     merges the ``n_salts`` partials per key. Deterministic: the salt
     only routes rows, every routing yields the same merged result
     (floating sums then rounded per the §5.4 law by callers).
+
+    The salt uses ``pmod``, not ``abs(hash) % n``: ``abs`` of a hash
+    that lands exactly on Long.MIN_VALUE overflows back to a negative
+    (non-ANSI) or throws (ANSI), and a negative salt would silently
+    route the row to a partition no exploded dim copy matches. ``pmod``
+    is total on [0, n_salts).
     """
-    salt = (F.abs(F.xxhash64(*df.columns)) % n_salts).alias("__salt")
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).alias("__salt")
     partial = (
         df.select(F.col(key), F.col(value), salt)
         .groupBy(key, "__salt")
@@ -72,7 +78,7 @@ def salted_join(
     Equality with the plain join is pytest-asserted; at true scale pick
     n_salts ≈ ceil(hot-key rows / target partition rows).
     """
-    salt = (F.abs(F.xxhash64(*fact.columns)) % n_salts).alias("__salt")
+    salt = F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).alias("__salt")
     salted_fact = fact.select("*", salt)
     salted_dim = dim.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")

@@ -304,7 +304,7 @@ def a4f_copy_compacted(spark, sf_dir):
 
 @register(
     "a11_snapshot_diff",
-    oracle="""
+    oracle=r"""
     WITH base AS (SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders),
     kept AS (SELECT o_orderkey,
                     CASE WHEN o_orderkey % 103 = 0 THEN 'X'
@@ -316,11 +316,15 @@ def a4f_copy_compacted(spark, sf_dir):
               FROM base WHERE o_orderkey % 107 = 0),
     tgt AS (SELECT * FROM kept UNION ALL SELECT * FROM extra),
     s AS (SELECT o_orderkey AS k,
-                 md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
-                               o_orderpriority)) AS h FROM base),
+                 md5(concat_ws('|',
+                   CASE WHEN o_orderkey IS NULL THEN '\N' ELSE replace(replace(CAST(o_orderkey AS VARCHAR), '\', '\\'), '|', '\|') END,
+                   CASE WHEN o_orderstatus IS NULL THEN '\N' ELSE replace(replace(o_orderstatus, '\', '\\'), '|', '\|') END,
+                   CASE WHEN o_orderpriority IS NULL THEN '\N' ELSE replace(replace(o_orderpriority, '\', '\\'), '|', '\|') END)) AS h FROM base),
     t2 AS (SELECT o_orderkey AS k,
-                  md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
-                                o_orderpriority)) AS h FROM tgt)
+                  md5(concat_ws('|',
+                    CASE WHEN o_orderkey IS NULL THEN '\N' ELSE replace(replace(CAST(o_orderkey AS VARCHAR), '\', '\\'), '|', '\|') END,
+                    CASE WHEN o_orderstatus IS NULL THEN '\N' ELSE replace(replace(o_orderstatus, '\', '\\'), '|', '\|') END,
+                    CASE WHEN o_orderpriority IS NULL THEN '\N' ELSE replace(replace(o_orderpriority, '\', '\\'), '|', '\|') END)) AS h FROM tgt)
     SELECT coalesce(s.k, t2.k) AS o_orderkey,
            CASE WHEN t2.k IS NULL THEN 'missing_in_target'
                 WHEN s.k IS NULL THEN 'extra_in_target'

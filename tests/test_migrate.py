@@ -178,6 +178,23 @@ def test_snapshot_diff_empty_on_identical(spark):
     assert diff.count() == 0
 
 
+def test_snapshot_diff_null_and_delimiter_drift_detected(spark):
+    r"""The row hash must be NULL- and delimiter-unambiguous: a row whose
+    drift is only WHICH column is NULL, or a value that shifts the '|'
+    delimiter across a column boundary, must still be reported changed
+    (a naive concat_ws hash skips NULLs and collides on both)."""
+    src = spark.createDataFrame(
+        [(1, "a", None), (2, "x|y", "z"), (3, None, None)],
+        "k int, c1 string, c2 string",
+    )
+    tgt = spark.createDataFrame(
+        [(1, None, "a"), (2, "x", "y|z"), (3, None, None)],
+        "k int, c1 string, c2 string",
+    )
+    diff = mig.snapshot_diff(src, tgt, "k", ("c1", "c2")).collect()
+    assert {(r.k, r.status) for r in diff} == {(1, "changed"), (2, "changed")}
+
+
 def test_copy_with_observed_metrics(spark):
     """Migration monitoring via DataFrame.observe(): the copy pipeline
     publishes row-count / sum metrics as a side effect of the ONE write
