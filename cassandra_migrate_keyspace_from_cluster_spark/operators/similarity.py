@@ -97,48 +97,67 @@ def cosine_topk_chunked(
     k: int = 5,
     chunk_size: int = 100_000,
     id_col: str = "vec_id",
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors when the corpus outgrows ONE
-    broadcast — the documented fallback tier between ``cosine_topk``
-    (single broadcast) and the approximate LSH/IVF tiers.
+    broadcast — the fallback tier between ``cosine_topk`` (single
+    broadcast) and the approximate LSH/IVF tiers.
 
-    The corpus is blocked into ``ceil(n / chunk_size)`` chunks; each
-    chunk runs the same shuffle-free broadcast-matmul pass as f4
-    (queries stay a distributed scan, chunk rides a broadcast), keeping
-    per-executor memory at O(chunk_size · d) instead of O(n · d). The
-    per-chunk top-k candidates (k rows per query per chunk) then merge
-    with a window partitioned by query_id — the only shuffle, over
-    n_queries · k · n_chunks candidate rows, not n² scores. Global
-    top-k ⊆ union of per-chunk top-k, so the result is EXACT; identical
-    ranking law as f4 (6dp-rounded score, neighbor-id tie-break) —
-    hash-equality with f4 is pytest-asserted across chunk sizes.
+    The corpus is first written to a CHUNK-PARTITIONED parquet layout
+    (chunk = pmod(xxhash64(id), n_chunks) — one directory per chunk),
+    then the search runs pass-at-a-time: each pass partition-prunes ONE
+    chunk off disk, broadcasts it, streams the queries through the same
+    shuffle-free matmul top-k as f4, materializes that pass's k-per-
+    query candidates to parquet, and ``unpersist()``s the broadcast
+    before the next pass. Peak memory is therefore O(chunk_size · d) on
+    the DRIVER as well as per executor — at no point does any process
+    hold the full corpus (round 2 collected it driver-side; this is the
+    docstring's own 100-TB recipe made real). The materialized
+    candidates (n_queries · k · n_chunks rows, not n² scores) then
+    merge with a window partitioned by query_id — the only shuffle.
 
-    Each chunk is its own broadcast variable. At this test scale the
-    chunk branches are planned as one DAG; the true 100-TB form runs
-    the loop pass-at-a-time (materialize per-chunk candidates, then
-    ``bc.unpersist()`` before the next chunk) off a bucketed corpus
-    layout (each chunk = one bucket read, not a driver collect), so
-    peak executor memory stays one chunk regardless of corpus size.
+    Global top-k ⊆ union of per-chunk top-k, so the result is EXACT;
+    identical ranking law as f4 (6dp-rounded score, neighbor-id
+    tie-break) — hash-equality with f4 is pytest-asserted across chunk
+    sizes. ``work_dir`` is the staging root (a real pipeline passes a
+    job-scoped path; defaults to a mkdtemp for tests).
     """
     import math
+    import tempfile
 
     import numpy as np
     import pandas as pd
 
-    corpus = embeddings.select(F.col(id_col).alias("id"), "embedding").toPandas()
-    c_ids = corpus["id"].to_numpy(dtype=np.int64)
-    c_mat = np.vstack(corpus["embedding"].to_numpy()).astype(np.float64)
-    c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
-    n = len(c_ids)
-    n_chunks = max(1, math.ceil(n / chunk_size))
     spark = embeddings.sparkSession
-    queries = embeddings.select(F.col(id_col).alias("id"), "embedding")
+    src = embeddings.select(F.col(id_col).alias("id"), "embedding")
+    n = src.count()
+    n_chunks = max(1, math.ceil(n / chunk_size))
+    root = work_dir or tempfile.mkdtemp(prefix="spark_graft_f4c_")
+    corpus_path = f"{root}/corpus"
+    cand_path = f"{root}/cand"
+    (
+        src.withColumn(
+            "chunk", F.pmod(F.xxhash64("id"), F.lit(n_chunks)).cast("int")
+        )
+        .write.partitionBy("chunk")
+        .mode("overwrite")
+        .parquet(corpus_path)
+    )
+    corpus = spark.read.parquet(corpus_path)
     out_schema = "query_id bigint, neighbor_id bigint, cos_sim double"
 
-    parts = []
+    first = True
     for ci in range(n_chunks):
-        lo, hi = ci * chunk_size, min((ci + 1) * chunk_size, n)
-        bc = spark.sparkContext.broadcast((c_ids[lo:hi], c_norm[lo:hi]))
+        # partition-pruned single-chunk read: O(chunk) driver memory
+        chunk_pdf = (
+            corpus.filter(F.col("chunk") == ci).select("id", "embedding").toPandas()
+        )
+        if len(chunk_pdf) == 0:
+            continue
+        c_ids = chunk_pdf["id"].to_numpy(dtype=np.int64)
+        c_mat = np.vstack(chunk_pdf["embedding"].to_numpy()).astype(np.float64)
+        c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((c_ids, c_norm))
 
         def chunk_topk(batches, _bc=bc):
             ids_c, nmat_c = _bc.value
@@ -167,11 +186,17 @@ def cosine_topk_chunked(
                 if rows:
                     yield pd.concat(rows, ignore_index=True)
 
-        parts.append(queries.mapInPandas(chunk_topk, out_schema))
+        # the write is the pass barrier: after it returns, the broadcast
+        # is dead weight and is dropped before the next chunk loads
+        (
+            src.mapInPandas(chunk_topk, out_schema)
+            .write.mode("overwrite" if first else "append")
+            .parquet(cand_path)
+        )
+        bc.unpersist()
+        first = False
 
-    from functools import reduce
-
-    cand = reduce(lambda a, b: a.unionAll(b), parts)
+    cand = spark.read.parquet(cand_path)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -187,6 +212,7 @@ def ivf_cosine_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF (inverted-file) coarse
     quantization — the other scale path next to LSH.
@@ -199,58 +225,133 @@ def ivf_cosine_topk(
     f4 truth; random gaussian vectors are IVF's worst case, real
     embedding corpora cluster far better).
 
-    At 100 TB: fit KMeans on a sample, broadcast the centroids, write
-    the corpus bucketed by cell id; a query then touches only its probed
-    cells' files (partition pruning does the gather). Here the inverted
-    lists are broadcast like f4's corpus — same memory contract.
-    Rows-only for t2 (KMeans cell boundaries are engine-specific).
+    Execution shape — every stage distributed, nothing corpus-sized on
+    the driver (round 2 collected corpus + assignments; fixed):
+      1. KMeans fit (MLlib, distributed); only the n_cells centroids
+         come back to the driver and ride the one broadcast.
+      2. The corpus is written to the CELL-PARTITIONED layout that
+         tests/test_plans.py proves partition-prunes (one directory
+         per inverted list).
+      3. Queries compute their n_probe nearest cells scan-side against
+         the broadcast centroids and explode to (cell, query) probe
+         rows.
+      4. The distinct probed cells (≤ n_cells values — O(1) collect)
+         prune the layout read to exactly the probed inverted lists.
+      5. A cogroup on cell (bounded cardinality, big frames — the g9
+         law) scores each cell's queries × vectors as one BLAS matmul
+         and keeps k per query per cell; a query_id-partitioned window
+         merges per-cell winners into the global top-k (top-k ⊆ union
+         of per-cell top-k, so pruning loses nothing beyond the probe
+         approximation itself).
+    Rows-only for t2 (KMeans cell boundaries are engine-specific);
+    recall + probe monotonicity vs the exact f4 truth are pytest-
+    asserted. ``work_dir`` = staging root (job-scoped path in a real
+    pipeline; mkdtemp for tests).
     """
+    import tempfile
+
     import numpy as np
     import pandas as pd
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    spark = embeddings.sparkSession
     d = with_double_embedding(embeddings).select(
-        F.col(id_col).alias("id"), array_to_vector("emb").alias("features")
+        F.col(id_col).alias("id"),
+        F.col("embedding"),
+        array_to_vector("emb").alias("features"),
     )
     model = KMeans(k=n_cells, seed=42, maxIter=20, featuresCol="features").fit(d)
-    assigned = model.transform(d).select("id", "prediction").toPandas()
 
-    corpus = embeddings.select(F.col(id_col).alias("id"), "embedding").toPandas()
-    c_ids = corpus["id"].to_numpy(dtype=np.int64)
-    c_mat = np.vstack(corpus["embedding"].to_numpy()).astype(np.float64)
-    c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
-    cell_of = (
-        assigned.set_index("id").loc[c_ids, "prediction"].to_numpy(dtype=np.int64)
+    root = work_dir or tempfile.mkdtemp(prefix="spark_graft_f5b_")
+    layout = f"{root}/corpus_by_cell"
+    (
+        model.transform(d)
+        .select("id", "embedding", F.col("prediction").cast("int").alias("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(layout)
     )
+
     cents = np.asarray(model.clusterCenters(), dtype=np.float64)
     cents_norm = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    bc = embeddings.sparkSession.sparkContext.broadcast(
-        (c_ids, c_norm, cell_of, cents_norm)
-    )
+    bc = spark.sparkContext.broadcast(cents_norm)
 
-    def topk(batches):
-        ids_c, nmat_c, cells_c, cn = bc.value
+    def probe(batches):
+        cn = bc.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             q_ids = pdf["id"].to_numpy(dtype=np.int64)
             q_mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
             cell_sims = q_norm @ cn.T
             probed = np.argsort(-cell_sims, axis=1)[:, :n_probe]
-            out = []
-            for i in range(len(q_ids)):
-                cand = np.isin(cells_c, probed[i]) & (ids_c != q_ids[i])
-                idx = np.nonzero(cand)[0]
-                sims = np.round(nmat_c[idx] @ q_norm[i], 6)
-                order = np.lexsort((ids_c[idx], -sims))[:k]
-                for r, j in enumerate(order, start=1):
-                    out.append((q_ids[i], ids_c[idx[j]], sims[j], r))
             yield pd.DataFrame(
-                out, columns=["query_id", "neighbor_id", "cos_sim", "rank"]
+                {
+                    "cell": probed.reshape(-1).astype(np.int32),
+                    "qid": np.repeat(q_ids, n_probe),
+                    "qemb": [
+                        pdf["embedding"].iloc[i]
+                        for i in range(len(q_ids))
+                        for _ in range(n_probe)
+                    ],
+                }
             )
 
-    return embeddings.select(F.col(id_col).alias("id"), "embedding").mapInPandas(
-        topk, "query_id bigint, neighbor_id bigint, cos_sim double, rank bigint"
+    probes = (
+        embeddings.select(F.col(id_col).alias("id"), "embedding")
+        .mapInPandas(probe, "cell int, qid bigint, qemb array<float>")
+        .persist()
+    )
+    probed_cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    corpus_cells = spark.read.parquet(layout).filter(
+        F.col("cell").isin(probed_cells)  # partition-pruned gather
+    )
+
+    def score_cell(q_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cos_sim": []}
+        ).astype({"query_id": np.int64, "neighbor_id": np.int64, "cos_sim": float})
+        if len(q_pdf) == 0 or len(c_pdf) == 0:
+            return empty
+        q_ids = q_pdf["qid"].to_numpy(dtype=np.int64)
+        q_mat = np.vstack(q_pdf["qemb"].to_numpy()).astype(np.float64)
+        q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+        c_ids = c_pdf["id"].to_numpy(dtype=np.int64)
+        c_mat = np.vstack(c_pdf["embedding"].to_numpy()).astype(np.float64)
+        c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+        sims = np.round(q_norm @ c_norm.T, 6)
+        kk = min(k, len(c_ids))
+        rows = []
+        for i in range(len(q_ids)):
+            row = np.where(c_ids == q_ids[i], -np.inf, sims[i])
+            order = np.lexsort((c_ids, -row))[:kk]
+            keep = order[np.isfinite(row[order])]
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "query_id": q_ids[i],
+                        "neighbor_id": c_ids[keep],
+                        "cos_sim": row[keep],
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True) if rows else empty
+
+    cand = (
+        probes.groupBy("cell")
+        .cogroup(corpus_cells.groupBy("cell"))
+        .applyInPandas(
+            score_cell, "query_id bigint, neighbor_id bigint, cos_sim double"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
     )
 
 
@@ -493,6 +594,7 @@ def pq_topk(
     m: int = 8,
     n_codes: int = 32,
     id_col: str = "vec_id",
+    sample_n: int = 16384,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via PRODUCT QUANTIZATION with
     asymmetric distance computation (ADC) — the memory-side compression
@@ -510,28 +612,46 @@ def pq_topk(
     Search (ADC): each query computes an (m × n_codes) table of exact
     subspace distances to the codebooks, then every corpus item's
     approximate distance is m table lookups over its codes — no
-    original vectors touched. Distributed shape: queries are a scan;
-    the code matrix + codebooks ride ONE broadcast (the 32x-compressed
-    index); encode is a separate scan. Rows-only query (codebooks are
-    data-derived); recall vs the exact f4 truth is pytest-asserted.
+    original vectors touched.
+
+    Distributed shape (round 2 collected the FULL float corpus to the
+    driver for both training and encoding; fixed):
+      - codebook TRAINING uses a bounded deterministic sample
+        (md5-of-id order, ``TakeOrderedAndProject`` — ``sample_n`` rows
+        reach the driver, never the corpus; sample-based training is
+        how every PQ system works, FAISS included);
+      - ENCODE is a distributed ``mapInPandas`` scan against the
+        broadcast codebooks — each executor quantizes its own split;
+      - only the encoded (id, codes) matrix — m bytes/vector, the
+        32x-compressed index whose smallness is PQ's entire point —
+        is collected and re-broadcast for the ADC search scan.
+    Rows-only query (codebooks are data-derived); recall vs the exact
+    f4 truth is pytest-asserted.
     """
     import numpy as np
     import pandas as pd
 
-    corpus = embeddings.select(F.col(id_col).alias("id"), "embedding").toPandas()
-    ids = corpus["id"].to_numpy(dtype=np.int64)
-    mat = np.vstack(corpus["embedding"].to_numpy()).astype(np.float64)
+    spark = embeddings.sparkSession
+    queries = embeddings.select(F.col(id_col).alias("id"), "embedding")
+
+    sample_pdf = (
+        queries.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(sample_n)
+        .toPandas()
+        .sort_values("id")  # scan-order independent Lloyd init
+        .reset_index(drop=True)
+    )
+    mat = np.vstack(sample_pdf["embedding"].to_numpy()).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    n, d = mat.shape
+    n_s, d = mat.shape
     assert d % m == 0, (d, m)
     sub_d = d // m
 
     rng = np.random.RandomState(7)
     codebooks = np.empty((m, n_codes, sub_d))
-    codes = np.empty((n, m), dtype=np.int32)
     for j in range(m):
         sub = mat[:, j * sub_d : (j + 1) * sub_d]
-        centers = sub[rng.choice(n, size=n_codes, replace=False)]
+        centers = sub[rng.choice(n_s, size=n_codes, replace=False)]
         for _ in range(10):  # seeded Lloyd iterations
             d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
@@ -540,13 +660,33 @@ def pq_topk(
                 if len(pts):
                     centers[c] = pts.mean(axis=0)
         codebooks[j] = centers
-        codes[:, j] = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(
-            axis=2
-        ).argmin(axis=1)
 
-    spark = embeddings.sparkSession
+    bc_books = spark.sparkContext.broadcast(codebooks)
+
+    def encode(batches):
+        books = bc_books.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v_ids = pdf["id"].to_numpy(dtype=np.int64)
+            v = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cs = np.empty((len(v_ids), m), dtype=np.int32)
+            for j in range(m):
+                sub = v[:, j * sub_d : (j + 1) * sub_d]
+                cs[:, j] = (
+                    ((sub[:, None, :] - books[j][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                )
+            yield pd.DataFrame({"id": v_ids, "codes": list(cs)})
+
+    # distributed encode; only the compressed code matrix lands driver-side
+    codes_pdf = queries.mapInPandas(encode, "id bigint, codes array<int>").toPandas()
+    ids = codes_pdf["id"].to_numpy(dtype=np.int64)
+    codes = np.vstack(codes_pdf["codes"].to_numpy()).astype(np.int32)
+
     bc = spark.sparkContext.broadcast((ids, codes, codebooks))
-    queries = embeddings.select(F.col(id_col).alias("id"), "embedding")
 
     def adc_topk(batches):
         c_ids, c_codes, books = bc.value
