@@ -107,7 +107,11 @@ def test_transform_with_state_twin_matches_batch(spark, events_dir):
     ValueState) must reproduce the same batch running-sum values as the
     applyInPandasWithState twin. The API's driver worker requires
     protobuf (not shipped in this container) — skipped when absent;
-    the twin itself is plain PySpark and runs wherever protobuf is."""
+    the twin itself is plain PySpark and runs wherever protobuf is.
+    Install was attempted and is impossible here: the sandbox has no
+    PyPI route (``pip download protobuf`` → "No matching distribution
+    found") and no wheel is cached on disk, so the skip is a container
+    limitation, not a code gap."""
     import pytest
 
     pytest.importorskip("google.protobuf.descriptor")
