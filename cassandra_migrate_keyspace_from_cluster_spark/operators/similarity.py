@@ -129,7 +129,10 @@ def cosine_topk_chunked(
     import pandas as pd
 
     spark = embeddings.sparkSession
-    src = embeddings.select(F.col(id_col).alias("id"), "embedding")
+    # The query side is scanned once per pass; cache it (MEMORY_AND_DISK
+    # — degrades to local-disk reads when the corpus outgrows memory, so
+    # the cache is an optimization, never a memory contract).
+    src = embeddings.select(F.col(id_col).alias("id"), "embedding").persist()
     n = src.count()
     n_chunks = max(1, math.ceil(n / chunk_size))
     root = work_dir or tempfile.mkdtemp(prefix="spark_graft_f4c_")
@@ -169,22 +172,22 @@ def cosine_topk_chunked(
                 q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
                 sims = np.round(q_norm @ nmat_c.T, 6)
                 kk = min(k, len(ids_c))
-                rows = []
+                out_q, out_n, out_s = [], [], []
                 for i in range(len(q_ids)):
                     row = np.where(ids_c == q_ids[i], -np.inf, sims[i])
                     order = np.lexsort((ids_c, -row))[:kk]
                     keep = order[np.isfinite(row[order])]
-                    rows.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": q_ids[i],
-                                "neighbor_id": ids_c[keep],
-                                "cos_sim": row[keep],
-                            }
-                        )
+                    out_q.append(np.full(len(keep), q_ids[i], dtype=np.int64))
+                    out_n.append(ids_c[keep])
+                    out_s.append(row[keep])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(out_q),
+                            "neighbor_id": np.concatenate(out_n),
+                            "cos_sim": np.concatenate(out_s),
+                        }
                     )
-                if rows:
-                    yield pd.concat(rows, ignore_index=True)
 
         # the write is the pass barrier: after it returns, the broadcast
         # is dead weight and is dropped before the next chunk loads
@@ -196,6 +199,7 @@ def cosine_topk_chunked(
         bc.unpersist()
         first = False
 
+    src.unpersist()  # every pass is materialized; the result reads cand_path
     cand = spark.read.parquet(cand_path)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -232,13 +232,17 @@ def f4_cosine_topk(spark, sf_dir):
 )
 def f4c_cosine_topk_chunked(spark, sf_dir):
     """f4's exact top-k with the corpus blocked into broadcastable
-    chunks (per-chunk matmul top-k → per-query merge) — the exact tier
-    that survives a corpus too big for one broadcast. chunk_size=200
-    forces multiple chunks even at sf0.01 so the merge path is what the
-    oracle actually checks."""
-    return sim.cosine_topk_chunked(
-        t(spark, sf_dir, "embeddings"), k=5, chunk_size=200
-    ).select(
+    chunks, searched pass-at-a-time off a chunk-partitioned layout
+    (per-chunk pruned read + broadcast matmul top-k → per-query merge)
+    — the exact tier that survives a corpus too big for one broadcast.
+    chunk_size targets ~4 chunks (floor 200) so the merge path is
+    always what the oracle checks, while the pass count — each pass is
+    a full query scan + candidate materialization — stays O(1) as the
+    corpus grows (at real scale you size chunk = broadcast budget, and
+    pass count is n/chunk by necessity)."""
+    emb = t(spark, sf_dir, "embeddings")
+    chunk = max(200, -(-emb.count() // 4))
+    return sim.cosine_topk_chunked(emb, k=5, chunk_size=chunk).select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank")
     )
 
