@@ -335,18 +335,543 @@ def extract_bmp_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=BMP_FEATURE_SCHEMA)
 
 
-# --- compressed-image/video decoders: stubs (libs not in container) -----
+# --- image: REAL pure-numpy baseline JPEG codec -------------------------
+#
+# Baseline sequential DCT JPEG (ITU-T T.81) with the Annex K quant +
+# Huffman tables, 4:4:4 sampling, JFIF markers — encoder and decoder in
+# plain numpy (bit I/O in python), so COMPRESSED image decode is real
+# end-to-end with no media library: synthesize → encode (entropy-coded
+# bytes) → Spark binary column → mapInPandas decode → features (f17d).
+# Determinism contract: quantization and final pixel rounding use
+# half-up floor(x+0.5) (an encoder/decoder-internal choice T.81 leaves
+# free) so the arithmetic is exactly replicable in an SQL oracle.
+
+_JPEG_QUANT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QUANT_CHR = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# Annex K Huffman specs: (bits[1..16], values)
+_JPEG_HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_HUFF_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
 
 
-def decode_image(payload: bytes, mime: str):  # pragma: no cover - stub
-    """Decode an image payload to an HxWxC array. Uncompressed 24-bit
-    BMP decodes for real via ``decode_bmp_24``; compressed formats
-    (png/jpeg) need Pillow, which is not in this container."""
+def _jpeg_scaled_quant(base, quality: int):
+    """IJG quality scaling: q' = clamp(floor((q*scale + 50)/100), 1, 255)
+    with scale = 5000/quality below 50 else 200 - 2*quality."""
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(255, max(1, (q * scale + 50) // 100)) for q in base]
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    d = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    d[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return d
+
+
+def _huff_canonical_codes(bits, values):
+    """Canonical Huffman codes per T.81 C.2: {symbol: (code, length)}."""
+    out, code = {}, 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _jpeg_magnitude(v: int):
+    """(size, bits) encoding of a coefficient amplitude per T.81 F.1.2."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg_baseline(pixels, quality: int = 90) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a baseline sequential JPEG
+    (JFIF, 4:4:4, Annex K Huffman tables, IJG-scaled Annex K quant
+    tables). Pure numpy + python bit I/O. Quantization rounds half-up
+    (floor(x/q + 0.5)) — a free encoder choice that makes the stored
+    coefficients exactly predictable arithmetically (the f17d oracle
+    relies on it)."""
+    import struct
+
+    import numpy as np
+
+    rgb = np.asarray(pixels, dtype=np.float64)
+    h, w, _ = rgb.shape
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    qlum = _jpeg_scaled_quant(_JPEG_QUANT_LUM, quality)
+    qchr = _jpeg_scaled_quant(_JPEG_QUANT_CHR, quality)
+    qtabs = [np.asarray(q, dtype=np.float64).reshape(8, 8) for q in (qlum, qchr)]
+    dct = _jpeg_dct_matrix()
+    zz = np.asarray(_JPEG_ZIGZAG)
+
+    dc_codes = [
+        _huff_canonical_codes(*_JPEG_HUFF_DC_LUM),
+        _huff_canonical_codes(*_JPEG_HUFF_DC_CHR),
+    ]
+    ac_codes = [
+        _huff_canonical_codes(*_JPEG_HUFF_AC_LUM),
+        _huff_canonical_codes(*_JPEG_HUFF_AC_CHR),
+    ]
+
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, plane in enumerate(planes):
+                block = np.empty((8, 8))
+                ys, xs = min(8, h - by), min(8, w - bx)
+                block[:ys, :xs] = plane[by : by + ys, bx : bx + xs]
+                block[ys:, :xs] = block[ys - 1 : ys, :xs]  # edge-replicate pad
+                block[:, xs:] = block[:, xs - 1 : xs]
+                coef = dct @ (block - 128.0) @ dct.T
+                q = qtabs[0 if ci == 0 else 1]
+                quant = np.floor(coef / q + 0.5).astype(np.int64)
+                zig = quant.reshape(-1)[zz]
+                tsel = 0 if ci == 0 else 1
+                diff = int(zig[0]) - prev_dc[ci]
+                prev_dc[ci] = int(zig[0])
+                size, bits = _jpeg_magnitude(diff)
+                code, length = dc_codes[tsel][size]
+                bw.write(code, length)
+                if size:
+                    bw.write(bits, size)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zig[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[tsel][0xF0]  # ZRL
+                        bw.write(code, length)
+                        run -= 16
+                    size, bits = _jpeg_magnitude(v)
+                    code, length = ac_codes[tsel][(run << 4) | size]
+                    bw.write(code, length)
+                    bw.write(bits, size)
+                    run = 0
+                if run:
+                    code, length = ac_codes[tsel][0x00]  # EOB
+                    bw.write(code, length)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = [struct.pack(">H", 0xFFD8)]
+    out.append(
+        seg(0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0))
+    )
+    for tq, q in enumerate((qlum, qchr)):
+        out.append(seg(0xFFDB, bytes([tq]) + bytes(q[i] for i in _JPEG_ZIGZAG)))
+    out.append(
+        seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+    )
+    for tc_th, (bits, vals) in (
+        (0x00, _JPEG_HUFF_DC_LUM),
+        (0x10, _JPEG_HUFF_AC_LUM),
+        (0x01, _JPEG_HUFF_DC_CHR),
+        (0x11, _JPEG_HUFF_AC_CHR),
+    ):
+        out.append(seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
+    out.append(
+        seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    )
+    out.append(scan)
+    out.append(struct.pack(">H", 0xFFD9))
+    return b"".join(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.pos < len(self.data):
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:  # a real marker terminates entropy data
+                    self.pos -= 1
+                    byte = None
+            if byte is None:
+                self.acc = (self.acc << 8) | 0xFF  # pad: decoder won't use it
+                self.nbits += 8
+                break
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                raise ValueError("truncated JPEG entropy stream")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode_table(bits, values):
+    """{(length, code): symbol} for canonical T.81 codes."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_read_symbol(br: _BitReader, table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def decode_jpeg_baseline(payload: bytes):
+    """Decode a baseline sequential JPEG (8-bit, 1 or 3 components,
+    no subsampling, no restart markers) → HxWx3 (or HxWx1) uint8 RGB.
+    Real marker walk + canonical Huffman + dequant + IDCT — no media
+    library. Final pixel rounding is half-up to match the encoder's
+    determinism contract."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[int, dict] = {}
+    comps = None
+    h = w = 0
+    scan_comps = None
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        length = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                tab = np.empty(64)
+                tab[np.asarray(_JPEG_ZIGZAG)] = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.float64)
+                qtabs[tq] = tab.reshape(8, 8)
+                i += 65
+        elif marker == 0xFFC0:
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError("only 1x1 sampling (4:4:4) supported")
+                comps.append((cid, tq))
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFC4:
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                htabs[tc_th] = _huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xFFDD:
+            if struct.unpack(">H", body[:2])[0] != 0:
+                raise ValueError("restart intervals not supported")
+        elif marker == 0xFFDA:
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c : 3 + 2 * c]
+                scan_comps.append((cs, tdta >> 4, tdta & 0xF))
+            scan_start = pos + 2 + length
+            break
+        pos += 2 + length
+    if comps is None or scan_comps is None:
+        raise ValueError("missing SOF0/SOS")
+
+    dct = _jpeg_dct_matrix()
+    zz = np.asarray(_JPEG_ZIGZAG)
+    br = _BitReader(payload[scan_start:])
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [np.empty((ph, pw)) for _ in comps]
+    prev_dc = [0] * len(comps)
+    comp_tq = {cid: tq for cid, tq in comps}
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, (cs, td, ta) in enumerate(scan_comps):
+                dc_tab = htabs[0x00 | td]
+                ac_tab = htabs[0x10 | ta]
+                zig = np.zeros(64, dtype=np.float64)
+                size = _huff_read_symbol(br, dc_tab)
+                diff = 0
+                if size:
+                    bits = br.read_bits(size)
+                    diff = bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+                prev_dc[ci] += diff
+                zig[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_read_symbol(br, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    bits = br.read_bits(size)
+                    v = bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+                    zig[k] = v
+                    k += 1
+                block = np.zeros(64)
+                block[zz] = zig
+                coef = block.reshape(8, 8) * qtabs[comp_tq[cs]]
+                planes[ci][by : by + 8, bx : bx + 8] = dct.T @ coef @ dct + 128.0
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        y = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+JPEG_FEATURE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def attach_jpeg_payload(docs: DataFrame, quality: int = 90) -> DataFrame:
+    """Synthesize a deterministic baseline-JPEG payload per doc (binary
+    column): a (1 + doc_id % 2) × (2 + doc_id % 3) grid of CONSTANT
+    8×8 tiles with r=(doc_id+37tx+53ty)%256, g=(2·doc_id+11tx+29ty)%256,
+    b=(3·doc_id+17tx+7ty)%256. Constant tiles quantize to a lone DC
+    coefficient, so the whole lossy chain (YCbCr → DC → half-up
+    quantize → reconstruct → clip) is exact arithmetic the DuckDB
+    oracle replicates — while the payload bytes must still round-trip
+    the REAL entropy coder (Huffman, zigzag, byte stuffing) for f17d
+    to hash-match."""
+    import numpy as np
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                wt = 2 + doc_id % 3
+                ht = 1 + doc_id % 2
+                img = np.zeros((ht * 8, wt * 8, 3), dtype=np.uint8)
+                for ty in range(ht):
+                    for tx in range(wt):
+                        img[ty * 8 : (ty + 1) * 8, tx * 8 : (tx + 1) * 8] = (
+                            (doc_id + 37 * tx + 53 * ty) % 256,
+                            (2 * doc_id + 11 * tx + 29 * ty) % 256,
+                            (3 * doc_id + 17 * tx + 7 * ty) % 256,
+                        )
+                payloads.append(encode_jpeg_baseline(img, quality))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id bigint, payload binary, mime string"
+    )
+
+
+def extract_jpeg_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL JPEG decode → image features (dimensions from
+    the parsed SOF0 header, per-channel means from the reconstructed
+    pixels). Same narrow mapInPandas shape as the WAV/BMP branches."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, mr, mg, mb = [], [], [], [], []
+            for payload in pdf["payload"]:
+                img = decode_jpeg_baseline(bytes(payload))
+                h, w, _ = img.shape
+                x = img.astype(np.float64)
+                ws.append(w)
+                hs.append(h)
+                mr.append(round(float(x[:, :, 0].mean()), 6))
+                mg.append(round(float(x[:, :, 1].mean()), 6))
+                mb.append(round(float(x[:, :, 2].mean()), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "mean_r": pd.Series(mr, dtype="float64"),
+                    "mean_g": pd.Series(mg, dtype="float64"),
+                    "mean_b": pd.Series(mb, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=JPEG_FEATURE_SCHEMA)
+
+
+# --- video decoder: stub (libs not in container) ------------------------
+
+
+def decode_image(payload: bytes, mime: str):
+    """Decode an image payload to an HxWxC array: uncompressed 24-bit
+    BMP via ``decode_bmp_24``, baseline JPEG via the real pure-numpy
+    ``decode_jpeg_baseline``. PNG (DEFLATE) remains out of scope in
+    this container (no zlib-free inflate implemented)."""
     if payload[:2] == b"BM":
         return decode_bmp_24(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_baseline(payload)
     raise NotImplementedError(
-        "compressed image decode requires Pillow/opencv, not present in "
-        "this container; wire it into extract_features' batch loop"
+        "unsupported image format (BMP and baseline JPEG decode for real; "
+        "PNG needs an inflate impl)"
     )
 
 

@@ -649,6 +649,69 @@ def f17c_bmp_decode_features(spark, sf_dir):
 
 
 @register(
+    "f17d_jpeg_decode_features",
+    oracle="""
+    -- Baseline JPEG at quality 90 (IJG scale 20): DC quant steps are
+    -- floor((16*20+50)/100) = 3 (luma) and floor((17*20+50)/100) = 3
+    -- (chroma). Images are grids of CONSTANT 8x8 tiles, so each tile
+    -- reconstructs from its lone DC coefficient: the exact half-up
+    -- quantize/dequantize chain below (matching the codec's contract).
+    WITH params AS (
+      SELECT doc_id, 2 + doc_id % 3 AS wt, 1 + doc_id % 2 AS ht
+      FROM documents),
+    tiles AS (
+      SELECT p.doc_id, p.wt, p.ht, gx.tx, gy.ty,
+             CAST((p.doc_id + 37*gx.tx + 53*gy.ty) % 256 AS DOUBLE) AS r,
+             CAST((2*p.doc_id + 11*gx.tx + 29*gy.ty) % 256 AS DOUBLE) AS g,
+             CAST((3*p.doc_id + 17*gx.tx + 7*gy.ty) % 256 AS DOUBLE) AS b
+      FROM params p,
+           LATERAL (SELECT unnest(generate_series(0, p.wt - 1)) AS tx) gx,
+           LATERAL (SELECT unnest(generate_series(0, p.ht - 1)) AS ty) gy),
+    ycc AS (
+      SELECT doc_id, wt, ht,
+             0.299*r + 0.587*g + 0.114*b AS y,
+             128.0 - 0.168736*r - 0.331264*g + 0.5*b AS cb,
+             128.0 + 0.5*r - 0.418688*g - 0.081312*b AS cr
+      FROM tiles),
+    rec AS (
+      SELECT doc_id, wt, ht,
+             floor(8.0*(y  - 128.0)/3.0 + 0.5)*3.0/8.0 + 128.0 AS y2,
+             floor(8.0*(cb - 128.0)/3.0 + 0.5)*3.0/8.0 + 128.0 AS cb2,
+             floor(8.0*(cr - 128.0)/3.0 + 0.5)*3.0/8.0 + 128.0 AS cr2
+      FROM ycc),
+    px AS (
+      SELECT doc_id, wt, ht,
+             least(255.0, greatest(0.0,
+               floor(y2 + 1.402*(cr2 - 128.0) + 0.5))) AS rr,
+             least(255.0, greatest(0.0,
+               floor(y2 - 0.344136*(cb2 - 128.0) - 0.714136*(cr2 - 128.0) + 0.5))) AS gg,
+             least(255.0, greatest(0.0,
+               floor(y2 + 1.772*(cb2 - 128.0) + 0.5))) AS bb
+      FROM rec)
+    SELECT doc_id,
+           CAST(8 * max(wt) AS BIGINT) AS width,
+           CAST(8 * max(ht) AS BIGINT) AS height,
+           round(avg(rr), 6) AS mean_r,
+           round(avg(gg), 6) AS mean_g,
+           round(avg(bb), 6) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def f17d_jpeg_decode_features(spark, sf_dir):
+    """REAL compressed-image decode end-to-end: per-doc baseline JPEGs
+    (constant-8x8-tile images, encoded with the pure-numpy T.81 codec —
+    Annex K tables, canonical Huffman, zigzag, byte stuffing) ride a
+    binary column; mapInPandas DECODES the full bitstream — marker
+    walk, Huffman, dequant, IDCT, color convert — and emits dimensions
+    + per-channel means. Constant tiles make the lossy chain exact
+    arithmetic, so the oracle recomputes the DECODED (not source!)
+    pixels and any bit error anywhere in encode or decode breaks the
+    hash. Dimensions come from the parsed SOF0 header."""
+    docs = t(spark, sf_dir, "documents")
+    return mm.extract_jpeg_features(mm.attach_jpeg_payload(docs))
+
+
+@register(
     "f20_stratified_sample",
     oracle="""
     WITH h AS (

@@ -451,6 +451,86 @@ def test_bmp_codec_roundtrip():
     assert np.array_equal(mm.decode_bmp_24(bytes(p)), img[::-1][::-1])
 
 
+def test_jpeg_codec_roundtrip_psnr():
+    """Pure-numpy baseline JPEG codec: a smooth non-trivial image (AC
+    coefficients, ZRL/EOB paths, byte stuffing all exercised) must
+    survive encode→decode at quality 90 with PSNR > 35 dB and exact
+    dimensions — including non-multiple-of-8 sizes (edge-padding path).
+    Non-JPEG payloads and progressive markers must be rejected."""
+    import numpy as np
+    import pytest
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import multimodal as mm
+
+    for h, w in [(40, 56), (17, 23)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.clip(
+            np.stack(
+                [
+                    128 + 100 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+                    128 + 80 * np.cos(xx / 11.0),
+                    128 + 60 * np.sin((xx + yy) / 13.0),
+                ],
+                axis=-1,
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        payload = mm.encode_jpeg_baseline(img, quality=90)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        dec = mm.decode_jpeg_baseline(payload)
+        assert dec.shape == img.shape
+        mse = ((dec.astype(float) - img.astype(float)) ** 2).mean()
+        psnr = 10 * np.log10(255.0**2 / mse)
+        assert psnr > 35.0, (h, w, psnr)
+        assert len(payload) < img.size, "no compression achieved"
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_baseline(b"JUNK")
+
+
+def test_jpeg_constant_tiles_decode_exactly():
+    """The f17d determinism contract: constant-8x8-tile images decode
+    to EXACTLY the arithmetic DC-chain prediction (YCbCr → half-up DC
+    quantize at q=3 → reconstruct → clip) for every tile — this is the
+    law the DuckDB oracle replays."""
+    import math
+
+    import numpy as np
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import multimodal as mm
+
+    def predict(r, g, b):
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        rec = lambda v: math.floor(8.0 * (v - 128.0) / 3.0 + 0.5) * 3.0 / 8.0 + 128.0
+        y2, cb2, cr2 = rec(y), rec(cb), rec(cr)
+        clip = lambda x: min(255.0, max(0.0, math.floor(x + 0.5)))
+        return (
+            clip(y2 + 1.402 * (cr2 - 128.0)),
+            clip(y2 - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0)),
+            clip(y2 + 1.772 * (cb2 - 128.0)),
+        )
+
+    for doc_id in range(0, 2000, 29):
+        wt, ht = 2 + doc_id % 3, 1 + doc_id % 2
+        img = np.zeros((ht * 8, wt * 8, 3), np.uint8)
+        preds = {}
+        for ty in range(ht):
+            for tx in range(wt):
+                rgb = (
+                    (doc_id + 37 * tx + 53 * ty) % 256,
+                    (2 * doc_id + 11 * tx + 29 * ty) % 256,
+                    (3 * doc_id + 17 * tx + 7 * ty) % 256,
+                )
+                img[ty * 8 : (ty + 1) * 8, tx * 8 : (tx + 1) * 8] = rgb
+                preds[(tx, ty)] = predict(*map(float, rgb))
+        dec = mm.decode_jpeg_baseline(mm.encode_jpeg_baseline(img, 90))
+        for (tx, ty), exp in preds.items():
+            tile = dec[ty * 8 : (ty + 1) * 8, tx * 8 : (tx + 1) * 8]
+            assert (tile == np.asarray(exp, np.uint8)).all(), (doc_id, tx, ty)
+
+
 def test_salted_join_equals_plain_join(spark):
     """The explicit salted join must be row-identical to the plain
     equi-join (fact=orders, dim=customer-per-key aggregate)."""

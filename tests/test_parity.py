@@ -31,11 +31,14 @@ def test_parity(name, spark, duck):
 
 
 def test_registry_tier_sets_reference_real_queries():
-    """_DRIVER_GREEN / _NEW_THIS_ROUND must only contain names that are
-    actually registered — a typo would silently fall out of the
-    driver-window rotation policy."""
+    """_DRIVER_GREEN / _WINDOW must only contain names that are actually
+    registered (a typo would silently fall out of the driver-window
+    rotation policy); the window must hold EXACTLY the driver's 50
+    slots and lead the registry ordering."""
     from cassandra_migrate_keyspace_from_cluster_spark import registry
 
     names = set(registry.specs())
     assert registry._DRIVER_GREEN <= names, registry._DRIVER_GREEN - names
-    assert registry._NEW_THIS_ROUND <= names, registry._NEW_THIS_ROUND - names
+    assert registry._WINDOW <= names, registry._WINDOW - names
+    assert len(registry._WINDOW) == 50, len(registry._WINDOW)
+    assert set(list(registry.queries())[:50]) == registry._WINDOW
