@@ -418,6 +418,40 @@ def minhash_signatures(
     return seeded.groupBy(id_col, "j").agg(F.min("h").alias("mh"))
 
 
+def minhash_bands(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    band_rows: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+) -> DataFrame:
+    """(id, band, band_hash) LSH band keys over pinned MinHash
+    signatures — band_hash = md5 of the band's j-ordered minhash run.
+    This is the PERSISTABLE dedup index: because the hashes are pinned
+    (md5-derived, no fitted state), bands computed for a NEW batch in a
+    later job collide with bands computed for the corpus years earlier
+    — the property incremental dedup (f40) relies on."""
+    sig = minhash_signatures(
+        docs, n_hashes=n_hashes, id_col=id_col, text_col=text_col, k_shingle=k_shingle
+    )
+    return (
+        sig.withColumn("band", (F.col("j") / band_rows).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "mh"))),
+                        lambda x: x["mh"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
 def minhash_band_candidates(
     docs: DataFrame,
     n_hashes: int = 16,
@@ -436,23 +470,13 @@ def minhash_band_candidates(
     ∝ Σ bucket², never corpus². The whole dataflow is 3 shuffles
     (sig min-agg, band agg, bucket self-join) regardless of corpus
     size."""
-    sig = minhash_signatures(
-        docs, n_hashes=n_hashes, id_col=id_col, text_col=text_col, k_shingle=k_shingle
-    )
-    bands = (
-        sig.withColumn("band", (F.col("j") / band_rows).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("j", "mh"))),
-                        lambda x: x["mh"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_hash")
-        )
+    bands = minhash_bands(
+        docs,
+        n_hashes=n_hashes,
+        band_rows=band_rows,
+        id_col=id_col,
+        text_col=text_col,
+        k_shingle=k_shingle,
     )
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_hash")

@@ -461,3 +461,77 @@ def a14_range_checksums(spark, sf_dir):
         F.min(h).alias("min_hash"),
         F.max(h).alias("max_hash"),
     )
+
+
+@register(
+    "a15_repair_apply",
+    oracle="""
+    WITH base AS (SELECT o_orderkey FROM orders),
+    stats AS (
+      SELECT
+        count(*) FILTER (WHERE o_orderkey % 101 = 0) AS n_copy,
+        count(*) FILTER (WHERE o_orderkey % 101 <> 0
+                           AND o_orderkey % 103 = 0) AS n_recopy,
+        count(*) FILTER (WHERE o_orderkey % 107 = 0) AS n_delete,
+        count(*) AS n_rows
+      FROM base)
+    SELECT 'applied_copy' AS metric, CAST(n_copy AS BIGINT) AS n FROM stats
+    UNION ALL
+    SELECT 'applied_recopy', CAST(n_recopy AS BIGINT) FROM stats
+    UNION ALL
+    SELECT 'applied_delete', CAST(n_delete AS BIGINT) FROM stats
+    UNION ALL
+    SELECT 'post_repair_diffs', 0
+    UNION ALL
+    SELECT 'rows_after_repair', CAST(n_rows AS BIGINT) FROM stats
+    """,
+)
+def a15_repair_apply(spark, sf_dir):
+    """The repair half of incremental migration (a11 emits the plan;
+    this APPLIES it): against the same deterministically-drifted target
+    (keys %101 dropped, %103 mutated, %107 duplicated under new keys),
+    execute copy / recopy / delete per plan row and prove convergence —
+    a second snapshot_diff of source vs the repaired target must be
+    EMPTY. Output is the repair report: per-action applied counts, the
+    post-repair diff count (0), and the final row count.
+
+    Scale shape: the plan is drift-proportional; applying it is two
+    key-semi-joins (anti-join the delete+recopy keys out of the target,
+    semi-join the copy+recopy rows from the source) — each shuffles on
+    the key only, and the verification diff is the same key-partitioned
+    join a11 already costs. Nothing is collected; the report is a union
+    of 1-row aggregates."""
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    kept = base.filter(k % 101 != 0).withColumn(
+        "o_orderstatus",
+        F.when(k % 103 == 0, "X").otherwise(F.col("o_orderstatus")),
+    )
+    extra = base.filter(k % 107 == 0).withColumn("o_orderkey", k + 10000000)
+    target = kept.unionByName(extra)
+    cols = ("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+    plan = mig.snapshot_diff(base, target, "o_orderkey", cols)
+    remove_keys = plan.filter(
+        F.col("action").isin("delete", "recopy")
+    ).select("o_orderkey")
+    fetch_keys = plan.filter(
+        F.col("action").isin("copy", "recopy")
+    ).select("o_orderkey")
+    repaired = target.join(remove_keys, "o_orderkey", "left_anti").unionByName(
+        base.join(fetch_keys, "o_orderkey", "left_semi")
+    )
+    post = mig.snapshot_diff(base, repaired, "o_orderkey", cols)
+
+    applied = plan.groupBy("action").agg(F.count(F.lit(1)).alias("n")).select(
+        F.concat(F.lit("applied_"), F.col("action")).alias("metric"), "n"
+    )
+    post_n = post.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("post_repair_diffs").alias("metric"), "n"
+    )
+    rows_n = repaired.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("rows_after_repair").alias("metric"), "n"
+    )
+    return applied.unionByName(post_n).unionByName(rows_n)

@@ -1678,3 +1678,265 @@ def f39_source_kl_divergence(spark, sf_dir):
         .groupBy("source", F.col("n").cast("long").alias("n_tokens"))
         .agg(r6(F.sum(p * F.log(p / q))).alias("kl_vs_corpus"))
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f40_incremental_dedup",
+    oracle="""
+    WITH raw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+    d AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+          FROM raw),
+    tok AS (SELECT doc_id, unnest(sh) AS tk FROM d),
+    seeds AS (SELECT unnest(range(16)) AS j),
+    sig AS (
+      SELECT doc_id, j,
+             min(CAST(('0x' || substr(md5(concat(CAST(j AS VARCHAR), ':', tk)),
+                                      1, 15)) AS BIGINT)) AS mh
+      FROM tok, seeds GROUP BY doc_id, j),
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS band_hash
+      FROM sig GROUP BY doc_id, j // 4),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+      FROM bands b JOIN bands c
+        ON b.band = c.band AND b.band_hash = c.band_hash
+      WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+    verified AS (
+      SELECT cd.batch_doc, cd.corpus_doc,
+             round(CAST(len(list_intersect(db.sh, dc.sh)) AS DOUBLE)
+                   / len(list_distinct(db.sh || dc.sh)), 6) AS j
+      FROM cand cd
+      JOIN d db ON db.doc_id = cd.batch_doc
+      JOIN d dc ON dc.doc_id = cd.corpus_doc),
+    dups AS (
+      SELECT batch_doc, min(corpus_doc) AS dup_of, max(j) AS best_jaccard
+      FROM verified WHERE j >= 0.9 GROUP BY batch_doc)
+    SELECT b.doc_id,
+           CASE WHEN dp.batch_doc IS NOT NULL THEN 'duplicate' ELSE 'new' END
+             AS decision,
+           dp.dup_of, dp.best_jaccard
+    FROM d b LEFT JOIN dups dp ON dp.batch_doc = b.doc_id
+    WHERE b.doc_id % 5 = 0
+    """,
+)
+def f40_incremental_dedup(spark, sf_dir):
+    """INCREMENTAL near-dedup: admit a new batch (doc_id % 5 == 0)
+    against an existing corpus index (doc_id % 5 != 0) without ever
+    re-pairing the corpus with itself — the shape of a production
+    ingestion pipeline where the corpus index is persisted and each
+    new crawl only joins its own band keys against it.
+
+    The pinned (md5-derived) MinHash bands are what make the index
+    durable: band hashes computed for the batch TODAY collide with
+    corpus band hashes computed in any earlier job (no fitted LSH
+    model to version). Candidates = batch bands ⋈ corpus bands
+    (work ∝ batch ∝ Σ bucket overlap, NOT corpus²); each candidate is
+    exactly rescored on shingle Jaccard; a batch doc with a ≥0.9 match
+    is rejected as 'duplicate' (pointing at its lowest-id corpus
+    match), else admitted 'new'. Cross-split planted near-dups exist
+    in the fixtures (j ≈ 0.99), so both branches are exercised."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 3
+    )
+    bands = dd.minhash_bands(docs, n_hashes=16, band_rows=4, k_shingle=3)
+    is_batch = F.col("doc_id") % 5 == 0
+    bb = bands.filter(is_batch).select(
+        F.col("doc_id").alias("batch_doc"), "band", "band_hash"
+    )
+    cb = bands.filter(~is_batch).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "band_hash"
+    )
+    cand = (
+        bb.join(cb, ["band", "band_hash"])
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    d = docs.select("doc_id", dd.shingles("text", 3).alias("sh"))
+    verified = (
+        cand.join(
+            d.select(F.col("doc_id").alias("batch_doc"), F.col("sh").alias("sh_b")),
+            "batch_doc",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_c")),
+            "corpus_doc",
+        )
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            r6(
+                F.size(F.array_intersect("sh_b", "sh_c"))
+                / F.size(F.array_union("sh_b", "sh_c"))
+            ).alias("j"),
+        )
+    )
+    dups = (
+        verified.filter(F.col("j") >= 0.9)
+        .groupBy("batch_doc")
+        .agg(
+            F.min("corpus_doc").alias("dup_of"),
+            F.max("j").alias("best_jaccard"),
+        )
+    )
+    return (
+        d.filter(is_batch)
+        .select("doc_id")
+        .join(dups, d["doc_id"] == dups["batch_doc"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("batch_doc").isNotNull(), "duplicate")
+            .otherwise("new")
+            .alias("decision"),
+            "dup_of",
+            "best_jaccard",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f41_perplexity_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+    freq AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+    total AS (SELECT sum(c) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             round(avg(ln(CAST(f.c AS DOUBLE) / total.n)), 6) AS avg_logprob
+      FROM tok t JOIN freq f ON f.tk = t.tk, total
+      GROUP BY t.doc_id),
+    bucketed AS (
+      SELECT s.doc_id, d.lang, s.avg_logprob,
+             ntile(4) OVER (PARTITION BY d.lang
+                            ORDER BY s.avg_logprob DESC, s.doc_id) AS bucket
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(avg_logprob), 6) AS bucket_avg_logprob,
+           round(min(avg_logprob), 6) AS bucket_min_logprob
+    FROM bucketed GROUP BY lang, bucket
+    """,
+)
+def f41_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: score every doc with the
+    corpus unigram LM (f31's dataflow — broadcast vocabulary-sized LM,
+    map-side join, per-doc partial-aggregated averaging), then cut each
+    language into fluency quartiles (bucket 1 = most fluent). The
+    head/middle/tail split is the standard curation knob for choosing
+    how much of a crawl to keep per language.
+    Scale shape: the ntile window partitions by LANG — bounded-width
+    partitions, never a global single-partition sort; ordering carries
+    the rounded score + doc_id tie-break so bucket edges are
+    cross-engine deterministic."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    lm = freq.crossJoin(F.broadcast(total)).select(
+        "tk", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    scored = (
+        tok.join(F.broadcast(lm), "tk")
+        .groupBy("doc_id")
+        .agg(r6(F.avg(F.log("p"))).alias("avg_logprob"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    bucketed = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", F.ntile(4).over(w).cast("long"))
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(F.avg("avg_logprob")).alias("bucket_avg_logprob"),
+        r6(F.min("avg_logprob")).alias("bucket_min_logprob"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f44_token_packing",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    pos AS (
+      SELECT source, doc_id, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM d),
+    spans AS (
+      SELECT source, doc_id, n_tok, start,
+             CAST(start // 512 AS BIGINT) AS first_seq,
+             CAST((start + n_tok - 1) // 512 AS BIGINT) AS last_seq
+      FROM pos WHERE n_tok > 0),
+    contrib AS (
+      SELECT s.source, s.doc_id, g.seq,
+             least(s.start + s.n_tok, 512 * (g.seq + 1))
+               - greatest(s.start, 512 * g.seq) AS tok_in_seq
+      FROM spans s,
+           LATERAL (SELECT unnest(generate_series(s.first_seq, s.last_seq))
+                    AS seq) g)
+    SELECT source, seq AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok_in_seq) AS BIGINT) AS n_tokens
+    FROM contrib GROUP BY source, seq
+    """,
+)
+def f44_token_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing — the op that turns a curated
+    corpus into fixed-length training sequences: per source, documents
+    concatenate in doc_id order and split into 512-token sequences
+    (docs may span a boundary, exactly like LLM pretraining packing).
+    Output: per (source, seq_id), how many docs contribute and how
+    many tokens land in the sequence (512 except each source's tail).
+    Scale shape: one cumulative-sum window PARTITIONED BY SOURCE
+    (bounded width, deterministic doc_id order), then each doc explodes
+    to just the sequences it touches (≤ 1 + n_tok/512 rows) — work is
+    linear in tokens, and the final agg partial-aggregates. This plan
+    is what an A5-style range planner would emit for training shards."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    seq_len = 512
+    d = docs.select(
+        "source", "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = d.withColumn("start", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    spans = pos.filter(F.col("n_tok") > 0).select(
+        "source", "doc_id", "n_tok", "start",
+        F.floor(F.col("start") / seq_len).alias("first_seq"),
+        F.floor((F.col("start") + F.col("n_tok") - 1) / seq_len).alias("last_seq"),
+    )
+    contrib = spans.select(
+        "source", "doc_id", "n_tok", "start",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq"),
+    ).select(
+        "source",
+        "seq",
+        (
+            F.least(F.col("start") + F.col("n_tok"), (F.col("seq") + 1) * seq_len)
+            - F.greatest(F.col("start"), F.col("seq") * seq_len)
+        ).alias("tok_in_seq"),
+    )
+    return contrib.groupBy("source", F.col("seq").alias("seq_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok_in_seq").cast("long").alias("n_tokens"),
+    )
