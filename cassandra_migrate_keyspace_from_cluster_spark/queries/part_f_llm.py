@@ -712,6 +712,40 @@ def f17d_jpeg_decode_features(spark, sf_dir):
 
 
 @register(
+    "f17e_png_decode_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 6 AS h
+      FROM documents),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, gx.x, gy.y
+      FROM params p,
+           LATERAL (SELECT unnest(generate_series(0, p.w - 1)) AS x) gx,
+           LATERAL (SELECT unnest(generate_series(0, p.h - 1)) AS y) gy)
+    SELECT doc_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           round(avg((7*doc_id + 2*x + 13*y) % 256), 6) AS mean_r,
+           round(avg((doc_id + 9*x + 4*y) % 256), 6) AS mean_g,
+           round(avg((4*doc_id + 5*x + 3*y) % 256), 6) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def f17e_png_decode_features(spark, sf_dir):
+    """REAL lossless compressed-image decode end-to-end: per-doc RGB8
+    PNGs (smooth integer gradients, encoded with the stdlib-zlib codec
+    using the adaptive per-row filter heuristic) ride a binary column;
+    mapInPandas walks the chunk list (CRC-validated), inflates, and
+    undoes whichever of the five scanline filters the encoder chose,
+    then emits dimensions + per-channel means. Lossless → the oracle
+    recomputes features straight from the generative pixel formula;
+    any bit error in DEFLATE framing, filtering, or unfiltering breaks
+    the hash."""
+    docs = t(spark, sf_dir, "documents")
+    return mm.extract_png_features(mm.attach_png_payload(docs))
+
+
+@register(
     "f20_stratified_sample",
     oracle="""
     WITH h AS (

@@ -451,6 +451,48 @@ def test_bmp_codec_roundtrip():
     assert np.array_equal(mm.decode_bmp_24(bytes(p)), img[::-1][::-1])
 
 
+def test_png_codec_roundtrip_all_filters():
+    """Stdlib-zlib PNG codec: encode→decode is IDENTITY (lossless), the
+    adaptive encoder's streams collectively exercise every scanline
+    filter (0-4), and corrupt CRCs are rejected."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    used = set()
+    for w, h in [(1, 1), (5, 4), (15, 9), (33, 17)]:
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        img = np.stack(
+            [(2 * x + 13 * y) % 256, (9 * x + 4 * y) % 256,
+             rng.randint(0, 256, (h, w))],
+            axis=-1,
+        ).astype(np.uint8)
+        p = mm.encode_png_rgb8(img)
+        assert p[:8] == b"\x89PNG\r\n\x1a\n"
+        assert np.array_equal(mm.decode_png_rgb8(p), img), (w, h)
+        pos = 8
+        while True:
+            ln, ct = struct.unpack(">I4s", p[pos : pos + 8])
+            if ct == b"IDAT":
+                raw = zlib.decompress(p[pos + 8 : pos + 8 + ln])
+                break
+            pos += 12 + ln
+        used |= {raw[r * (w * 3 + 1)] for r in range(h)}
+    assert used == {0, 1, 2, 3, 4}, used
+    bad = bytearray(mm.encode_png_rgb8(np.zeros((2, 2, 3), np.uint8)))
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        mm.decode_png_rgb8(bytes(bad))
+    with pytest.raises(ValueError):
+        mm.decode_png_rgb8(b"JUNKJUNK")
+
+
 def test_jpeg_codec_roundtrip_psnr():
     """Pure-numpy baseline JPEG codec: a smooth non-trivial image (AC
     coefficients, ZRL/EOB paths, byte stuffing all exercised) must
