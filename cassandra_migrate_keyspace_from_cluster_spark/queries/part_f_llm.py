@@ -746,6 +746,72 @@ def f17e_png_decode_features(spark, sf_dir):
 
 
 @register(
+    "f17f_video_frame_sample",
+    oracle="""
+    -- Frames sampled every 2nd (fi = 0, 2, ...); each frame is two
+    -- constant 8x8 tiles, so decoded pixels follow the same exact DC
+    -- chain as f17d (q=3 at quality 90, half-up rounding).
+    WITH params AS (
+      SELECT doc_id, 2 + doc_id % 3 AS n_frames FROM documents),
+    sampled AS (
+      SELECT p.doc_id, p.n_frames, g.fi
+      FROM params p,
+           LATERAL (SELECT unnest(generate_series(0, p.n_frames - 1)) AS fi) g
+      WHERE g.fi % 2 = 0),
+    tiles AS (
+      SELECT s.doc_id, s.n_frames, s.fi, tx.tx,
+             CAST((s.doc_id + 37*tx.tx + 19*s.fi) % 256 AS DOUBLE) AS r,
+             CAST((2*s.doc_id + 11*tx.tx + 23*s.fi) % 256 AS DOUBLE) AS g,
+             CAST((3*s.doc_id + 17*tx.tx + 29*s.fi) % 256 AS DOUBLE) AS b
+      FROM sampled s, LATERAL (SELECT unnest([0, 1]) AS tx) tx),
+    ycc AS (
+      SELECT doc_id, n_frames, fi,
+             0.299*r + 0.587*g + 0.114*b AS y,
+             128.0 - 0.168736*r - 0.331264*g + 0.5*b AS cb,
+             128.0 + 0.5*r - 0.418688*g - 0.081312*b AS cr
+      FROM tiles),
+    rec AS (
+      SELECT doc_id, n_frames, fi,
+             floor(8.0*(y  - 128.0)/3.0 + 0.5)*3.0/8.0 + 128.0 AS y2,
+             floor(8.0*(cb - 128.0)/3.0 + 0.5)*3.0/8.0 + 128.0 AS cb2,
+             floor(8.0*(cr - 128.0)/3.0 + 0.5)*3.0/8.0 + 128.0 AS cr2
+      FROM ycc),
+    px AS (
+      SELECT doc_id, n_frames,
+             least(255.0, greatest(0.0,
+               floor(y2 + 1.402*(cr2 - 128.0) + 0.5))) AS rr,
+             least(255.0, greatest(0.0,
+               floor(y2 - 0.344136*(cb2 - 128.0) - 0.714136*(cr2 - 128.0) + 0.5))) AS gg,
+             least(255.0, greatest(0.0,
+               floor(y2 + 1.772*(cb2 - 128.0) + 0.5))) AS bb
+      FROM rec)
+    SELECT doc_id,
+           CAST(max(n_frames) AS BIGINT) AS n_frames,
+           CAST(count(*) / 2 AS BIGINT) AS n_sampled,
+           CAST(16 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           round(avg(rr), 6) AS mean_r,
+           round(avg(gg), 6) AS mean_g,
+           round(avg(bb), 6) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def f17f_video_frame_sample(spark, sf_dir):
+    """REAL video decode end-to-end: per-doc MJPEG-AVI payloads (2-4
+    constant-tile frames muxed with the pure-python RIFF muxer) ride a
+    binary column; mapInPandas DEMUXES the container (recursive RIFF
+    walk, avih cross-check), samples every 2nd frame, decodes each
+    sampled frame with the pure-numpy JPEG decoder, and emits container
+    metadata + channel means over the sampled frames. The oracle
+    recomputes the DECODED pixels via the exact DC chain, so a bit
+    error anywhere — muxing, demuxing, frame indexing, or the JPEG
+    bitstream — breaks the hash. The canonical training-data video op
+    (sample → featurize) with zero media libraries."""
+    docs = t(spark, sf_dir, "documents")
+    return mm.extract_video_features(mm.attach_video_payload(docs), every_n=2)
+
+
+@register(
     "f20_stratified_sample",
     oracle="""
     WITH h AS (

@@ -493,6 +493,41 @@ def test_png_codec_roundtrip_all_filters():
         mm.decode_png_rgb8(b"JUNKJUNK")
 
 
+def test_avi_mjpeg_container_roundtrip():
+    """Pure-python MJPEG-AVI: mux N frames → demux returns the same
+    count/dims and per-frame JPEG payloads; sampling every 2nd frame
+    decodes exactly the right frames; malformed containers and
+    header/movi count mismatches are rejected."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import multimodal as mm
+
+    frames = []
+    for fi in range(5):
+        img = np.full((8, 16, 3), 40 * fi, np.uint8)
+        frames.append(img)
+    avi = mm.encode_avi_mjpeg(frames)
+    n, w, h, payloads = mm.demux_avi_mjpeg(avi)
+    assert (n, w, h) == (5, 16, 8)
+    assert [p[:2] for p in payloads] == [b"\xff\xd8"] * 5
+    sampled = mm.sample_video_frames(avi, 2)
+    assert [i for i, _f in sampled] == [0, 2, 4]
+    for i, f in sampled:
+        assert f.shape == (8, 16, 3)
+        assert np.array_equal(f, mm.decode_jpeg_baseline(payloads[i]))
+    with pytest.raises(ValueError):
+        mm.demux_avi_mjpeg(b"RIFFxxxxWAVE")
+    # corrupt the avih frame count -> count mismatch must be caught
+    bad = bytearray(avi)
+    pos = bad.find(b"avih") + 8 + 16
+    bad[pos : pos + 4] = struct.pack("<I", 99)
+    with pytest.raises(ValueError):
+        mm.demux_avi_mjpeg(bytes(bad))
+
+
 def test_jpeg_codec_roundtrip_psnr():
     """Pure-numpy baseline JPEG codec: a smooth non-trivial image (AC
     coefficients, ZRL/EOB paths, byte stuffing all exercised) must
