@@ -34,6 +34,15 @@ FEATURE_SCHEMA = (
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism —
+    payload synthesis and codec work are CPU-bound python, so one
+    parquet split must not serialize them onto a single core. The
+    shuffled rows are just ids (cheap); the downstream mapInPandas
+    inherits the widened partitioning."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
     """Simulate a multimodal table: utf-8 bytes of the text as the
     opaque payload + typed metadata. On a real corpus this column comes
@@ -169,7 +178,9 @@ def attach_wav_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    # spread the synthesis/codec work across cores: the source is often
+    # one parquet split, which would otherwise serialize the python codec
+    return _spread(docs.select("doc_id")).mapInPandas(
         gen, "doc_id bigint, payload binary, mime string"
     )
 
@@ -300,7 +311,9 @@ def attach_bmp_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    # spread the synthesis/codec work across cores: the source is often
+    # one parquet split, which would otherwise serialize the python codec
+    return _spread(docs.select("doc_id")).mapInPandas(
         gen, "doc_id bigint, payload binary, mime string"
     )
 
@@ -958,7 +971,9 @@ def attach_jpeg_payload(docs: DataFrame, quality: int = 90) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    # spread the synthesis/codec work across cores: the source is often
+    # one parquet split, which would otherwise serialize the python codec
+    return _spread(docs.select("doc_id")).mapInPandas(
         gen, "doc_id bigint, payload binary, mime string"
     )
 
@@ -1035,7 +1050,9 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    # spread the synthesis/codec work across cores: the source is often
+    # one parquet split, which would otherwise serialize the python codec
+    return _spread(docs.select("doc_id")).mapInPandas(
         gen, "doc_id bigint, payload binary, mime string"
     )
 
@@ -1237,7 +1254,9 @@ def attach_video_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    # spread the synthesis/codec work across cores: the source is often
+    # one parquet split, which would otherwise serialize the python codec
+    return _spread(docs.select("doc_id")).mapInPandas(
         gen, "doc_id bigint, payload binary, mime string"
     )
 
