@@ -63,27 +63,29 @@ def cosine_topk(
 
     def topk(batches):
         ids_c, nmat_c = bc.value
+        # composite int64 sort key: 6dp-rounded sims are exact integers
+        # after *1e6 (|.| <= 1e6 < 2^21) and ids fit 32 bits, so
+        # key = -sim_int * 2^32 + id orders by (sim DESC, id ASC) with
+        # NO possible ties — the same total order the lexsort produced,
+        # but selected with one vectorized argpartition per batch
+        # instead of a python loop of per-query lexsorts.
+        assert ids_c.max() < (1 << 32) and ids_c.min() >= 0
         for pdf in batches:
             q_ids = pdf["id"].to_numpy(dtype=np.int64)
             q_mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
             sims = np.round(q_norm @ nmat_c.T, 6)
-            out_q, out_n, out_s, out_r = [], [], [], []
-            for i in range(len(q_ids)):
-                row = sims[i]
-                mask = ids_c == q_ids[i]
-                row = np.where(mask, -np.inf, row)
-                order = np.lexsort((ids_c, -row))[:k]
-                out_q.extend([q_ids[i]] * k)
-                out_n.extend(ids_c[order])
-                out_s.extend(row[order])
-                out_r.extend(range(1, k + 1))
+            key = (-np.rint(sims * 1e6).astype(np.int64)) * (1 << 32) + ids_c
+            key[ids_c[None, :] == q_ids[:, None]] = np.iinfo(np.int64).max
+            part = np.argpartition(key, k - 1, axis=1)[:, :k]
+            srt = np.argsort(np.take_along_axis(key, part, axis=1), axis=1)
+            cols = np.take_along_axis(part, srt, axis=1)
             yield pd.DataFrame(
                 {
-                    "query_id": np.asarray(out_q, dtype=np.int64),
-                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
-                    "cos_sim": np.asarray(out_s, dtype=np.float64),
-                    "rank": np.asarray(out_r, dtype=np.int64),
+                    "query_id": np.repeat(q_ids, k),
+                    "neighbor_id": ids_c[cols].reshape(-1),
+                    "cos_sim": np.take_along_axis(sims, cols, axis=1).reshape(-1),
+                    "rank": np.tile(np.arange(1, k + 1, dtype=np.int64), len(q_ids)),
                 }
             )
 
@@ -164,6 +166,11 @@ def cosine_topk_chunked(
 
         def chunk_topk(batches, _bc=bc):
             ids_c, nmat_c = _bc.value
+            # same composite-key vectorized top-k as f4's kernel; the
+            # max-key sentinel (self match) is filtered AFTER selection
+            # because a small chunk can have fewer than k+1 candidates
+            big = np.iinfo(np.int64).max
+            assert ids_c.max() < (1 << 32) and ids_c.min() >= 0
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -172,22 +179,22 @@ def cosine_topk_chunked(
                 q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
                 sims = np.round(q_norm @ nmat_c.T, 6)
                 kk = min(k, len(ids_c))
-                out_q, out_n, out_s = [], [], []
-                for i in range(len(q_ids)):
-                    row = np.where(ids_c == q_ids[i], -np.inf, sims[i])
-                    order = np.lexsort((ids_c, -row))[:kk]
-                    keep = order[np.isfinite(row[order])]
-                    out_q.append(np.full(len(keep), q_ids[i], dtype=np.int64))
-                    out_n.append(ids_c[keep])
-                    out_s.append(row[keep])
-                if out_q:
-                    yield pd.DataFrame(
-                        {
-                            "query_id": np.concatenate(out_q),
-                            "neighbor_id": np.concatenate(out_n),
-                            "cos_sim": np.concatenate(out_s),
-                        }
-                    )
+                key = (-np.rint(sims * 1e6).astype(np.int64)) * (1 << 32) + ids_c
+                key[ids_c[None, :] == q_ids[:, None]] = big
+                part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+                pkeys = np.take_along_axis(key, part, axis=1)
+                srt = np.argsort(pkeys, axis=1)
+                cols = np.take_along_axis(part, srt, axis=1)
+                valid = np.take_along_axis(pkeys, srt, axis=1) != big
+                flat_valid = valid.reshape(-1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_ids, kk)[flat_valid],
+                        "neighbor_id": ids_c[cols].reshape(-1)[flat_valid],
+                        "cos_sim": np.take_along_axis(sims, cols, axis=1)
+                        .reshape(-1)[flat_valid],
+                    }
+                )
 
         # the write is the pass barrier: after it returns, the broadcast
         # is dead weight and is dropped before the next chunk loads
