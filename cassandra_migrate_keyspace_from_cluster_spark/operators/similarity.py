@@ -701,38 +701,43 @@ def pq_topk(
 
     def adc_topk(batches):
         c_ids, c_codes, books = bc.value
+        # fully batched ADC: distance tables for ALL queries at once
+        # ((Q, m, n_codes) via one broadcasted subtraction per call),
+        # then the (Q, corpus) approx matrix is m fancy-indexed lookups
+        # — and top-k selection uses the same composite-key
+        # argpartition as the exact kernels (dist ASC, id ASC).
+        big = np.iinfo(np.int64).max
+        assert c_ids.max() < (1 << 32) and c_ids.min() >= 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             q_ids = pdf["id"].to_numpy(dtype=np.int64)
             q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            rows = []
-            for i in range(len(q_ids)):
-                # (m, n_codes) exact subspace distances for this query
-                tables = np.stack(
-                    [
-                        ((books[j] - q[i, j * sub_d : (j + 1) * sub_d]) ** 2).sum(
-                            axis=1
-                        )
-                        for j in range(m)
-                    ]
-                )
-                approx = tables[np.arange(m)[None, :], c_codes].sum(axis=1)
-                approx = np.where(c_ids == q_ids[i], np.inf, np.round(approx, 6))
-                order = np.lexsort((c_ids, approx))[:k]
-                keep = order[np.isfinite(approx[order])]
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": q_ids[i],
-                            "neighbor_id": c_ids[keep],
-                            "approx_dist": approx[keep],
-                        }
-                    )
-                )
-            if rows:
-                yield pd.concat(rows, ignore_index=True)
+            q_sub = q.reshape(len(q_ids), m, sub_d)
+            # tables[qi, j, c] = ||books[j, c] - q_sub[qi, j]||²
+            tables = ((books[None, :, :, :] - q_sub[:, :, None, :]) ** 2).sum(
+                axis=3
+            )
+            # approx[qi, ci] = Σ_j tables[qi, j, c_codes[ci, j]]
+            approx = tables[:, np.arange(m)[:, None], c_codes.T].sum(axis=1)
+            approx = np.round(approx, 6)
+            kk = min(k, len(c_ids))
+            key = np.rint(approx * 1e6).astype(np.int64) * (1 << 32) + c_ids
+            key[c_ids[None, :] == q_ids[:, None]] = big
+            part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            pkeys = np.take_along_axis(key, part, axis=1)
+            srt = np.argsort(pkeys, axis=1)
+            cols = np.take_along_axis(part, srt, axis=1)
+            valid = (np.take_along_axis(pkeys, srt, axis=1) != big).reshape(-1)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, kk)[valid],
+                    "neighbor_id": c_ids[cols].reshape(-1)[valid],
+                    "approx_dist": np.take_along_axis(approx, cols, axis=1)
+                    .reshape(-1)[valid],
+                }
+            )
 
     return queries.mapInPandas(
         adc_topk, "query_id bigint, neighbor_id bigint, approx_dist double"
