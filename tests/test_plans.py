@@ -281,3 +281,29 @@ def test_pinned_lsh_candidates_hash_join_only(spark):
     plan = physical_plan(q(spark, "f24_minhash_pinned_lsh"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_dedup_hash_join_only(spark):
+    """f40's batch-vs-corpus-index candidate join and rescore must also
+    be pure hash joins — an incremental admission pass that cartesians
+    the batch with the corpus defeats the persisted-index design."""
+    plan = physical_plan(q(spark, "f40_incremental_dedup"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_r3_windows_are_partitioned(spark):
+    """f41's ntile and f44's cumsum ride windows PARTITIONED by
+    lang/source — an unpartitioned windowspecdefinition would be the
+    single-reducer global sort that doesn't survive 100x."""
+    import re
+
+    for name, part_col in (
+        ("f41_perplexity_buckets", "lang"),
+        ("f44_token_packing", "source"),
+    ):
+        plan = physical_plan(q(spark, name))
+        specs_ = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        assert specs_, f"{name}: expected a window in the plan"
+        for s in specs_:
+            assert part_col in s, f"{name}: unpartitioned window: {s}"
