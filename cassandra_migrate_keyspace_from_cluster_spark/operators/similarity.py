@@ -599,6 +599,82 @@ def centroid_classify(embeddings: DataFrame, label_col: str = "label") -> DataFr
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_seeds: int = 8,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-cluster the corpus,
+    then mark a vector a semantic duplicate iff an EARLIER (smaller-id)
+    member of its own cluster is cosine-similar above ``threshold``.
+
+    Shape (the point, vs f4b's global SRP-LSH pair search): the pair
+    candidate set is confined to each coarse cluster, so pair work is
+    Σ cluster_size² instead of n² — the cluster assignment is one
+    broadcast join (centroids are tiny) and the pair join is an
+    equi-join on cluster_id. At 100 TB the seeds become KMeans
+    centroids (k ~ √n, same assignment dataflow); here they are the
+    ``n_seeds`` smallest-id vectors so the oracle can replay the exact
+    clustering deterministically.
+
+    Determinism: assignment ranks on ROUNDED (6dp) cosine with seed-id
+    tie-break; the dup test compares rounded cosine to the threshold —
+    both identical in the DuckDB oracle.
+
+    Returns (vec_id, cluster_id, n_dup_partners, is_dup) — survivors
+    are the is_dup = 0 rows; keeping the count (not just the flag)
+    makes the redundancy distribution itself auditable.
+    """
+    e = with_double_embedding(embeddings).select(F.col(id_col).alias("vec_id"), "emb")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(n_seeds)
+        .select(F.col("vec_id").alias("seed_id"), F.col("emb").alias("semb"))
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "emb",
+        "seed_id",
+        F.round(cosine(F.col("emb"), F.col("semb")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("seed_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", F.col("seed_id").alias("cluster_id"))
+    )
+    earlier = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("cluster_id").alias("cluster_b"),
+    )
+    dup_counts = (
+        assigned.join(
+            earlier,
+            (F.col("cluster_id") == F.col("cluster_b"))
+            & (F.col("vec_b") < F.col("vec_id")),
+        )
+        .filter(F.round(cosine(F.col("emb"), F.col("emb_b")), 6) >= threshold)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_partners"))
+    )
+    return (
+        assigned.join(dup_counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(F.col("n_dup_partners"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_partners"),
+        )
+        .withColumn(
+            "is_dup",
+            (F.col("n_dup_partners") > 0).cast("bigint"),
+        )
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     k: int = 5,

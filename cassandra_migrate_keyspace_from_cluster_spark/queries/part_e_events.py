@@ -493,6 +493,136 @@ def e13_windowed_topn(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 @register(
+    "e14_session_shape",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         >= INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    numbered AS (
+        SELECT user_id, ts, event_type,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged),
+    sessions AS (
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               date_diff('second', min(ts), max(ts)) AS duration_s,
+               count(DISTINCT event_type) AS n_types
+        FROM numbered GROUP BY user_id, session_id)
+    SELECT CASE WHEN n_events = 1 THEN '1'
+                WHEN n_events = 2 THEN '2'
+                WHEN n_events <= 4 THEN '3-4'
+                WHEN n_events <= 8 THEN '5-8'
+                ELSE '9+' END AS size_bucket,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           round(avg(duration_s), 6) AS avg_duration_s,
+           round(avg(n_types), 6) AS avg_n_types
+    FROM sessions GROUP BY 1
+    """,
+)
+def e14_session_shape(spark, sf_dir):
+    """Session-shape histogram: e3's sessions (30-min gap) bucketed by
+    event count, with mean duration and mean distinct-event-type mix
+    per bucket — the profile behind engagement tiers and the gap-rule
+    sanity check (a '1'-bucket that dominates means the gap is too
+    tight). Spark side reuses native ``session_window``; per-session
+    aggregates partial-aggregate, and the final histogram is O(5)
+    rows. Oracle replays the gaps-and-islands rewrite."""
+    ev = t(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.unix_timestamp(F.date_trunc("second", F.max("ts")))
+                - F.unix_timestamp(F.date_trunc("second", F.min("ts")))
+            ).alias("duration_s"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+    bucket = (
+        F.when(F.col("n_events") == 1, "1")
+        .when(F.col("n_events") == 2, "2")
+        .when(F.col("n_events") <= 4, "3-4")
+        .when(F.col("n_events") <= 8, "5-8")
+        .otherwise("9+")
+    )
+    return sess.groupBy(bucket.alias("size_bucket")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        r6(F.avg("duration_s")).alias("avg_duration_s"),
+        r6(F.avg("n_types")).alias("avg_n_types"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e16_peak_concurrency",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         >= INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged),
+    sessions AS (
+        SELECT user_id, session_id,
+               min(ts) AS s_start, max(ts) AS s_end
+        FROM numbered GROUP BY user_id, session_id),
+    hours AS (
+        SELECT unnest(generate_series(date_trunc('hour', s_start),
+                                      date_trunc('hour', s_end),
+                                      INTERVAL 1 HOUR)) AS hour
+        FROM sessions)
+    SELECT CAST(hour AS TIMESTAMP) AS hour,
+           CAST(count(*) AS BIGINT) AS n_active_sessions
+    FROM hours GROUP BY hour
+    """,
+)
+def e16_peak_concurrency(spark, sf_dir):
+    """Concurrent-session load curve: how many user sessions (e3's
+    30-min-gap sessions) are active in each hour — the capacity-planning
+    twin of e20's rolling actives. Interval-overlap counting WITHOUT an
+    interval join: each session explodes onto the hour buckets its
+    [start, end] span touches (≤ 1 + span/1h rows), then one
+    partial-aggregated count per hour — linear in sessions, no
+    range-join, no global window. Same explode-onto-buckets shape as
+    e20/f44."""
+    ev = t(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    hours = sess.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hour")
+    )
+    return hours.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("n_active_sessions")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "e15_interarrival_histogram",
     oracle="""
     WITH g AS (

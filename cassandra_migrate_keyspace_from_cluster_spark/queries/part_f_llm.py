@@ -2040,3 +2040,99 @@ def f44_token_packing(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok_in_seq").cast("long").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f29_train_split",
+    oracle="""
+    WITH h AS (
+      SELECT source, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents),
+    agg AS (
+      SELECT source,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM h GROUP BY 1, 2)
+    SELECT source, split, n_docs, sum_chars,
+           round(CAST(n_docs AS DOUBLE)
+                 / sum(n_docs) OVER (PARTITION BY source), 6) AS frac
+    FROM agg
+    """,
+)
+def f29_train_split(spark, sf_dir):
+    """Deterministic train/val/test split manifest (80/10/10 by
+    md5(doc_id) bucket), reported per source with the realized split
+    fractions — the reproducible-split op every training pipeline needs
+    before packing (f44). Same hash-bucket idiom as f20/f28: no RNG
+    state, identical membership under retries, re-partitioning, and on
+    every engine; adding data never moves an existing doc between
+    splits (the property random splits lack). One partial-aggregated
+    groupBy; the fraction window runs on the O(sources × 3) aggregate,
+    not the corpus."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    agg = docs.groupBy("source", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    w = Window.partitionBy("source")
+    return agg.select(
+        "source",
+        "split",
+        "n_docs",
+        "sum_chars",
+        r6(F.col("n_docs") / F.sum("n_docs").over(w)).alias("frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f42_semantic_dedup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    seeds AS (SELECT vec_id AS seed_id, emb AS semb
+              FROM e ORDER BY vec_id LIMIT 8),
+    assigned AS (
+      SELECT vec_id, emb, seed_id AS cluster_id FROM (
+        SELECT a.vec_id, a.emb, s.seed_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.emb, s.semb), 6) DESC,
+                          s.seed_id) AS rn
+        FROM e a CROSS JOIN seeds s) WHERE rn = 1)
+    SELECT a.vec_id, a.cluster_id,
+           CAST(count(b.vec_id) AS BIGINT) AS n_dup_partners,
+           CAST(CASE WHEN count(b.vec_id) > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS is_dup
+    FROM assigned a
+    LEFT JOIN assigned b
+      ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+     AND round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.8
+    GROUP BY a.vec_id, a.cluster_id
+    """,
+)
+def f42_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: coarse-cluster (8 deterministic
+    seed vectors stand in for KMeans centroids so the oracle can replay
+    the clustering), then flag vectors whose cluster holds an earlier
+    member with cosine >= 0.8. Pair work is confined per cluster
+    (Σ cluster² vs f4b's global n² candidate space); assignment is one
+    broadcast join. See operators/similarity.py::semantic_dedup for
+    the 100-TB shape."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(emb, n_seeds=8, threshold=0.8)

@@ -105,9 +105,11 @@ _DRIVER_GREEN = frozenset({
 
 # Round-3 driver window (exactly 50 names): the two stale-row rewrites
 # (b20/c16 — two-phase rank landed after their r1 check) plus 48 of the
-# 62 hash-checkable queries that have never had a driver row. The 14
-# deferred hash-checkable queries (c8/c9, d9-d12, f6, f9-f12, f17*) and
-# the 6 rows-only ones (c6/c7, f3/f3b, f5/f5b) form the next window.
+# 62 hash-checkable queries that have never had a driver row. The
+# deferred hash-checkable queries (c8/c9, d9-d12, f6, f9-f12, f17*,
+# plus everything added after the window was cut — a15, f40/f41/f44,
+# f17d-f17f, e14/e16, f29, f42) and the 6 rows-only ones (c6/c7,
+# f3/f3b, f5/f5b) form the next window: they sort into tier 1 below.
 _WINDOW = frozenset({
     "b20_sort_multikey", "c16_ntile_pctrank",
     "c3_grouping_sets", "c4_stats_agg", "c5_percentiles", "c5b_mode",

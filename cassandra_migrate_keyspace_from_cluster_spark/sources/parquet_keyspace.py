@@ -46,18 +46,32 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one keyspace table as a DataFrame (schema from parquet footer).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark has
-    no native type for; with ``spark.sql.legacy.parquet.nanosAsLong`` it
-    arrives as nanos-since-epoch and is converted here to a microsecond
-    TimestampType (lossless: the generated values are µs-resolution).
+    Timestamp normalization (the generated fixtures have drifted across
+    driver rounds; the query layer always sees plain ``TimestampType``):
+
+    - parquet TIMESTAMP(NANOS) (r1/r2 fixtures): no native Spark type;
+      with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
+      nanos-since-epoch and is converted to µs TimestampType (lossless:
+      generated values are µs-resolution).
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (r3 fixtures):
+      Spark 4 infers TIMESTAMP_NTZ, which LTZ-only expressions
+      (``unix_micros``, ``to_utc_timestamp``) reject at analysis.
+      Cast to ``timestamp``: the NTZ wall-clock is interpreted in the
+      session zone and rendered back in the session zone, so collected
+      values round-trip to the same wall-clock on any session tz —
+      matching DuckDB's naive read of the same file.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dt in dtypes.items():
+        if dt == "timestamp_ntz":
+            df = df.withColumn(col, df[col].cast("timestamp"))
     return df
 
 

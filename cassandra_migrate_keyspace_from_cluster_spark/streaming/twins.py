@@ -20,13 +20,19 @@ def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """File-source stream of the events table (schema pinned, no
     inference — streaming sources require an explicit schema).
 
-    ``ts`` arrives as nanos-since-epoch (see sources/parquet_keyspace)
-    and is converted to a µs timestamp, same as the batch loader.
+    ``ts`` is normalized to a µs ``TimestampType`` exactly like the
+    batch loader (sources/parquet_keyspace): the fixtures have carried
+    nanos-since-epoch (r1/r2) and TIMESTAMP_NTZ (r3) encodings across
+    driver rounds, and watermarks/windows must see the same event-time
+    type as the batch twin either way.
     """
     static = spark.read.parquet(src_dir)
     stream = spark.readStream.schema(static.schema).parquet(src_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dt in stream.dtypes:
+        if dt == "timestamp_ntz":
+            stream = stream.withColumn(col, F.col(col).cast("timestamp"))
     return stream
 
 
