@@ -48,11 +48,18 @@ def main() -> None:
     qs = queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # Warmup: JVM/codegen startup plus one tiny parquet scan so one-time
-    # reader initialization (footer codecs, vectorized reader classes)
-    # isn't attributed to whichever query happens to run first.
+    # Warmup: JVM/codegen startup, one tiny parquet scan (footer codecs,
+    # vectorized reader classes), and one tiny mapInPandas job (Python
+    # worker fork + Arrow serializer init — otherwise that one-time cost
+    # lands on whichever Python-path query runs first, historically
+    # inflating f4 by 1-2 s with high variance). Warmup touches NO
+    # benchmark table, so OS page-cache state of the measured inputs is
+    # unaffected.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    spark.range(64).mapInPandas(
+        lambda it: it, schema="id: long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -301,9 +301,40 @@ def test_r3_windows_are_partitioned(spark):
     for name, part_col in (
         ("f41_perplexity_buckets", "lang"),
         ("f44_token_packing", "source"),
+        ("f29_train_split", "source"),
     ):
         plan = physical_plan(q(spark, name))
         specs_ = re.findall(r"windowspecdefinition\([^)]*\)", plan)
         assert specs_, f"{name}: expected a window in the plan"
         for s in specs_:
             assert part_col in s, f"{name}: unpartitioned window: {s}"
+
+
+def test_semantic_dedup_pairs_are_cluster_equijoin(spark):
+    """f42's pair stage must be an equi-join on cluster_id (pair work
+    Σ cluster² — the SemDeDup point). The only nested-loop joins
+    allowed are the deliberate 8-row seed-centroid broadcasts
+    (conditionless Cross BuildRight; one per reference to the assigned
+    subtree). A CartesianProduct, or a BNLJ carrying the cosine
+    condition, would mean the pair search regressed to all-pairs."""
+    import re
+
+    plan = physical_plan(q(spark, "f42_semantic_dedup"))
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), f"expected a hash/merge equi-join for the pair stage:\n{plan}"
+    # every BNLJ detail block must be the conditionless seed cross
+    for m in re.finditer(r"\(\d+\) BroadcastNestedLoopJoin\n((?:.+\n)+?)\n", plan):
+        block = m.group(1)
+        assert "Join type: Cross" in block, plan
+        assert "Join condition: None" in block, plan
+
+
+def test_session_shape_and_concurrency_have_no_window_exec(spark):
+    """e14/e16 aggregate via session_window + explode — no ranking
+    window should appear (an unpartitioned Window here would be the
+    single-reducer hazard the explode shape exists to avoid)."""
+    for name in ("e14_session_shape", "e16_peak_concurrency"):
+        plan = physical_plan(q(spark, name))
+        assert "windowspecdefinition" not in plan, f"{name}:\n{plan}"
