@@ -1045,3 +1045,49 @@ def b33_union_evolved(spark, sf_dir):
         F.length("n_name").cast("bigint").alias("n_name_len"),
     )
     return old.unionByName(new, allowMissingColumns=True)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b34_bloom_semi_reduction",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_rev,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def b34_bloom_semi_reduction(spark, sf_dir):
+    """Semi-join reduction: aggregate only the fact rows whose key
+    survives a selective dimension predicate — expressed as a plain
+    ``left_semi`` join so Catalyst's ``InjectRuntimeFilter`` rule can
+    build a bloom filter on the build side (``bloom_filter_agg`` over
+    the ~20% URGENT orderkeys) and pre-filter the fact scan map-side
+    with ``might_contain`` BEFORE the shuffle. At 100 TB that is the
+    difference between shuffling the full fact table and shuffling
+    ~20% of it; false positives cost nothing because the exact semi
+    join still runs on the survivors. The injection fires when the
+    production size thresholds are met (build side under
+    ``runtime.bloomFilter.creationSideThreshold``, fact scan over
+    ``applicationSideScanSizeThreshold``) — plan-asserted with those
+    thresholds tuned to smoke scale in tests/test_plans.py; the query
+    itself stays threshold-agnostic and exactly correct either way."""
+    li = t(spark, sf_dir, "lineitem")
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "net_rev"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -338,3 +338,30 @@ def test_session_shape_and_concurrency_have_no_window_exec(spark):
     for name in ("e14_session_shape", "e16_peak_concurrency"):
         plan = physical_plan(q(spark, name))
         assert "windowspecdefinition" not in plan, f"{name}:\n{plan}"
+
+
+def test_bloom_semi_reduction_injects_runtime_filter(spark):
+    """b34 relies on Catalyst's InjectRuntimeFilter: with the size
+    thresholds met (tuned here to smoke scale; met naturally at the
+    100-TB design point) the fact scan must be pre-filtered by a
+    might_contain(bloom_filter_agg(...)) subquery BEFORE the shuffle,
+    and the exact semi join must remain for false-positive cleanup."""
+    confs = {
+        # allow a smoke-scale build side / fact scan to qualify
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force the shuffle-join path (a broadcast semi join at smoke
+        # scale would already filter map-side, so no bloom is injected)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = physical_plan(q(spark, "b34_bloom_semi_reduction"))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
+    assert "LeftSemi" in plan, plan
