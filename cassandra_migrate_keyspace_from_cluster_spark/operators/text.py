@@ -181,3 +181,42 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         lambda acc, x: F.pmod(acc * 31 + x, F.lit(1_000_000_007).cast("bigint")),
     )
     return docs.select("doc_id", h.alias("fingerprint"))
+
+
+def count_min_sketch(
+    tokens: DataFrame,
+    depth: int = 4,
+    width: int = 512,
+    token_col: str = "token",
+) -> DataFrame:
+    """PINNED count-min sketch over a token stream: ``depth`` hash rows
+    of ``width`` cells; cell(token, r) = md5(token ':' r) first 15 hex
+    digits mod width (cross-engine replayable, like f24's pinned
+    MinHash). Returns the sketch as rows (r, cell, n_cell).
+
+    Mergeability (the scale law, pytest-asserted): sketches of disjoint
+    corpus slices ADD cell-wise to the whole-corpus sketch, so at
+    100 TB each partition/batch/day keeps an O(depth*width) sketch and
+    any rollup is a cell-wise sum — never a rescan. Point estimates
+    (min over rows of the probed cells) overcount by at most the
+    classic eps*N bound, never undercount.
+    """
+    rows_ = F.array(*[F.lit(i) for i in range(depth)])
+    cells = tokens.select(token_col, F.explode(rows_).alias("r"))
+    return (
+        cells.withColumn("cell", cms_cell(F.col(token_col), F.col("r"), width))
+        .groupBy("r", "cell")
+        .agg(F.count(F.lit(1)).alias("n_cell"))
+    )
+
+
+def cms_cell(token, r, width: int = 512):
+    """The pinned CMS cell hash: md5(token ':' r) → 60-bit int → mod width."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(token, F.lit(":"), r.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )

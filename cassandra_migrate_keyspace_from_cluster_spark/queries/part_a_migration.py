@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import migrate as mig
 from ..registry import register
-from .util import t
+from .util import r2, t
 
 # DuckDB information_schema data_type → the canonical vocabulary used by
 # operators/migrate.py::_SPARK_TO_CANONICAL.
@@ -535,3 +535,43 @@ def a15_repair_apply(spark, sf_dir):
         F.lit("rows_after_repair").alias("metric"), "n"
     )
     return applied.unionByName(post_n).unionByName(rows_n)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "a16_clustered_copy_scan",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY 1
+    """,
+)
+def a16_clustered_copy_scan(spark, sf_dir):
+    """Range-clustered copy + pruned scan: orders is copied via
+    ``repartitionByRange(o_orderdate) + sortWithinPartitions`` (the
+    Spark analog of Cassandra's partition ordering + clustering
+    columns — see operators/migrate.py::copy_table_clustered), then a
+    6-month date-range aggregate runs against the CLUSTERED copy. The
+    hash-match against the oracle (which reads the original table)
+    proves the layout transform is value-preserving; the plan test
+    asserts the range predicate is pushed into the clustered scan,
+    where parquet row-group min/max stats skip the files/row-groups
+    outside the range — the read-side payoff of the layout."""
+    dst = tempfile.mkdtemp(prefix="spark_graft_a16_")
+    clustered = mig.copy_table_clustered(
+        spark, sf_dir, dst, "orders", "o_orderdate", ["o_orderdate", "o_orderkey"]
+    )
+    six_months = clustered.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    return six_months.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r2(F.sum("o_totalprice")).alias("sum_total"),
+    )

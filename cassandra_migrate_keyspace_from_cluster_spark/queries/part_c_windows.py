@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators import text as tx
 from ..registry import register
 from ..sources import register_views
 from .util import r2, r6, t
@@ -779,4 +780,73 @@ def c24_hll_mergeable(spark, sf_dir):
             F.count(F.lit(1)).alias("n_days"),
         )
         .select("month", "approx_mau", "n_days")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "c25_count_min",
+    oracle="""
+    WITH tk AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    tok AS (SELECT token FROM tk WHERE token <> ''),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cms AS (
+      SELECT r,
+             CAST(('0x' || substr(md5(token || ':' || CAST(r AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 512 AS cell,
+             CAST(count(*) AS BIGINT) AS n_cell
+      FROM tok CROSS JOIN rows_
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+      FROM tok GROUP BY token),
+    top20 AS (
+      SELECT token, exact_n FROM (
+        SELECT token, exact_n,
+               row_number() OVER (ORDER BY exact_n DESC, token) AS rn
+        FROM exact) WHERE rn <= 20),
+    probe AS (
+      SELECT t.token, t.exact_n, r.r,
+             CAST(('0x' || substr(md5(t.token || ':' || CAST(r.r AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 512 AS cell
+      FROM top20 t CROSS JOIN rows_ r)
+    SELECT p.token, p.exact_n,
+           min(c.n_cell) AS cms_est,
+           min(c.n_cell) - p.exact_n AS overcount
+    FROM probe p JOIN cms c ON p.r = c.r AND p.cell = c.cell
+    GROUP BY p.token, p.exact_n
+    """,
+)
+def c25_count_min(spark, sf_dir):
+    """MERGEABLE approximate frequency sketch (count-min) with PINNED
+    md5 hashes, so unlike c24's engine-specific HLL binaries the whole
+    sketch AND its point estimates hash-match the oracle. Builds the
+    depth=4 x width=512 sketch over all document tokens, then probes
+    it for the exact top-20 tokens, reporting estimate and overcount
+    (CMS never undercounts; the overcount column makes the eps*N error
+    bound auditable). Scale shape: the sketch is O(4*512) rows built
+    by one partial-aggregated groupBy over a x4-exploded token stream;
+    slice sketches add cell-wise (pytest-asserted merge law), so
+    per-day/per-shard sketches roll up without rescans; the probe join
+    broadcasts the 2048-row sketch. Top-20 selection is
+    TakeOrderedAndProject (orderBy+limit with token tie-break), not a
+    global window."""
+    docs = t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    cms = tx.count_min_sketch(tok, depth=4, width=512)
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    top20 = exact.orderBy(F.desc("exact_n"), "token").limit(20)
+    rows_ = F.array(*[F.lit(i) for i in range(4)])
+    probe = top20.select(
+        "token", "exact_n", F.explode(rows_).alias("r")
+    ).withColumn("cell", tx.cms_cell(F.col("token"), F.col("r"), 512))
+    return (
+        probe.join(F.broadcast(cms), ["r", "cell"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("n_cell").alias("cms_est"))
+        .withColumn("overcount", F.col("cms_est") - F.col("exact_n"))
     )

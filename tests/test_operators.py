@@ -722,3 +722,49 @@ def test_hll_sketch_merge_consistency(spark):
     exact = ev.select("user_id").distinct().count()
     assert merged == direct, (merged, direct)
     assert abs(merged - exact) / exact < 0.05, (merged, exact)
+
+
+def test_count_min_sketch_merge_law_and_overcount(spark):
+    """c25: CMS sketches of disjoint corpus halves must ADD cell-wise
+    to the whole-corpus sketch (merge = rescan), and point estimates
+    must never undercount the exact frequency."""
+    from pyspark.sql import functions as F
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import text as tx
+
+    docs = load_table(spark, SF_T2, "documents")
+    tok = lambda d: (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    full = tx.count_min_sketch(tok(docs), depth=4, width=512)
+    h1 = tx.count_min_sketch(tok(docs.filter(F.col("doc_id") % 2 == 0)), 4, 512)
+    h2 = tx.count_min_sketch(tok(docs.filter(F.col("doc_id") % 2 == 1)), 4, 512)
+    summed = (
+        h1.unionByName(h2)
+        .groupBy("r", "cell")
+        .agg(F.sum("n_cell").alias("n_cell"))
+    )
+    diff = (
+        full.withColumnRenamed("n_cell", "n_full")
+        .join(summed, ["r", "cell"], "full")
+        .filter(
+            F.coalesce(F.col("n_full"), F.lit(0))
+            != F.coalesce(F.col("n_cell"), F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0, f"{diff} cells differ between merged and direct sketches"
+
+    # estimates never undercount
+    exact = tok(docs).groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    probe = exact.select(
+        "token", "exact_n", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
+    ).withColumn("cell", tx.cms_cell(F.col("token"), F.col("r"), 512))
+    est = (
+        probe.join(F.broadcast(full), ["r", "cell"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("n_cell").alias("est"))
+    )
+    under = est.filter(F.col("est") < F.col("exact_n")).count()
+    assert under == 0, f"{under} tokens undercounted"

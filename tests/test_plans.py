@@ -365,3 +365,10 @@ def test_bloom_semi_reduction_injects_runtime_filter(spark):
     assert "might_contain" in plan, plan
     assert "bloom_filter_agg" in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_clustered_copy_scan_pushes_range_predicate(spark):
+    """a16: the 6-month range predicate must reach the clustered
+    copy's parquet scan (PushedFilters), where the range-clustered
+    layout turns it into row-group min/max skipping."""
+    assert_pushed_filter(q(spark, "a16_clustered_copy_scan"), "o_orderdate")
