@@ -575,3 +575,107 @@ def a16_clustered_copy_scan(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         r2(F.sum("o_totalprice")).alias("sum_total"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "a17_scd2_history",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders),
+    v1 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 103 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 101 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 107 = 0),
+    j AS (
+      SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             a.o_orderstatus AS s0, a.o_orderpriority AS p0,
+             b.o_orderstatus AS s1, b.o_orderpriority AS p1,
+             a.o_orderkey IS NOT NULL AS in0,
+             b.o_orderkey IS NOT NULL AS in1
+      FROM v0 a FULL JOIN v1 b ON a.o_orderkey = b.o_orderkey),
+    closed AS (
+      SELECT o_orderkey, s0 AS o_orderstatus, p0 AS o_orderpriority,
+             CAST(0 AS BIGINT) AS valid_from, CAST(1 AS BIGINT) AS valid_to,
+             CAST(0 AS BIGINT) AS is_current
+      FROM j WHERE in0 AND (NOT in1 OR s0 != s1 OR p0 != p1)),
+    cur AS (
+      SELECT o_orderkey, s1 AS o_orderstatus, p1 AS o_orderpriority,
+             CAST(CASE WHEN in0 AND s0 = s1 AND p0 = p1 THEN 0 ELSE 1 END
+                  AS BIGINT) AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to,
+             CAST(1 AS BIGINT) AS is_current
+      FROM j WHERE in1)
+    SELECT * FROM closed UNION ALL SELECT * FROM cur
+    """,
+)
+def a17_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) history built from two table
+    snapshots — the op that turns repeated migration snapshots into an
+    auditable change log: unchanged keys carry one open row, changed
+    keys a closed v0 row plus an open v1 row, deletes a closed row,
+    inserts an open row. Uses a11's deterministic drift device as
+    snapshot v1 so both engines construct identical versions.
+
+    Scale shape: ONE full-outer join partitioned on the key plus a
+    union of two projections — linear in the keyspace, and history
+    growth is drift-proportional (in-sync keys contribute exactly one
+    open row). Extending to N snapshots keeps the same dataflow: a
+    window over version ordered per key replaces the CASE arithmetic;
+    the two-snapshot form is the incremental step a15's repair loop
+    would log each round."""
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    kept = base.filter(k % 101 != 0).withColumn(
+        "o_orderstatus",
+        F.when(k % 103 == 0, "X").otherwise(F.col("o_orderstatus")),
+    )
+    extra = base.filter(k % 107 == 0).withColumn("o_orderkey", k + 10000000)
+    v1 = kept.unionByName(extra)
+
+    a = base.select(
+        F.col("o_orderkey").alias("k0"),
+        F.col("o_orderstatus").alias("s0"),
+        F.col("o_orderpriority").alias("p0"),
+    )
+    b = v1.select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderstatus").alias("s1"),
+        F.col("o_orderpriority").alias("p1"),
+    )
+    j = a.join(b, a.k0 == b.k1, "full").select(
+        F.coalesce("k0", "k1").alias("o_orderkey"),
+        "s0", "p0", "s1", "p1",
+        F.col("k0").isNotNull().alias("in0"),
+        F.col("k1").isNotNull().alias("in1"),
+    )
+    same = F.col("in0") & (F.col("s0") == F.col("s1")) & (
+        F.col("p0") == F.col("p1")
+    )
+    closed = j.filter(
+        F.col("in0") & (~F.col("in1") | (F.col("s0") != F.col("s1"))
+                        | (F.col("p0") != F.col("p1")))
+    ).select(
+        "o_orderkey",
+        F.col("s0").alias("o_orderstatus"),
+        F.col("p0").alias("o_orderpriority"),
+        F.lit(0).cast("bigint").alias("valid_from"),
+        F.lit(1).cast("bigint").alias("valid_to"),
+        F.lit(0).cast("bigint").alias("is_current"),
+    )
+    cur = j.filter(F.col("in1")).select(
+        "o_orderkey",
+        F.col("s1").alias("o_orderstatus"),
+        F.col("p1").alias("o_orderpriority"),
+        F.when(same, 0).otherwise(1).cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+        F.lit(1).cast("bigint").alias("is_current"),
+    )
+    return closed.unionByName(cur)

@@ -2136,3 +2136,132 @@ def f42_semantic_dedup(spark, sf_dir):
     the 100-TB shape."""
     emb = t(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(emb, n_seeds=8, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f45_domain_pagerank",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' see https://site-' || CAST(doc_id % 13 AS VARCHAR)
+                  || '.example.org/page/' || CAST(doc_id AS VARCHAR)
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' and http://cdn-' || CAST(doc_id % 5 AS VARCHAR)
+                               || '.example.net/a' || CAST(doc_id % 100 AS VARCHAR)
+                          ELSE '' END AS full_text
+      FROM documents),
+    doms AS (
+      SELECT DISTINCT doc_id,
+             regexp_extract(unnest(regexp_extract_all(full_text, 'https?://[^ ]+')),
+                            'https?://([^/]+)', 1) AS domain
+      FROM aug),
+    pairs AS (
+      SELECT DISTINCT a.domain AS src, b.domain AS dst
+      FROM doms a JOIN doms b ON a.doc_id = b.doc_id AND a.domain < b.domain),
+    edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    nodes AS (SELECT DISTINCT src AS domain FROM edges),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY src),
+    pr0 AS (SELECT domain, round(1.0 / (SELECT n FROM n), 12) AS pr FROM nodes),
+    it1 AS (
+      SELECT nd.domain,
+             round(0.15 / (SELECT n FROM n) + 0.85 * coalesce(s.s, 0), 12) AS pr
+      FROM nodes nd
+      LEFT JOIN (SELECT e.dst AS domain, sum(p.pr / d.out_deg) AS s
+                 FROM edges e JOIN pr0 p ON e.src = p.domain
+                 JOIN deg d ON e.src = d.src GROUP BY e.dst) s
+        ON nd.domain = s.domain),
+    it2 AS (
+      SELECT nd.domain,
+             round(0.15 / (SELECT n FROM n) + 0.85 * coalesce(s.s, 0), 12) AS pr
+      FROM nodes nd
+      LEFT JOIN (SELECT e.dst AS domain, sum(p.pr / d.out_deg) AS s
+                 FROM edges e JOIN it1 p ON e.src = p.domain
+                 JOIN deg d ON e.src = d.src GROUP BY e.dst) s
+        ON nd.domain = s.domain),
+    it3 AS (
+      SELECT nd.domain,
+             round(0.15 / (SELECT n FROM n) + 0.85 * coalesce(s.s, 0), 12) AS pr
+      FROM nodes nd
+      LEFT JOIN (SELECT e.dst AS domain, sum(p.pr / d.out_deg) AS s
+                 FROM edges e JOIN it2 p ON e.src = p.domain
+                 JOIN deg d ON e.src = d.src GROUP BY e.dst) s
+        ON nd.domain = s.domain)
+    SELECT i.domain, round(i.pr, 6) AS pr, d.out_deg
+    FROM it3 i JOIN deg d ON i.domain = d.src
+    """,
+)
+def f45_domain_pagerank(spark, sf_dir):
+    """Domain authority by PageRank over the co-citation graph (domains
+    sharing a document link to each other; f37's deterministic URL
+    device, duplicated here rather than refactored so f37's
+    driver-green code stays byte-identical). Three power iterations,
+    damping 0.85, PINNED by rounding each iteration to 12dp on both
+    engines (resyncs the float state so cross-engine summation-order
+    noise cannot accumulate) and 6dp on output.
+
+    Scale shape — the edge table IS the adjacency representation: each
+    iteration is one equi-join (edges x current ranks on src, rank
+    state O(nodes), edges partitioned by src) + one partial-aggregated
+    groupBy(dst); no adjacency lists are ever collected, so the same
+    unrolled-loop dataflow runs at web-graph scale (the bounded
+    driver-side value is just N, the node count). The undirected
+    (symmetrized) graph has no dangling nodes, so no dangling-mass
+    redistribution term is needed."""
+    docs = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site-"), (k % 13).cast("string"),
+            F.lit(".example.org/page/"), k.cast("string"),
+            F.when(
+                k % 3 == 0,
+                F.concat(
+                    F.lit(" and http://cdn-"), (k % 5).cast("string"),
+                    F.lit(".example.net/a"), (k % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("full_text"),
+    )
+    doms = aug.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("full_text", F.lit(r"https?://[^ ]+"), 0)
+        ).alias("url"),
+    ).select(
+        "doc_id", F.regexp_extract("url", r"https?://([^/]+)", 1).alias("domain")
+    ).distinct()
+    b = doms.select(F.col("doc_id").alias("doc_b"), F.col("domain").alias("dom_b"))
+    pairs = (
+        doms.join(b, (doms.doc_id == b.doc_b) & (doms.domain < b.dom_b))
+        .select(F.col("domain").alias("src"), F.col("dom_b").alias("dst"))
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = edges.select(F.col("src").alias("domain")).distinct()
+    n_nodes = float(nodes.count())  # O(domains), bounded
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    pr = nodes.select("domain", F.round(F.lit(1.0) / n_nodes, 12).alias("pr"))
+    for _ in range(3):
+        contrib = (
+            edges.join(pr.withColumnRenamed("domain", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("domain"))
+            .agg(F.sum(F.col("pr") / F.col("out_deg")).alias("s"))
+        )
+        pr = nodes.join(contrib, "domain", "left").select(
+            "domain",
+            F.round(
+                F.lit(0.15) / n_nodes + F.lit(0.85) * F.coalesce("s", F.lit(0.0)),
+                12,
+            ).alias("pr"),
+        )
+    return (
+        pr.join(deg.withColumnRenamed("src", "domain"), "domain")
+        .select("domain", F.round("pr", 6).alias("pr"), "out_deg")
+    )
