@@ -1091,3 +1091,40 @@ def b34_bloom_semi_reduction(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b35_salted_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def b35_salted_join(spark, sf_dir):
+    """Skew-safe fact⋈dim join by explicit key salting
+    (operators/skew.py::salted_join): the fact side gets a
+    pmod(xxhash64)-derived salt, the dim side is exploded n_salts×,
+    and the join key becomes (key, salt) — a hot key's rows spread
+    over n_salts shuffle partitions instead of one straggler. The
+    hash-match against the plain-join oracle proves row-identity of
+    the rewrite (b24 is the aggregation twin; this is the join twin —
+    together they cover both halves of the manual skew playbook, with
+    AQE's runtime skew split as the automatic fallback)."""
+    from ..operators.skew import salted_join
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+        n_salts=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r2(F.sum("o_totalprice")).alias("sum_total"),
+    )

@@ -849,3 +849,45 @@ def e20_rolling_wau(spark, sf_dir):
         .groupBy(F.date_format(days.day, "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e21_commitlog_replay",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value, props
+    FROM events
+    """,
+)
+def e21_commitlog_replay(spark, sf_dir):
+    """Streaming-source fidelity, oracle-checked: the custom
+    ``keyspace_commitlog`` Python DataSourceStreamReader (the CDC-shaped
+    streaming twin of a1's batch token-range source — see
+    sources/commitlog_stream.py) replays the events log through a real
+    Structured Streaming query into a memory sink; the hash-match
+    against the raw table proves the offset→partition→read dataflow
+    delivers every row exactly once. Paced multi-batch admission
+    (batch_rows — the maxOffsetsPerTrigger analog) and checkpoint
+    offset replay are pytest-asserted; here the full log is admitted in
+    one availableNow pass so the driver check is a bounded single run."""
+    import tempfile
+    import uuid
+
+    from ..sources.commitlog_stream import read_commitlog_stream
+
+    stream = read_commitlog_stream(
+        spark, f"{sf_dir}/events.parquet", n_slices=4, batch_rows=0
+    )
+    name = "clog_replay_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="clog_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

@@ -1,0 +1,122 @@
+"""Streaming cluster-connector path: a PySpark Python
+``DataSourceStreamReader`` that tails a "keyspace table" the way a CDC
+reader tails a commit log — micro-batches of rows in stable log order,
+offsets tracked as positions, each batch split into parallel slices.
+
+This is the streaming twin of ``cluster_source.py`` (A1's batch
+token-range scan): same simulated cluster (the parquet keyspace), but
+consumed incrementally. On a real cluster the same reader shape sits on
+the Cassandra CDC agent / Kafka topic; offsets become (shard, seq) and
+slices become shard assignments — the offset/partition/read dataflow
+below is unchanged.
+
+Scale notes:
+  - ``latestOffset`` paces admission: each micro-batch admits at most
+    ``batch_rows`` rows (0 = everything at once), so a backlogged log
+    replays in bounded-memory batches instead of one giant batch —
+    the Python-source analog of ``maxOffsetsPerTrigger``.
+  - ``partitions(start, end)`` splits every admitted span into
+    ``n_slices`` row-range slices planned driver-side with NO data
+    read; each slice is read independently by its own task.
+  - Offsets are plain dicts → checkpointable; ``read`` re-derives rows
+    from (lo, hi) alone, so batch replay after failure is exact —
+    the property end-to-end exactly-once sinks need.
+  - The per-task full-file read + slice is the simulation's concession
+    (same as cluster_source): a real log store seeks by offset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from .cluster_source import _ddl_schema
+
+
+class RowSlice(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo = lo
+        self.hi = hi
+
+
+class CommitLogStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.n_slices = int(options.get("n_slices", "4"))
+        self.batch_rows = int(options.get("batch_rows", "0"))
+        import pyarrow.parquet as pq
+
+        # metadata-only: the log's current end position
+        self.total = pq.ParquetFile(self.path).metadata.num_rows
+        self._cap = 0
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        # admission control: advance the visible end by batch_rows per
+        # micro-batch (0 = expose the whole log immediately)
+        if self.batch_rows <= 0:
+            self._cap = self.total
+        else:
+            self._cap = min(self.total, self._cap + self.batch_rows)
+        return {"pos": self._cap}
+
+    def partitions(self, start, end):
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return [RowSlice(lo, lo)]
+        n = self.n_slices
+        step = max(1, -(-(hi - lo) // n))
+        return [
+            RowSlice(s, min(s + step, hi)) for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition: RowSlice):
+        if partition.hi <= partition.lo:
+            return
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(self.path)
+        for batch in table.slice(partition.lo, partition.hi - partition.lo).to_batches():
+            for row in batch.to_pylist():
+                yield tuple(row.values())
+
+    def commit(self, end):
+        pass
+
+
+class CommitLogStreamDataSource(DataSource):
+    """``spark.readStream.format("keyspace_commitlog")`` with options
+    path (parquet file), n_slices, batch_rows."""
+
+    @classmethod
+    def name(cls):
+        return "keyspace_commitlog"
+
+    def schema(self):
+        return _ddl_schema(self.options["path"])
+
+    def streamReader(self, schema):
+        return CommitLogStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the streaming data source on a session."""
+    spark.dataSource.register(CommitLogStreamDataSource)
+
+
+def read_commitlog_stream(
+    spark, path: str, n_slices: int = 4, batch_rows: int = 0
+):
+    register(spark)
+    return (
+        spark.readStream.format("keyspace_commitlog")
+        .option("path", path)
+        .option("n_slices", str(n_slices))
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )

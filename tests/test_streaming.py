@@ -185,3 +185,46 @@ def test_windowed_topn_twin_via_foreach_batch(spark, events_dir, tmp_path):
     got = spark.read.parquet(out).toPandas()
     want = specs()["e13_windowed_topn"].fn(spark, SF_SMOKE).toPandas()
     compare_frames(got, want, "windowed topN twin vs batch")
+
+
+def test_commitlog_stream_paced_replay(spark, tmp_path):
+    """e21's source in PACED mode (batch_rows — the maxOffsetsPerTrigger
+    analog): the log must arrive across MULTIPLE micro-batches, with
+    every row delivered exactly once (ids match the batch read 1:1)."""
+    import time
+    import uuid
+
+    from cassandra_migrate_keyspace_from_cluster_spark.sources.commitlog_stream import (
+        read_commitlog_stream,
+    )
+
+    path = f"{SF_SMOKE}/events.parquet"
+    total = spark.read.parquet(path).count()
+    stream = read_commitlog_stream(spark, path, n_slices=4, batch_rows=300)
+    name = "clog_paced_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= total:
+                break
+            time.sleep(0.5)
+        got = spark.table(name)
+        assert got.count() == total
+        batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"]]
+        assert len(batches) >= 3, f"expected paced multi-batch delivery: {batches}"
+        assert max(batches) <= 300 + 4, f"admission cap exceeded: {batches}"
+        got_ids = {r.event_id for r in got.select("event_id").collect()}
+        want_ids = {
+            r.event_id
+            for r in spark.read.parquet(path).select("event_id").collect()
+        }
+        assert got_ids == want_ids
+    finally:
+        q.stop()
