@@ -350,6 +350,43 @@ def extract_bmp_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=BMP_FEATURE_SCHEMA)
 
 
+def resize_bmp_features(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode → RESIZE → feature-extract fused in ONE mapInPandas pass
+    (the multimodal op the brief's decode/resize/feature chain needs;
+    real pipelines fuse these so the full-resolution pixels never leave
+    the task). Nearest-neighbor downscale by ``factor`` (output dims
+    ceil(w/f) x ceil(h/f), sampling the top-left pixel of each block) —
+    chosen over box-average because its arithmetic replays exactly in
+    the SQL oracle; a production variant swaps one numpy line for the
+    box filter without touching the dataflow."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, mr, mg, mb = [], [], [], [], []
+            for payload in pdf["payload"]:
+                img = decode_bmp_24(bytes(payload))[::factor, ::factor]
+                h, w, _ = img.shape
+                x = img.astype(np.float64)
+                ws.append(w)
+                hs.append(h)
+                mr.append(round(float(x[:, :, 0].mean()), 6))
+                mg.append(round(float(x[:, :, 1].mean()), 6))
+                mb.append(round(float(x[:, :, 2].mean()), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "mean_r": pd.Series(mr, dtype="float64"),
+                    "mean_g": pd.Series(mg, dtype="float64"),
+                    "mean_b": pd.Series(mb, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=BMP_FEATURE_SCHEMA)
+
+
 # --- image: REAL pure-numpy baseline JPEG codec -------------------------
 #
 # Baseline sequential DCT JPEG (ITU-T T.81) with the Annex K quant +

@@ -2265,3 +2265,42 @@ def f45_domain_pagerank(spark, sf_dir):
         pr.join(deg.withColumnRenamed("src", "domain"), "domain")
         .select("domain", F.round("pr", 6).alias("pr"), "out_deg")
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f17g_image_resize_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+      FROM documents),
+    rp AS (
+      SELECT doc_id,
+             CAST(ceil(w / 2.0) AS BIGINT) AS rw,
+             CAST(ceil(h / 2.0) AS BIGINT) AS rh
+      FROM params),
+    px AS (
+      SELECT p.doc_id, p.rw, p.rh, 2 * gx.x AS sx, 2 * gy.y AS sy
+      FROM rp p,
+           LATERAL (SELECT unnest(generate_series(0, p.rw - 1)) AS x) gx,
+           LATERAL (SELECT unnest(generate_series(0, p.rh - 1)) AS y) gy)
+    SELECT doc_id,
+           CAST(max(rw) AS BIGINT) AS width,
+           CAST(max(rh) AS BIGINT) AS height,
+           round(avg((doc_id + 3*sx + 5*sy) % 256), 6) AS mean_r,
+           round(avg((2*doc_id + 7*sx + sy) % 256), 6) AS mean_g,
+           round(avg((5*doc_id + sx + 11*sy) % 256), 6) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def f17g_image_resize_features(spark, sf_dir):
+    """Multimodal decode → resize → feature chain, fused in one
+    Arrow-batched mapInPandas pass (full-resolution pixels never leave
+    the task): real BMP decode, nearest-neighbor 2x downscale, then
+    dimensions + channel means of the RESIZED image. The oracle
+    replays the subsampling on the generative pixel formula, so both
+    the codec and the resize arithmetic are hash-checked. Completes
+    the brief's decode / feature-extract / resize / frame-sample set
+    (f17b-f17f cover the other three)."""
+    docs = t(spark, sf_dir, "documents")
+    return mm.resize_bmp_features(mm.attach_bmp_payload(docs), factor=2)
