@@ -631,3 +631,45 @@ def d17_trig(spark, sf_dir):
         r6(F.sinh(v / 100.0)).alias("sinh_v"),
         r6(F.tanh(v / 100.0)).alias("tanh_v"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "d18_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://site-' || CAST(doc_id % 13 AS VARCHAR)
+               || '.example.org/p/' || CAST(doc_id % 7 AS VARCHAR)
+               || '/page?q=' || CAST(doc_id % 5 AS VARCHAR)
+               || '&lang=' || lang AS url
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+           regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]q=([^&]*)', 1) AS q_param
+    FROM u
+    """,
+)
+def d18_url_parse(spark, sf_dir):
+    """URL decomposition via Spark's codegen ``parse_url`` (HOST, PATH,
+    QUERY, and keyed QUERY parameter) over deterministic synthetic URLs
+    — the scalar family behind f37's domain rollups. DuckDB 1.0 has no
+    parse_url, so the oracle replays RFC-shaped regexes; the hash-match
+    pins Spark's parser to the regex semantics for these URL shapes."""
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://site-"), (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example.org/p/"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("/page?q="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("&lang="), F.col("lang"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+    )
