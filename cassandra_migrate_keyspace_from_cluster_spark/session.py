@@ -58,6 +58,9 @@ def build_session(
         # events.parquet stores ts as TIMESTAMP(NANOS) which Spark cannot
         # read natively; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # r3 fixtures: naive TIMESTAMP(MICROS) must read as TimestampType
+        # (see configure_existing) — LTZ-only expressions reject NTZ.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -75,4 +78,10 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # r3 fixtures store naive TIMESTAMP(MICROS); without this, Spark 4
+    # infers TIMESTAMP_NTZ, which LTZ-only expressions reject. Reading
+    # them as TimestampType matches DuckDB's naive read wall-clock under
+    # the UTC session zone (load_table also normalizes defensively for
+    # sessions that bypass this config).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
