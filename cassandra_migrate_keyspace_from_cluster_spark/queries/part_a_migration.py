@@ -679,3 +679,75 @@ def a17_scd2_history(spark, sf_dir):
         F.lit(1).cast("bigint").alias("is_current"),
     )
     return closed.unionByName(cur)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "a18_referential_check",
+    oracle="""
+    WITH drifted_orders AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 101 != 0),
+    li_orphans AS (
+      SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_keys
+      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM drifted_orders)),
+    cust_orphans AS (
+      SELECT count(*) AS n_rows, count(DISTINCT c_nationkey) AS n_keys
+      FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+    supp_orphans AS (
+      SELECT count(*) AS n_rows, count(DISTINCT s_nationkey) AS n_keys
+      FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    SELECT 'lineitem->orders' AS check_name,
+           CAST(n_rows AS BIGINT) AS n_orphan_rows,
+           CAST(n_keys AS BIGINT) AS n_missing_parents
+    FROM li_orphans
+    UNION ALL
+    SELECT 'customer->nation', CAST(n_rows AS BIGINT), CAST(n_keys AS BIGINT)
+    FROM cust_orphans
+    UNION ALL
+    SELECT 'supplier->nation', CAST(n_rows AS BIGINT), CAST(n_keys AS BIGINT)
+    FROM supp_orphans
+    """,
+)
+def a18_referential_check(spark, sf_dir):
+    """Post-migration referential-integrity validation: orphan scans
+    for three FK relationships, with a11's drift device applied to the
+    orders side so the lineitem check runs against a REALISTICALLY
+    broken target (dropped keys → real orphans) while the two nation
+    checks prove the clean case reports zero. Each check is one anti
+    join (big-big shuffles once on the key; nation broadcasts) reduced
+    to (orphan rows, distinct missing parents) — the validation a8's
+    whole-table checksum can't give (it says 'different', this says
+    WHICH relationship broke and how badly). At 100 TB each anti join
+    rides b34's runtime-filter reduction for free when thresholds
+    allow."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 101 != 0)
+        .select("o_orderkey")
+    )
+    cust = t(spark, sf_dir, "customer").select("c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def check(child, key, parent, pkey, name):
+        orphans = child.join(
+            parent, child[key] == parent[pkey], "left_anti"
+        )
+        return orphans.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_orphan_rows"),
+            F.countDistinct(key).alias("n_missing_parents"),
+        )
+
+    return (
+        check(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionByName(
+            check(cust, "c_nationkey", F.broadcast(nation), "n_nationkey",
+                  "customer->nation")
+        )
+        .unionByName(
+            check(supp, "s_nationkey", F.broadcast(nation), "n_nationkey",
+                  "supplier->nation")
+        )
+    )

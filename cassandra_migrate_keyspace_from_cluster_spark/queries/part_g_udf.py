@@ -376,3 +376,47 @@ def g10_arrow_python_udf(spark, sf_dir):
     return t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", tier_udf("o_totalprice").alias("price_tier")
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "g11_apply_in_arrow",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def g11_apply_in_arrow(spark, sf_dir):
+    """Grouped map on the ARROW-NATIVE path
+    (``groupBy().applyInArrow``): the per-group function receives a
+    ``pyarrow.Table`` and returns one — no pandas materialization at
+    all, the zero-copy end of the Python extension spectrum (g4 is the
+    pandas twin; g7 the ungrouped arrow map). Monthly order rollup on
+    g9's bounded month key (one Python call per month, vectorized
+    arrow compute inside); money sums in integer cents for exact
+    cross-engine totals."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def rollup(table: pa.Table) -> pa.Table:
+        month = table["month"][0].as_py()
+        cents = pc.round(pc.multiply(table["o_totalprice"], 100.0))
+        total = int(pc.sum(pc.cast(cents, pa.int64())).as_py() or 0)
+        return pa.table(
+            {
+                "month": pa.array([month], pa.string()),
+                "n_orders": pa.array([table.num_rows], pa.int64()),
+                "sum_total": pa.array([round(total / 100.0, 2)], pa.float64()),
+            }
+        )
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"), "o_totalprice"
+    )
+    return orders.groupBy("month").applyInArrow(
+        rollup, schema="month string, n_orders bigint, sum_total double"
+    )

@@ -173,6 +173,7 @@ def test_python_paths_use_arrow_nodes(spark):
     assert_contains(q(spark, "g2_pandas_udf_scalar"), "ArrowEvalPython")
     assert_contains(q(spark, "g4_grouped_map"), "FlatMapGroupsInPandas")
     assert_contains(q(spark, "g5_map_in_pandas"), "MapInPandas")
+    assert_contains(q(spark, "g11_apply_in_arrow"), "FlatMapGroupsInArrow")
 
 
 def test_cosine_neardup_no_cartesian(spark):
