@@ -751,3 +751,55 @@ def a18_referential_check(spark, sf_dir):
                   "supplier->nation")
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "a19_migration_plan_estimate",
+    oracle="""
+    WITH sizes AS (
+      SELECT 'orders' AS table_name, count(*) AS n_rows FROM orders
+      UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+      UNION ALL SELECT 'customer', count(*) FROM customer
+      UNION ALL SELECT 'supplier', count(*) FROM supplier
+      UNION ALL SELECT 'events', count(*) FROM events)
+    SELECT table_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(8 AS BIGINT) AS n_ranges,
+           CAST(ceil(n_rows / 8.0) AS BIGINT) AS rows_per_range,
+           round(n_rows / 50000.0, 6) AS est_seconds_at_50k_rps
+    FROM sizes
+    """,
+)
+def a19_migration_plan_estimate(spark, sf_dir):
+    """Migration dry-run cost estimate — the planning step before a13's
+    full-keyspace copy: per table, row count (parquet metadata-only
+    count, no data scan), token-range count, rows per range, and the
+    wall-clock estimate at a11/a10's throttle budget (50k rows/sec).
+    This is the number a migration runbook quotes BEFORE touching the
+    cluster; at 100 TB the same plan comes from connector ring metadata
+    + size estimates, still without a data scan. Completes the
+    migration lifecycle: estimate (a19) → copy (a4/a13) → throttle
+    (a10) → validate (a7/a8/a14/a18) → diff/repair (a11/a15) →
+    history (a17)."""
+    rows = []
+    tables = ["orders", "lineitem", "customer", "supplier", "events"]
+    frames = []
+    for name in tables:
+        df = t(spark, sf_dir, name)
+        frames.append(
+            df.agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+    sizes = frames[0]
+    for fr in frames[1:]:
+        sizes = sizes.unionByName(fr)
+    return sizes.select(
+        "table_name",
+        "n_rows",
+        F.lit(8).cast("bigint").alias("n_ranges"),
+        F.ceil(F.col("n_rows") / 8.0).cast("bigint").alias("rows_per_range"),
+        F.round(F.col("n_rows") / 50000.0, 6).alias("est_seconds_at_50k_rps"),
+    )

@@ -1128,3 +1128,52 @@ def b35_salted_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         r2(F.sum("o_totalprice")).alias("sum_total"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b36_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey AS key, count(*) AS n
+      FROM lineitem GROUP BY l_orderkey),
+    stats AS (
+      SELECT count(*) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             max(n) AS max_n,
+             round(avg(n), 6) AS avg_n,
+             round(max(n) / avg(n), 6) AS skew_ratio
+      FROM per_key),
+    topk AS (
+      SELECT key, n FROM per_key
+      ORDER BY n DESC, key LIMIT 5)
+    SELECT s.n_keys, s.n_rows, s.max_n, s.avg_n, s.skew_ratio,
+           t.key AS hot_key, CAST(t.n AS BIGINT) AS hot_n
+    FROM stats s CROSS JOIN topk t
+    """,
+)
+def b36_skew_profile(spark, sf_dir):
+    """Join/agg-key skew diagnosis — the measurement that decides
+    whether b24/b35's salting (or AQE's runtime split) is needed and
+    what n_salts to use: per-key cardinality profile reduced to
+    (distinct keys, rows, max, avg, max/avg skew ratio) plus the top-5
+    hottest keys. One partial-aggregated groupBy on the key, an O(keys)
+    scalar reduction, and a TakeOrderedAndProject top-k — the profile
+    costs one shuffle, far less than one bad skewed join. At scale you
+    run it on a sample or reuse the shuffle statistics AQE already
+    collects; n_salts ≈ ceil(max_n / target-partition-rows)."""
+    li = t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.round(F.avg("n"), 6).alias("avg_n"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
+    )
+    topk = per_key.orderBy(F.desc("n"), "key").limit(5).select(
+        F.col("key").alias("hot_key"), F.col("n").cast("bigint").alias("hot_n")
+    )
+    return stats.crossJoin(F.broadcast(topk))
