@@ -2304,3 +2304,101 @@ def f17g_image_resize_features(spark, sf_dir):
     (f17b-f17f cover the other three)."""
     docs = t(spark, sf_dir, "documents")
     return mm.resize_bmp_features(mm.attach_bmp_payload(docs), factor=2)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f48_split_leakage",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents),
+    sp AS (
+      SELECT doc_id, text,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM s),
+    hx AS (SELECT split, doc_id, md5(text) AS h FROM sp),
+    train_h AS (SELECT DISTINCT h FROM hx WHERE split = 'train'),
+    exact_leaks AS (
+      SELECT x.split AS tgt, count(DISTINCT x.doc_id) AS n
+      FROM hx x JOIN train_h t ON x.h = t.h
+      WHERE x.split <> 'train' GROUP BY x.split),
+    raw AS (SELECT doc_id, split, string_split(text, ' ') AS w
+            FROM sp WHERE len(string_split(text, ' ')) >= 3),
+    d AS (SELECT doc_id, split,
+                 list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+          FROM raw),
+    train_sh AS (SELECT DISTINCT unnest(sh) AS tk FROM d WHERE split = 'train'),
+    o_sh AS (SELECT doc_id, split, unnest(sh) AS tk
+             FROM d WHERE split <> 'train'),
+    ng AS (SELECT o.split AS tgt, count(DISTINCT o.doc_id) AS n
+           FROM o_sh o JOIN train_sh t ON o.tk = t.tk GROUP BY o.split)
+    SELECT 'exact_text' AS check_name, 'train->' || tgt AS split_pair,
+           CAST(n AS BIGINT) AS n_leaked_docs
+    FROM exact_leaks
+    UNION ALL
+    SELECT 'shingle_3gram', 'train->' || tgt, CAST(n AS BIGINT) FROM ng
+    """,
+)
+def f48_split_leakage(spark, sf_dir):
+    """Train/val/test LEAKAGE audit over f29's deterministic splits —
+    the check a split manifest ships with: (1) exact-text leakage
+    (md5(text) present in train AND a held-out split — the dup f1
+    would have removed, counted per held-out split) and (2) 3-gram
+    shingle leakage (held-out docs sharing any shingle with train —
+    f25's contamination machinery pointed at the split boundary).
+    Scale shape: exact check is one hash semi-join on md5(text);
+    shingle check broadcasts nothing here (train's shingle set is
+    corpus-sized) — it is an equi-join on the shingle key with
+    partial-aggregated distinct counts, the same postings shape as f2;
+    per-split output is O(1) rows."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    sp = docs.select("doc_id", "text", split.alias("split"))
+    hx = sp.select("split", "doc_id", F.md5("text").alias("h"))
+    train_h = hx.filter(F.col("split") == "train").select("h").distinct()
+    exact = (
+        hx.filter(F.col("split") != "train")
+        .join(train_h, "h")
+        .groupBy(F.col("split").alias("tgt"))
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .select(
+            F.lit("exact_text").alias("check_name"),
+            F.concat(F.lit("train->"), F.col("tgt")).alias("split_pair"),
+            F.col("n").alias("n_leaked_docs"),
+        )
+    )
+    d = sp.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", "split", dd.shingles("text", 3).alias("sh")
+    )
+    train_sh = (
+        d.filter(F.col("split") == "train")
+        .select(F.explode("sh").alias("tk"))
+        .distinct()
+    )
+    o_sh = d.filter(F.col("split") != "train").select(
+        "doc_id", "split", F.explode("sh").alias("tk")
+    )
+    ngram = (
+        o_sh.join(train_sh, "tk")
+        .groupBy(F.col("split").alias("tgt"))
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .select(
+            F.lit("shingle_3gram").alias("check_name"),
+            F.concat(F.lit("train->"), F.col("tgt")).alias("split_pair"),
+            F.col("n").alias("n_leaked_docs"),
+        )
+    )
+    return exact.unionByName(ngram)
