@@ -2402,3 +2402,74 @@ def f48_split_leakage(spark, sf_dir):
         )
     )
     return exact.unionByName(ngram)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f47_cluster_quality",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents),
+    pairs AS (
+      SELECT * FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.6),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.doc),
+    lab AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+    es AS (
+      SELECT l.cluster_id,
+             CAST(count(*) AS BIGINT) AS n_edges,
+             round(avg(p.jaccard), 6) AS avg_sim,
+             round(min(p.jaccard), 6) AS min_sim,
+             round(max(p.jaccard), 6) AS max_sim
+      FROM pairs p JOIN lab l ON p.doc_a = l.doc
+      GROUP BY l.cluster_id),
+    sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+           FROM lab GROUP BY cluster_id)
+    SELECT s.cluster_id, s.size, e.n_edges, e.avg_sim, e.min_sim, e.max_sim
+    FROM sz s JOIN es e ON s.cluster_id = e.cluster_id
+    """,
+)
+def f47_cluster_quality(spark, sf_dir):
+    """Dedup-cluster QUALITY audit — the measurement that decides
+    whether f21's threshold is right before f23 suppresses anything:
+    per near-dup cluster, its size and the count/mean/min/max of its
+    edge similarities. A cluster whose min edge sits at the 0.6
+    threshold is a chained borderline merge (transitive drift — review
+    before suppressing); a tight cluster has min ≈ max ≈ 1. Composes
+    the postings pair join + CC label table with one edge-keyed join +
+    partial agg — all shapes already proven at scale; output is
+    O(clusters)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs_postings(
+        docs, blocking=["lang", "source"], threshold=0.6
+    )
+    clusters = dd.neardup_clusters(docs, pairs)
+    lab = clusters.select(
+        F.col("doc_id").alias("doc_a"), "cluster_id"
+    )
+    es = (
+        pairs.join(lab, "doc_a")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.round(F.avg("jaccard"), 6).alias("avg_sim"),
+            F.round(F.min("jaccard"), 6).alias("min_sim"),
+            F.round(F.max("jaccard"), 6).alias("max_sim"),
+        )
+    )
+    sz = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return sz.join(es, "cluster_id").select(
+        "cluster_id", "size", "n_edges", "avg_sim", "min_sim", "max_sim"
+    )
