@@ -2473,3 +2473,56 @@ def f47_cluster_quality(spark, sf_dir):
     return sz.join(es, "cluster_id").select(
         "cluster_id", "size", "n_edges", "avg_sim", "min_sim", "max_sim"
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f49_threshold_calibration",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents),
+    pairs AS (
+      SELECT * FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.4),
+    thr AS (SELECT unnest([0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+    SELECT t.threshold,
+           CAST(count(p.doc_a) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT p.doc_a) + 0 AS BIGINT) AS n_docs_as_a
+    FROM thr t LEFT JOIN pairs p ON p.jaccard >= t.threshold
+    GROUP BY t.threshold
+    """,
+)
+def f49_threshold_calibration(spark, sf_dir):
+    """Near-dup threshold CALIBRATION curve: pair counts (and docs
+    implicated) at each candidate Jaccard threshold, from ONE pass of
+    the postings pair join computed at the loosest threshold — the
+    measurement that picks f2/f21's 0.6 before committing to a
+    corpus-wide dedup. A cliff between two thresholds = a natural
+    separation; a smooth slope = threshold sensitivity (review).
+    Scale shape: the pair table is computed once (pair space bounded
+    by the 0.4 floor), then the 6-row threshold spine joins against it
+    — O(thresholds × pairs ≥ floor) with partial-aggregated counts,
+    no recomputation per threshold."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs_postings(
+        docs, blocking=["lang", "source"], threshold=0.4
+    )
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in (0.4, 0.5, 0.6, 0.7, 0.8, 0.9)])
+        ).alias("threshold")
+    )
+    return (
+        thr.join(pairs, pairs.jaccard >= thr.threshold, "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("doc_a").alias("n_pairs"),
+            F.countDistinct("doc_a").alias("n_docs_as_a"),
+        )
+    )
