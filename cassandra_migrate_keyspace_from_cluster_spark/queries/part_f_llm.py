@@ -2366,41 +2366,36 @@ def f48_split_leakage(spark, sf_dir):
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
+    from pyspark.sql import Window
+
     sp = docs.select("doc_id", "text", split.alias("split"))
+
+    def leaked(keyed, key, check_name):
+        # one pass: a window over the key marks which key values occur
+        # in train, so the held-out side never joins a second scan of
+        # the same exploded data (the key shuffle happens exactly once)
+        has_train = F.max((F.col("split") == "train").cast("int")).over(
+            Window.partitionBy(key)
+        )
+        return (
+            keyed.withColumn("has_train", has_train)
+            .filter((F.col("split") != "train") & (F.col("has_train") == 1))
+            .groupBy(F.col("split").alias("tgt"))
+            .agg(F.countDistinct("doc_id").alias("n"))
+            .select(
+                F.lit(check_name).alias("check_name"),
+                F.concat(F.lit("train->"), F.col("tgt")).alias("split_pair"),
+                F.col("n").alias("n_leaked_docs"),
+            )
+        )
+
     hx = sp.select("split", "doc_id", F.md5("text").alias("h"))
-    train_h = hx.filter(F.col("split") == "train").select("h").distinct()
-    exact = (
-        hx.filter(F.col("split") != "train")
-        .join(train_h, "h")
-        .groupBy(F.col("split").alias("tgt"))
-        .agg(F.countDistinct("doc_id").alias("n"))
-        .select(
-            F.lit("exact_text").alias("check_name"),
-            F.concat(F.lit("train->"), F.col("tgt")).alias("split_pair"),
-            F.col("n").alias("n_leaked_docs"),
-        )
+    exact = leaked(hx, "h", "exact_text")
+    sh_all = sp.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", "split",
+        F.explode(dd.shingles("text", 3)).alias("tk"),
     )
-    d = sp.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", "split", dd.shingles("text", 3).alias("sh")
-    )
-    train_sh = (
-        d.filter(F.col("split") == "train")
-        .select(F.explode("sh").alias("tk"))
-        .distinct()
-    )
-    o_sh = d.filter(F.col("split") != "train").select(
-        "doc_id", "split", F.explode("sh").alias("tk")
-    )
-    ngram = (
-        o_sh.join(train_sh, "tk")
-        .groupBy(F.col("split").alias("tgt"))
-        .agg(F.countDistinct("doc_id").alias("n"))
-        .select(
-            F.lit("shingle_3gram").alias("check_name"),
-            F.concat(F.lit("train->"), F.col("tgt")).alias("split_pair"),
-            F.col("n").alias("n_leaked_docs"),
-        )
-    )
+    ngram = leaked(sh_all, "tk", "shingle_3gram")
     return exact.unionByName(ngram)
 
 
