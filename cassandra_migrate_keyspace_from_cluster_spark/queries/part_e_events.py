@@ -891,3 +891,39 @@ def e21_commitlog_replay(spark, sf_dir):
     return spark.table(name).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e22_stream_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           round(e.value, 2) AS value,
+           c.c_mktsegment AS segment, c.c_nationkey AS nationkey
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def e22_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment join — the most common production
+    streaming join (every event picks up its dimension attributes):
+    events ⋈ customer on the user key. Batch form here (hash-checked);
+    the streaming twin joins the event STREAM against the static
+    customer frame, which Spark broadcasts per micro-batch with NO
+    state store at all (unlike e10's stream-stream join, which buffers
+    both sides within watermark) — the reason dimension enrichment
+    stays cheap at any stream rate. Twin parity in
+    tests/test_streaming.py."""
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return ev.join(F.broadcast(cust), "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "segment",
+        "nationkey",
+    )

@@ -2521,3 +2521,51 @@ def f49_threshold_calibration(spark, sf_dir):
             F.countDistinct("doc_a").alias("n_docs_as_a"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f50_domain_quota_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             'site-' || CAST(doc_id % 13 AS VARCHAR) || '.example.org'
+               AS domain,
+             md5(CAST(doc_id AS VARCHAR)) AS rk
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, domain,
+             CAST(row_number() OVER (PARTITION BY domain
+                                     ORDER BY rk, doc_id) AS BIGINT) AS rank
+      FROM d)
+    SELECT doc_id, domain, rank FROM ranked WHERE rank <= 30
+    """,
+)
+def f50_domain_quota_sample(spark, sf_dir):
+    """Per-domain quota sampling (crawl-politeness / source-balancing
+    cap): keep at most 30 docs per domain, chosen by DETERMINISTIC
+    md5(doc_id) rank with doc_id tie-break — reproducible under
+    retries/repartition and stable as the corpus grows (a doc already
+    inside the quota is never displaced by later arrivals with higher
+    hashes... a doc with a smaller hash can displace, which is the
+    documented uniform-refresh tradeoff of hash-rank quotas vs
+    arrival-order quotas). Window partitions on domain (bounded
+    per-domain state); the same dataflow with domain→source implements
+    per-source caps for mixture control (f28's weighted twin)."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    d = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("site-"), (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.org"),
+        ).alias("domain"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    w = Window.partitionBy("domain").orderBy("rk", "doc_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 30)
+        .select("doc_id", "domain", "rank")
+    )

@@ -231,3 +231,24 @@ def running_spend_stream_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def enrich_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Streaming twin of e22_stream_enrich: stream-STATIC join. The
+    static side is re-broadcast per micro-batch; no watermark and no
+    state store are involved (contrast stream_stream_join below/above:
+    two streams must buffer within watermark). This is the enrichment
+    shape that stays O(batch) regardless of stream history length."""
+    cust = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return events.join(F.broadcast(cust), "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "segment",
+        "nationkey",
+    )

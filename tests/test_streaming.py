@@ -228,3 +228,15 @@ def test_commitlog_stream_paced_replay(spark, tmp_path):
         assert got_ids == want_ids
     finally:
         q.stop()
+
+
+def test_stream_enrich_twin_matches_batch(spark, events_dir):
+    """e22: the stream-static enrichment twin (static side broadcast
+    per micro-batch, zero state store) must reproduce the batch join."""
+    from cassandra_migrate_keyspace_from_cluster_spark.sources import load_table
+
+    cust = load_table(spark, SF_SMOKE, "customer")
+    stream = twins.enrich_stream(twins.read_events_stream(spark, events_dir), cust)
+    got = twins.run_to_completion(stream, "enrich_out").toPandas()
+    want = specs()["e22_stream_enrich"].fn(spark, SF_SMOKE).toPandas()
+    compare_frames(got, want, "stream-static enrich twin vs batch")
