@@ -644,6 +644,42 @@ def semantic_dedup(
         .filter(F.col("rn") == 1)
         .select("vec_id", "emb", F.col("seed_id").alias("cluster_id"))
     )
+    return _dup_flags_within(assigned, threshold)
+
+
+def semantic_dedup_kmeans(
+    embeddings: DataFrame,
+    k: int = 16,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """The SCALE tier of ``semantic_dedup``: coarse clusters come from
+    MLlib KMeans (distributed fit + distributed ``model.transform``
+    assignment — no driver-side corpus anywhere) instead of the
+    deterministic seed vectors the oracle-checkable tier uses. Same
+    within-cluster earlier-member rule afterwards, so the pair work
+    stays Σ cluster². KMeans cell ids are engine-specific → the f42b
+    query is rows-only; recall on planted near-dups is pytest-asserted
+    (tests/test_operators.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = with_double_embedding(embeddings).select(F.col(id_col).alias("vec_id"), "emb")
+    d = e.withColumn("features", array_to_vector("emb"))
+    model = KMeans(
+        k=k, seed=seed, maxIter=10, featuresCol="features"
+    ).fit(d)
+    assigned = model.transform(d).select(
+        "vec_id", "emb", F.col("prediction").cast("bigint").alias("cluster_id")
+    )
+    return _dup_flags_within(assigned, threshold)
+
+
+def _dup_flags_within(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Shared pair stage of the semantic-dedup tiers: within each
+    cluster, flag members having an EARLIER (smaller-id) member with
+    rounded cosine >= threshold. Equi-join on cluster_id only."""
     earlier = assigned.select(
         F.col("vec_id").alias("vec_b"),
         F.col("emb").alias("emb_b"),

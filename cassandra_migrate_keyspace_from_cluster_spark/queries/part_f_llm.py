@@ -2569,3 +2569,14 @@ def f50_domain_quota_sample(spark, sf_dir):
         .filter(F.col("rank") <= 30)
         .select("doc_id", "domain", "rank")
     )
+
+
+@register("f42b_semantic_dedup_kmeans", oracle=None)  # KMeans cells engine-specific
+def f42b_semantic_dedup_kmeans(spark, sf_dir):
+    """f42's SCALE tier: coarse clusters from distributed MLlib KMeans
+    (fit + transform assignment, no driver-side corpus) instead of the
+    oracle-replayable seed vectors; same within-cluster earlier-member
+    cosine rule. Rows-only (cell ids are engine-specific); planted
+    near-dup recall is pytest-asserted."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup_kmeans(emb, k=16, threshold=0.8)

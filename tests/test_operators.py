@@ -768,3 +768,30 @@ def test_count_min_sketch_merge_law_and_overcount(spark):
     )
     under = est.filter(F.col("est") < F.col("exact_n")).count()
     assert under == 0, f"{under} tokens undercounted"
+
+
+def test_semantic_dedup_kmeans_recall_on_planted_dups(spark):
+    """f42b: planted noisy copies (cos ~0.96 to their source) must be
+    flagged as semantic duplicates by the KMeans tier — a very-near
+    duplicate lands in its source's KMeans cell, so the within-cell
+    rule must catch it (recall >= 0.9 tolerates rare cell-boundary
+    splits). The seed-based tier must flag planted copies too."""
+    import numpy as np
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import similarity as sm
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((300, 64))
+    rows = [(i, base[i].tolist()) for i in range(300)]
+    planted = []
+    for j in range(40):
+        noisy = base[j] + rng.standard_normal(64) * np.linalg.norm(base[j]) / 64.0
+        rows.append((1000 + j, noisy.tolist()))
+        planted.append(1000 + j)
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = sm.semantic_dedup_kmeans(df, k=16, threshold=0.9)
+    flagged = {
+        r.vec_id for r in out.filter(F.col("is_dup") == 1).collect()
+    }
+    recall = len(set(planted) & flagged) / len(planted)
+    assert recall >= 0.9, f"KMeans-tier recall {recall:.2f}; flagged={sorted(flagged)[:10]}"
