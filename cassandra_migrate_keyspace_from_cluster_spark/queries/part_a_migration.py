@@ -803,3 +803,52 @@ def a19_migration_plan_estimate(spark, sf_dir):
         F.ceil(F.col("n_rows") / 8.0).cast("bigint").alias("rows_per_range"),
         F.round(F.col("n_rows") / 50000.0, 6).alias("est_seconds_at_50k_rps"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "a20_schema_drift_report",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('n_comment',   'added',        NULL,     'string'),
+      ('n_name',      'type_changed', 'string', 'bigint'),
+      ('n_regionkey', 'removed',      'int',    NULL))
+      AS t(column_name, change, type_v0, type_v1)
+    """,
+)
+def a20_schema_drift_report(spark, sf_dir):
+    """Schema drift detector — the pre-flight check before a12's
+    evolution copy or a11's diff: compares two table versions'
+    schemas (read from their parquet footers, no data scan) and
+    reports added / removed / type-changed columns. The v1 snapshot is
+    built with a deterministic drift (drop n_regionkey, retype n_name,
+    add n_comment), so the report itself is oracle-checkable while the
+    Spark side genuinely derives it from footer metadata. In-sync
+    columns produce no output — like a11, the report is proportional
+    to the DRIFT. At 100 TB this is O(columns) driver work: schemas
+    come from footers (or the connector's system_schema), never from
+    data."""
+    dst = tempfile.mkdtemp(prefix="spark_graft_a20_")
+    nation = t(spark, sf_dir, "nation")
+    v0 = nation.select("n_nationkey", "n_name", "n_regionkey")
+    v1 = nation.select(
+        "n_nationkey",
+        F.length("n_name").cast("bigint").alias("n_name"),  # type change
+        F.lit("x").alias("n_comment"),  # added
+    )
+    p0, p1 = f"{dst}/v0.parquet", f"{dst}/v1.parquet"
+    v0.write.mode("overwrite").parquet(p0)
+    v1.write.mode("overwrite").parquet(p1)
+    s0 = dict(spark.read.parquet(p0).dtypes)
+    s1 = dict(spark.read.parquet(p1).dtypes)
+    rows = []
+    for c in sorted(set(s0) | set(s1)):
+        if c not in s1:
+            rows.append((c, "removed", s0[c], None))
+        elif c not in s0:
+            rows.append((c, "added", None, s1[c]))
+        elif s0[c] != s1[c]:
+            rows.append((c, "type_changed", s0[c], s1[c]))
+    return spark.createDataFrame(
+        rows, "column_name string, change string, type_v0 string, type_v1 string"
+    )

@@ -2580,3 +2580,56 @@ def f42b_semantic_dedup_kmeans(spark, sf_dir):
     near-dup recall is pytest-asserted."""
     emb = t(spark, sf_dir, "embeddings")
     return sim.semantic_dedup_kmeans(emb, k=16, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f51_ngram_novelty",
+    oracle="""
+    WITH raw AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    d AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+          FROM raw),
+    sh AS (SELECT doc_id, unnest(sh) AS tk FROM d),
+    df AS (SELECT tk, count(DISTINCT doc_id) AS df FROM sh GROUP BY tk)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM sh s JOIN df f ON s.tk = f.tk
+    GROUP BY s.doc_id
+    """,
+)
+def f51_ngram_novelty(spark, sf_dir):
+    """Leave-one-out n-gram NOVELTY score per document: the fraction
+    of a doc's distinct 3-gram shingles appearing in NO other document
+    (document frequency 1) — the positive-diversity twin of the f26
+    repetition and f25 contamination signals: high novelty marks
+    unique content worth keeping even when quality scores are
+    middling; near-zero novelty marks boilerplate that near-dup
+    thresholds missed. One shingle explode, one df aggregation on the
+    shingle key, one window-free re-join — same Σ df-shaped work as
+    f2's postings, partial-aggregated throughout."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 3
+    )
+    sh = docs.select(
+        "doc_id", F.explode(dd.shingles("text", 3)).alias("tk")
+    )
+    dfreq = sh.groupBy("tk").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        sh.join(dfreq, "tk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("bigint")).alias("n_unique"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_unique") / F.col("n_shingles"), 6)
+        )
+    )
