@@ -927,3 +927,55 @@ def e22_stream_enrich(spark, sf_dir):
         "segment",
         "nationkey",
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "e23_foreachbatch_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    FROM events
+    """,
+)
+def e23_foreachbatch_sink(spark, sf_dir):
+    """Transactional-sink fidelity, oracle-checked — the SINK half of
+    e21's source check: the commit-log stream drains through
+    ``foreachBatch`` into an epoch-partitioned parquet layout
+    (mode=overwrite per ``epoch=<id>`` directory), and the query
+    returns what the SINK persisted. Overwrite-per-epoch makes batch
+    replay IDEMPOTENT — a retried epoch overwrites itself instead of
+    appending duplicates, which upgrades Structured Streaming's
+    at-least-once replay to effectively-once output (pytest-asserted by
+    double-writing an epoch); at scale the same pattern targets any
+    transactional store keyed on (epoch, partition). Hash-match against
+    the raw table proves no row was lost or duplicated through the
+    source → micro-batch → sink chain."""
+    import tempfile
+
+    from ..sources.commitlog_stream import read_commitlog_stream
+
+    out_dir = tempfile.mkdtemp(prefix="e23_sink_")
+    stream = read_commitlog_stream(
+        spark, f"{sf_dir}/events.parquet", n_slices=4, batch_rows=0
+    )
+
+    def write_batch(df, epoch_id):
+        (
+            df.select(
+                "event_id", "user_id", "event_type",
+                F.round("value", 2).alias("value"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="e23_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )

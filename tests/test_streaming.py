@@ -240,3 +240,19 @@ def test_stream_enrich_twin_matches_batch(spark, events_dir):
     got = twins.run_to_completion(stream, "enrich_out").toPandas()
     want = specs()["e22_stream_enrich"].fn(spark, SF_SMOKE).toPandas()
     compare_frames(got, want, "stream-static enrich twin vs batch")
+
+
+def test_foreachbatch_epoch_overwrite_is_idempotent(spark, tmp_path):
+    """e23's sink law: re-writing the same epoch (the at-least-once
+    replay case) must leave exactly one copy of the data."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet")).select(
+        "event_id", "user_id"
+    )
+    out = str(tmp_path / "sink")
+    for _ in range(2):  # same epoch written twice = replayed micro-batch
+        df.write.mode("overwrite").parquet(f"{out}/epoch=7")
+    got = spark.read.parquet(out)
+    assert got.count() == df.count()
+    assert got.select("event_id").distinct().count() == df.count()
