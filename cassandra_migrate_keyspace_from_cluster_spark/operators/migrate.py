@@ -564,3 +564,41 @@ def copy_table_clustered(
         .parquet(dst)
     )
     return spark.read.parquet(dst)
+
+
+def expectations_report(
+    df: DataFrame, rules: list[tuple[str, F.Column]]
+) -> DataFrame:
+    """Declarative data-quality expectations (the deequ/dbt-test shape):
+    each rule is (name, boolean Column that is True when the ROW
+    VIOLATES the rule); the report is one row per rule with violation
+    count, row count, and pass flag.
+
+    Scale shape: every rule compiles into ONE conditional-sum aggregate
+    over a SINGLE scan of the table (no per-rule passes, no shuffle at
+    all — the aggregation is global partial+final over k counters), so
+    adding rules is free at 100 TB: the cost is the scan you were
+    already paying. Uniqueness-style rules that need a groupBy are the
+    exception — express those as a separate key-partitioned check (cf.
+    a18's orphan scans) rather than forcing them through this one-pass
+    report."""
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for name, violated in rules:
+        aggs.append(
+            F.sum(violated.cast("bigint")).alias(f"__v_{name}")
+        )
+    row = df.agg(*aggs)
+    reports = []
+    for name, _ in rules:
+        reports.append(
+            row.select(
+                F.lit(name).alias("rule_name"),
+                F.col(f"__v_{name}").alias("n_violations"),
+                F.col("__n_rows").alias("n_rows"),
+                (F.col(f"__v_{name}") == 0).cast("bigint").alias("passed"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -852,3 +852,60 @@ def a20_schema_drift_report(spark, sf_dir):
     return spark.createDataFrame(
         rows, "column_name string, change string, type_v0 string, type_v1 string"
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "a21_data_expectations",
+    oracle="""
+    WITH base AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
+               AS v_chars,
+             sum(CASE WHEN lang NOT IN ('en','de','fr','es','pt')
+                      THEN 1 ELSE 0 END) AS v_lang,
+             sum(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS v_id,
+             sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+               AS v_text
+      FROM documents)
+    SELECT 'n_chars_matches_text' AS rule_name,
+           CAST(v_chars AS BIGINT) AS n_violations,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(CASE WHEN v_chars = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+    FROM base
+    UNION ALL SELECT 'lang_in_allowed_set', CAST(v_lang AS BIGINT),
+                     CAST(n_rows AS BIGINT),
+                     CAST(CASE WHEN v_lang = 0 THEN 1 ELSE 0 END AS BIGINT)
+    FROM base
+    UNION ALL SELECT 'doc_id_non_negative', CAST(v_id AS BIGINT),
+                     CAST(n_rows AS BIGINT),
+                     CAST(CASE WHEN v_id = 0 THEN 1 ELSE 0 END AS BIGINT)
+    FROM base
+    UNION ALL SELECT 'text_non_empty', CAST(v_text AS BIGINT),
+                     CAST(n_rows AS BIGINT),
+                     CAST(CASE WHEN v_text = 0 THEN 1 ELSE 0 END AS BIGINT)
+    FROM base
+    """,
+)
+def a21_data_expectations(spark, sf_dir):
+    """Declarative data-quality expectations over the migrated corpus
+    (operators/migrate.py::expectations_report — the deequ/dbt-test
+    shape): every rule compiles into one conditional sum over a SINGLE
+    table scan, so the whole rule suite costs exactly one pass however
+    many rules it holds. Rules here: n_chars consistency with text,
+    language allow-list, non-negative ids, non-empty text. Output is
+    per-rule (violations, rows, pass) — the validation gate a
+    migration (a13) or a curation pipeline (f27) signs off on."""
+    docs = t(spark, sf_dir, "documents")
+    return mig.expectations_report(
+        docs,
+        [
+            ("n_chars_matches_text",
+             F.col("n_chars") != F.length("text")),
+            ("lang_in_allowed_set",
+             ~F.col("lang").isin("en", "de", "fr", "es", "pt")),
+            ("doc_id_non_negative", F.col("doc_id") < 0),
+            ("text_non_empty",
+             F.col("text").isNull() | (F.col("text") == "")),
+        ],
+    )
