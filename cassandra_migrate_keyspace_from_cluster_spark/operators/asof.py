@@ -68,3 +68,48 @@ def asof_join_last_earlier(
         out_value, F.last(out_value, ignorenulls=True).over(w)
     )
     return carried.filter(F.col(_SIDE) == 1).drop(_TS, _SIDE)
+
+
+def asof_join_first_later(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value: str,
+    out_value: str,
+) -> DataFrame:
+    """FORWARD as-of join: attach ``right_value`` from the right row
+    with the SMALLEST ``right_ts`` satisfying ``right_ts >= left_ts``
+    within the key (the "next event after" direction — next quote
+    after a trade, next purchase after a click). Same union + ordered
+    window shape as the backward form, with the scan reversed:
+    ``orderBy(ts DESC, side)`` and the ignoreNulls carry now
+    propagates the nearest LATER right value backwards; a right row AT
+    the left timestamp sorts first at the tie, preserving the ``>=``
+    boundary. One shuffle on the key, O(n log n) per key — identical
+    scale contract to ``asof_join_last_earlier``."""
+    value_type = right.schema[right_value].dataType
+
+    lt = (
+        left.withColumn(_TS, F.col(left_ts))
+        .withColumn(_SIDE, F.lit(1))
+        .withColumn(out_value, F.lit(None).cast(value_type))
+    )
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        F.col(right_value).alias(out_value),
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(_TS).desc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        out_value, F.last(out_value, ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col(_SIDE) == 1).drop(_TS, _SIDE)

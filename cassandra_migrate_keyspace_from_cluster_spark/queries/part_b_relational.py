@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join_last_earlier
+from ..operators.asof import asof_join_first_later, asof_join_last_earlier
 from ..registry import register
 from ..sources import register_views
 from .util import r2, r6, t
@@ -1177,3 +1177,46 @@ def b36_skew_profile(spark, sf_dir):
         F.col("key").alias("hot_key"), F.col("n").cast("bigint").alias("hot_n")
     )
     return stats.crossJoin(F.broadcast(topk))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "b37_join_asof_forward",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, max(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ),
+    clicks AS (
+        SELECT event_id AS click_id, user_id, ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT c.click_id, c.user_id,
+           (SELECT p.purchase_id FROM purchases p
+            WHERE p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.ts LIMIT 1) AS next_purchase_id
+    FROM clicks c
+    """,
+)
+def b37_join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join: each click matched to the user's NEXT
+    purchase at-or-after it (the conversion-attribution direction;
+    b15 is the backward twin). Composed via the reversed union +
+    ignoreNulls-carry window (operators/asof.py::asof_join_first_later
+    — one shuffle, no range explosion). Purchases pre-deduped to one
+    per (user, ts) for deterministic ties; the oracle uses the
+    correlated ORDER BY ... LIMIT 1 rewrite."""
+    ev = t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    return asof_join_first_later(
+        clicks, purchases, "user_id", "ts", "ts", "purchase_id",
+        "next_purchase_id",
+    ).select("click_id", "user_id", "next_purchase_id")
