@@ -2633,3 +2633,70 @@ def f51_ngram_novelty(spark, sf_dir):
             "novelty", F.round(F.col("n_unique") / F.col("n_shingles"), 6)
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f52_dataset_card",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, text, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents),
+    hx AS (SELECT md5(text) AS h, count(*) AS c
+           FROM documents GROUP BY md5(text)),
+    d AS (
+      SELECT s.source, s.n_chars, s.bucket,
+             len(string_split(s.text, ' ')) AS n_tok,
+             h.c AS dup_c
+      FROM s JOIN hx h ON md5(s.text) = h.h)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(avg(n_chars), 6) AS avg_chars,
+           CAST(sum(CASE WHEN dup_c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dup_docs,
+           CAST(sum(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(sum(CASE WHEN bucket >= 80 AND bucket < 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_val,
+           CAST(sum(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_test
+    FROM d GROUP BY source
+    """,
+)
+def f52_dataset_card(spark, sf_dir):
+    """Dataset-card generator — the per-source summary a released
+    training set ships with, in ONE report: volume (docs, tokens, mean
+    length), exact-dup incidence (docs whose md5(text) repeats
+    anywhere in the corpus — f1's key joined back), and f29's split
+    census. Scale shape: one corpus scan + one hash-keyed self-count
+    join + one partial-aggregated rollup to O(sources) rows; the
+    heavier card sections (near-dup rate, novelty, quality quartiles,
+    leakage) are their own queries (f47-f49, f51, f48) composable onto
+    this skeleton by source key."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    hx = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("dup_c")
+    )
+    d = docs.select(
+        "source",
+        "n_chars",
+        bucket.alias("bucket"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.md5("text").alias("h"),
+    ).join(hx, "h")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum((F.col("dup_c") > 1).cast("bigint")).alias("n_exact_dup_docs"),
+        F.sum((F.col("bucket") < 80).cast("bigint")).alias("n_train"),
+        F.sum(((F.col("bucket") >= 80) & (F.col("bucket") < 90)).cast("bigint")).alias("n_val"),
+        F.sum((F.col("bucket") >= 90).cast("bigint")).alias("n_test"),
+    )
