@@ -2700,3 +2700,256 @@ def f52_dataset_card(spark, sf_dir):
         F.sum(((F.col("bucket") >= 80) & (F.col("bucket") < 90)).cast("bigint")).alias("n_val"),
         F.sum((F.col("bucket") >= 90).cast("bigint")).alias("n_test"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f34_hybrid_rrf_search",
+    oracle="""
+    WITH q AS (SELECT text AS qtext FROM documents WHERE doc_id = 0),
+    qtok AS (SELECT DISTINCT unnest(string_split(qtext, ' ')) AS tok FROM q),
+    dtok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             FROM documents),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    idf AS (SELECT tok, ln((SELECT n FROM n) / count(DISTINCT doc_id)) AS idf
+            FROM dtok GROUP BY tok),
+    lex AS (
+      SELECT d.doc_id, round(sum(i.idf), 6) AS lex_score
+      FROM dtok d JOIN qtok USING (tok) JOIN idf i USING (tok)
+      WHERE d.doc_id != 0
+      GROUP BY d.doc_id),
+    lexr AS (SELECT doc_id, lex_score,
+                    CAST(row_number() OVER (ORDER BY lex_score DESC, doc_id)
+                         AS BIGINT) AS r_lex
+             FROM lex),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    vec AS (
+      SELECT b.vec_id AS doc_id,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id != 0),
+    vecr AS (SELECT doc_id, cos_sim,
+                    CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+                         AS BIGINT) AS r_vec
+             FROM vec),
+    fused AS (
+      SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + l.r_lex), 0)
+                   + coalesce(1.0 / (60 + v.r_vec), 0), 6) AS rrf
+      FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
+    SELECT doc_id, rrf,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM fused QUALIFY rank <= 20
+    """,
+)
+def f34_hybrid_rrf_search(spark, sf_dir):
+    """HYBRID retrieval with reciprocal-rank fusion: a lexical ranking
+    (sum of idf over tokens shared with the query doc — the pinned
+    BM25-ish signal) and a dense ranking (rounded cosine on the
+    embedding column) fuse via RRF (Σ 1/(60+rank)), top-20. The
+    modern retrieval stack's default shape — each ranker is cheap and
+    independently scalable (lexical = postings join like f2, dense =
+    any f4/f5 tier), and fusion touches only the two rank lists (tiny)
+    with a full-outer join. Ranks are integers, so the fused score is
+    exact cross-engine; every ranking carries a doc_id tie-break."""
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    qtok = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .distinct()
+    )
+    dtok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    n_docs = float(docs.count())
+    idf = dtok.groupBy("tok").agg(
+        F.log(F.lit(n_docs) / F.countDistinct("doc_id")).alias("idf")
+    )
+    lex = (
+        dtok.join(F.broadcast(qtok), "tok")
+        .join(idf, "tok")
+        .filter(F.col("doc_id") != 0)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("idf"), 6).alias("lex_score"))
+    )
+    lexr = lex.withColumn(
+        "r_lex",
+        F.row_number()
+        .over(Window.orderBy(F.desc("lex_score"), "doc_id"))
+        .cast("bigint"),
+    )
+    e = sim.with_double_embedding(emb).select("vec_id", "emb")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+    from ..functions.vector import cosine
+
+    vec = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("emb"), F.col("qemb")), 6).alias("cos_sim"),
+        )
+    )
+    vecr = vec.withColumn(
+        "r_vec",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), "doc_id"))
+        .cast("bigint"),
+    )
+    fused = (
+        lexr.select("doc_id", "r_lex")
+        .join(vecr.select("doc_id", "r_vec"), "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("rrf"), "doc_id")).cast("bigint"),
+        )
+        .filter(F.col("rank") <= 20)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f43_chunk_dedup_rewrite",
+    oracle="""
+    WITH raw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS cidx,
+             array_to_string(w[(i*8 + 1):(i*8 + 8)], ' ') AS chunk
+      FROM raw, LATERAL (SELECT unnest(generate_series(0,
+                           CAST(ceil(len(w) / 8.0) AS BIGINT) - 1)) AS i)),
+    ranked AS (
+      SELECT doc_id, cidx, chunk,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, cidx) AS occ
+      FROM chunks)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN occ = 1 THEN chunk END, ' '
+                               ORDER BY cidx), '')) AS clean_md5
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def f43_chunk_dedup_rewrite(spark, sf_dir):
+    """Chunk-level dedup with RECONSTRUCTION (the CCNet line-dedup
+    shape executed, not just profiled like f38): docs split into
+    non-overlapping 8-token chunks; only the globally FIRST occurrence
+    of each chunk text (by doc_id, then position) survives; each doc
+    is re-assembled from its surviving chunks in order. Output is
+    per-doc (chunks, kept, md5 of the rewritten text) — the md5 makes
+    byte-identical reconstruction cross-engine checkable without
+    hashing megabytes of text through the harness. Scale shape: one
+    explode to O(total chunks), one window partitioned BY CHUNK KEY
+    (first-occurrence rule — same shuffle shape as f1's exact dedup),
+    one per-doc ordered re-agg. The survivor rule is deterministic, so
+    retries/speculation cannot change which copy survives."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = F.split("text", " ")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks) / F.lit(8.0)).cast("int") - 1,
+                ),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+            )
+        ).alias("cidx", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "cidx")
+    ranked = chunks.withColumn("occ", F.row_number().over(w))
+    kept_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("occ") == 1, F.struct("cidx", "chunk")
+                    )
+                )
+            ),
+            lambda s: s.getField("chunk"),
+        ),
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("occ") == 1).cast("bigint")).alias("n_kept"),
+        F.md5(kept_text).alias("clean_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "f46_embedding_outliers",
+    oracle="""
+    WITH dims AS (
+        SELECT label, i, avg(embedding[i]::DOUBLE) AS v
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+        GROUP BY 1, 2),
+    cents AS (SELECT label, list(v ORDER BY i) AS centroid
+              FROM dims GROUP BY 1),
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               round(list_cosine_similarity(e.emb, c.centroid), 6) AS cos_to_centroid
+        FROM e JOIN cents c ON e.label = c.label),
+    deciled AS (
+        SELECT vec_id, label, cos_to_centroid,
+               CAST(ntile(10) OVER (PARTITION BY label
+                                    ORDER BY cos_to_centroid, vec_id)
+                    AS BIGINT) AS decile
+        FROM scored)
+    SELECT vec_id, label, cos_to_centroid, decile,
+           CAST(CASE WHEN decile = 1 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_outlier
+    FROM deciled
+    """,
+)
+def f46_embedding_outliers(spark, sf_dir):
+    """Embedding OUTLIER detection — the vector-side cleaning gate
+    (mislabeled / off-distribution vectors): each vector scored by
+    rounded cosine to its OWN label's centroid, bottom decile per
+    label flagged (ntile with vec_id tie-break). Scale shape: the
+    centroid build is f6's two narrow shuffles on (label, dim);
+    scoring is a broadcast join against O(labels) centroids; the
+    decile window partitions per label. At 100 TB labels become
+    KMeans cells (f42b) and the same per-cell decile flags
+    off-manifold vectors."""
+    emb = t(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine
+
+    cents = sim.label_centroids(emb).select(
+        F.col("centroid_label").alias("label"), "centroid"
+    )
+    e = sim.with_double_embedding(emb).select("vec_id", "label", "emb")
+    scored = e.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("emb"), F.col("centroid")), 6).alias(
+            "cos_to_centroid"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy("cos_to_centroid", "vec_id")
+    return scored.withColumn(
+        "decile", F.ntile(10).over(w).cast("bigint")
+    ).withColumn("is_outlier", (F.col("decile") == 1).cast("bigint"))
