@@ -2757,7 +2757,10 @@ def f34_hybrid_rrf_search(spark, sf_dir):
     independently scalable (lexical = postings join like f2, dense =
     any f4/f5 tier), and fusion touches only the two rank lists (tiny)
     with a full-outer join. Ranks are integers, so the fused score is
-    exact cross-engine; every ranking carries a doc_id tie-break."""
+    exact cross-engine; every ranking carries a doc_id tie-break, and
+    all three global rankings ride the two-phase distributed rank
+    (operators/rank.py) — no unpartitioned window even though the
+    candidate lists are small."""
     docs = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
     from pyspark.sql import Window
@@ -2781,12 +2784,11 @@ def f34_hybrid_rrf_search(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.round(F.sum("idf"), 6).alias("lex_score"))
     )
-    lexr = lex.withColumn(
-        "r_lex",
-        F.row_number()
-        .over(Window.orderBy(F.desc("lex_score"), "doc_id"))
-        .cast("bigint"),
-    )
+    from ..operators.rank import with_global_row_number
+
+    lexr = with_global_row_number(
+        lex, [F.col("lex_score").desc(), F.col("doc_id")], rn_col="r_lex"
+    ).withColumn("r_lex", F.col("r_lex").cast("bigint"))
     e = sim.with_double_embedding(emb).select("vec_id", "emb")
     qv = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
     from ..functions.vector import cosine
@@ -2799,12 +2801,9 @@ def f34_hybrid_rrf_search(spark, sf_dir):
             F.round(cosine(F.col("emb"), F.col("qemb")), 6).alias("cos_sim"),
         )
     )
-    vecr = vec.withColumn(
-        "r_vec",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cos_sim"), "doc_id"))
-        .cast("bigint"),
-    )
+    vecr = with_global_row_number(
+        vec, [F.col("cos_sim").desc(), F.col("doc_id")], rn_col="r_vec"
+    ).withColumn("r_vec", F.col("r_vec").cast("bigint"))
     fused = (
         lexr.select("doc_id", "r_lex")
         .join(vecr.select("doc_id", "r_vec"), "doc_id", "full")
@@ -2817,12 +2816,11 @@ def f34_hybrid_rrf_search(spark, sf_dir):
             ).alias("rrf"),
         )
     )
-    return (
-        fused.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("rrf"), "doc_id")).cast("bigint"),
-        )
-        .filter(F.col("rank") <= 20)
+    ranked = with_global_row_number(
+        fused, [F.col("rrf").desc(), F.col("doc_id")], rn_col="rank"
+    )
+    return ranked.withColumn("rank", F.col("rank").cast("bigint")).filter(
+        F.col("rank") <= 20
     )
 
 

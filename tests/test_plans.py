@@ -152,6 +152,7 @@ def test_global_ranks_use_partitioned_windows(spark):
         "c16_ntile_pctrank",
         "a5_range_partition_counts",
         "f7_tokenize_wordcount",
+        "f34_hybrid_rrf_search",
     ):
         plan = physical_plan(q(spark, name))
         specs_ = re.findall(r"windowspecdefinition\([^)]*\)", plan)
