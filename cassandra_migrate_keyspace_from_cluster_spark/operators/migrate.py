@@ -584,8 +584,12 @@ def expectations_report(
     report."""
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for name, violated in rules:
+        # coalesce: sum over an EMPTY table is NULL, but zero rows means
+        # zero violations (and the rule passes)
         aggs.append(
-            F.sum(violated.cast("bigint")).alias(f"__v_{name}")
+            F.coalesce(F.sum(violated.cast("bigint")), F.lit(0)).alias(
+                f"__v_{name}"
+            )
         )
     row = df.agg(*aggs)
     reports = []

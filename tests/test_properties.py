@@ -148,3 +148,103 @@ def test_snapshot_diff_drift_exactness(spark, rows):
         (k, "changed") for k in mutate
     }
     assert got == want, (got, want)
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_expectations_report_laws(spark, rows):
+    """a21's engine: violations are bounded by n_rows; passed is exactly
+    (violations == 0); and a tautological rule never fires."""
+    from cassandra_migrate_keyspace_from_cluster_spark.operators.migrate import (
+        expectations_report,
+    )
+
+    df = _df(spark, rows)
+    rep = {
+        r.rule_name: r
+        for r in expectations_report(
+            df,
+            [
+                ("v_negative", F.col("v") < 0),
+                ("impossible", F.lit(False)),
+            ],
+        ).collect()
+    }
+    n = df.count()
+    for r in rep.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_violations <= n
+        assert r.passed == (1 if r.n_violations == 0 else 0)
+    assert rep["impossible"].n_violations == 0
+
+
+@given(rows=rows_st, k=st.integers(min_value=1, max_value=5))
+@settings(**SETTINGS)
+def test_quota_cap_and_repartition_stability(spark, rows, k):
+    """f50's law: a hash-rank quota never emits more than K rows per
+    group, and membership is identical under any repartitioning."""
+    from pyspark.sql import Window
+
+    df = _df(spark, rows).dropDuplicates(["k"])  # unique ids
+    w = Window.partitionBy("tag").orderBy(
+        F.md5(F.col("k").cast("string")), "k"
+    )
+
+    def quota(frame):
+        return (
+            frame.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .select("k", "tag")
+        )
+
+    a = {tuple(r) for r in quota(df).collect()}
+    b = {tuple(r) for r in quota(df.repartition(7)).collect()}
+    assert a == b
+    per_group = (
+        quota(df).groupBy("tag").count().collect()
+    )
+    assert all(r["count"] <= k for r in per_group)
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_chunk_dedup_conservation(spark, rows):
+    """f43's law: per doc, kept chunks never exceed total chunks, and
+    the globally FIRST occurrence of every distinct chunk survives
+    exactly once across the corpus."""
+    from pyspark.sql import Window
+
+    docs = (
+        _df(spark, rows)
+        .dropDuplicates(["k"])
+        .select(
+            F.col("k").alias("doc_id"),
+            F.concat_ws(
+                " ", F.col("tag"), (F.col("v") % 3).cast("string")
+            ).alias("text"),
+        )
+    )
+    toks = F.split("text", " ")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks) / F.lit(1.0)).cast("int") - 1,
+                ),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 1)),
+            )
+        ).alias("cidx", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "cidx")
+    ranked = chunks.withColumn("occ", F.row_number().over(w))
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("occ") == 1).cast("int")).alias("n_kept"),
+    )
+    assert all(r.n_kept <= r.n_chunks for r in per_doc.collect())
+    survivors = ranked.filter(F.col("occ") == 1).groupBy("chunk").count()
+    assert all(r["count"] == 1 for r in survivors.collect())
+    n_distinct = ranked.select("chunk").distinct().count()
+    assert survivors.count() == n_distinct
