@@ -16,10 +16,14 @@ steps, all of them parallel:
      joined back via broadcast).
 
 The partition id must be consistent between the counting pass and the
-numbering pass, so the range-partitioned frame is materialized once via
-``localCheckpoint`` (at cluster scale: ``persist()`` / reliable
-checkpoint — one materialization versus one single-task sort is the
-whole trade, and it wins as soon as the table outgrows one executor).
+numbering pass, so the range-partitioned frame is materialized once.
+HOW it is materialized is a call-site choice (``materialize=``):
+``"local_checkpoint"`` (default — cheapest, but blocks are lost with a
+failed executor, so a retry hazard on a real cluster) or ``"persist"``
+(MEMORY_AND_DISK with replicated recompute semantics — the
+cluster-safe form; the caller owns ``unpersist`` once consumed). One
+materialization versus one single-task sort is the whole trade, and it
+wins as soon as the table outgrows one executor.
 
 Prefix sums are computed with a triangular self-join over the P count
 rows rather than an ORDER BY window so that NO unpartitioned window
@@ -52,6 +56,7 @@ def with_global_row_number(
     rn_col: str = "rn",
     total_col: str | None = None,
     num_partitions: int | None = None,
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """Add ``rn_col`` = global 1-based row number under ``order_cols``.
 
@@ -60,16 +65,31 @@ def with_global_row_number(
     With ``total_col`` set, also attaches the constant total row count N
     (needed by percent_rank/cume_dist/ntile rewrites) — derived from the
     same per-partition counts, no extra pass.
+
+    ``materialize`` picks how the range-partitioned frame is pinned so
+    both passes see the same partition ids: ``"local_checkpoint"``
+    (default; executor-local blocks, lost on executor failure) or
+    ``"persist"`` (MEMORY_AND_DISK — recomputable lineage, the
+    cluster-safe choice; determinism survives recompute because range
+    boundary sampling is seeded per-partition and the local window
+    sorts on a total order). With ``"persist"`` the caller owns
+    ``unpersist`` once the result is consumed.
     """
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    ranged = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint()
+    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
     )
+    if materialize == "local_checkpoint":
+        ranged = ranged.localCheckpoint()
+    elif materialize == "persist":
+        from pyspark import StorageLevel
+
+        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        raise ValueError(f"materialize must be local_checkpoint|persist: {materialize!r}")
     counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__gr_cnt"))
     a, b = counts.alias("a"), counts.alias("b")
     offsets = (

@@ -17,15 +17,67 @@ tie-break so float noise in the last ulp can't flip cross-engine order.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, l2_norm, to_double_array
+from ..util import scratch_dir
 
 
 def with_double_embedding(df: DataFrame, col: str = "embedding") -> DataFrame:
     """float32 list → array<double> (accumulate in f64 on both engines)."""
     return df.withColumn("emb", to_double_array(col))
+
+
+# Per-PYTHON-WORKER single-entry cache for lazily loaded index structures
+# (normalized corpus matrix / PQ code matrix). Keyed by staging path; one
+# entry at a time so a worker never holds two corpora. This is what lets
+# the exact tiers ship only a PATH through the closure — the corpus-sized
+# allocation happens on the executors that need it for the matmul anyway,
+# never on the driver.
+_WORKER_INDEX_CACHE: dict[str, object] = {}
+
+
+def _worker_load(path: str, build):
+    hit = _WORKER_INDEX_CACHE.get(path)
+    if hit is None:
+        _WORKER_INDEX_CACHE.clear()
+        hit = _WORKER_INDEX_CACHE[path] = build(path)
+    return hit
+
+
+def _load_normalized_corpus(path: str):
+    """(ids, row-normalized float64 matrix) from a staged parquet layout."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    def build(p):
+        t = pq.read_table(p, columns=["id", "embedding"])
+        ids = t.column("id").to_numpy().astype(np.int64)
+        mat = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False))
+        mat = mat.astype(np.float64)
+        return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    return _worker_load(path, build)
+
+
+def _stage(df: DataFrame, label: str) -> str:
+    """Write ``df`` to a fresh token-named dir under the session scratch
+    root, dropping any earlier staging of the same label (one live layout
+    per label). The token makes the path a valid cache key for
+    ``_worker_load`` — a fresh write is never confused with a cached
+    read of the previous invocation's data."""
+    import shutil as _shutil
+    import uuid
+
+    base = scratch_dir(label)
+    for old in os.listdir(base):
+        _shutil.rmtree(os.path.join(base, old), ignore_errors=True)
+    path = os.path.join(base, uuid.uuid4().hex[:12])
+    df.write.mode("overwrite").parquet(path)
+    return path
 
 
 def cosine_topk(
@@ -34,8 +86,14 @@ def cosine_topk(
     """Exact top-k cosine neighbors per vector (self excluded).
 
     Execution shape — a broadcast nested-loop join done in BLAS:
-      - corpus side: collected once (n·d doubles) and broadcast to every
-        executor, exactly like the build side of a broadcast join;
+      - corpus side: written once to a scratch parquet layout
+        (distributed write — a scan, never a driver collect), then
+        loaded LAZILY by each Python worker on first use and cached
+        per-process (``_worker_load``): the build side of a broadcast
+        join, but materialized only where the matmul runs. The driver
+        holds a path string — at no point does any driver allocation
+        scale with the corpus (rounds 1–3 collected n·d doubles
+        driver-side before broadcasting; fixed r4);
       - query side: stays a distributed scan; each Arrow batch computes
         ``Q_norm @ C_normᵀ`` (float64 matmul) and its own top-k locally,
         so the whole op is one narrow stage, no shuffle at all.
@@ -46,23 +104,21 @@ def cosine_topk(
     to 6dp before ranking with a vec_id tie-break (SURVEY.md §5.4).
 
     100-TB design point: this is the *exact* tier and assumes one side
-    fits in executor memory (same contract as a broadcast join). When
-    the corpus outgrows that, either block the corpus into broadcastable
-    chunks and merge per-chunk top-k (still shuffle-free until the final
-    per-query merge), or switch to the LSH tier (``brp_lsh_neighbors``)
-    whose bucket-join prunes the pair space.
+    fits in EXECUTOR memory (same contract as a broadcast join — the
+    driver is no longer part of that contract). When the corpus
+    outgrows an executor, block it into chunks and merge per-chunk
+    top-k (``cosine_topk_chunked``), or switch to the LSH/IVF/PQ tiers
+    whose bucket structure prunes the pair space.
     """
     import numpy as np
     import pandas as pd
 
-    corpus = embeddings.select(F.col(id_col).alias("id"), "embedding").toPandas()
-    c_ids = corpus["id"].to_numpy(dtype=np.int64)
-    c_mat = np.vstack(corpus["embedding"].to_numpy()).astype(np.float64)
-    c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
-    bc = embeddings.sparkSession.sparkContext.broadcast((c_ids, c_norm))
+    corpus_path = _stage(
+        embeddings.select(F.col(id_col).alias("id"), "embedding"), "f4_corpus"
+    )
 
     def topk(batches):
-        ids_c, nmat_c = bc.value
+        ids_c, nmat_c = _load_normalized_corpus(corpus_path)
         # composite int64 sort key: 6dp-rounded sims are exact integers
         # after *1e6 (|.| <= 1e6 < 2^21) and ids fit 32 bits, so
         # key = -sim_int * 2^32 + id orders by (sim DESC, id ASC) with
@@ -107,37 +163,41 @@ def cosine_topk_chunked(
 
     The corpus is first written to a CHUNK-PARTITIONED parquet layout
     (chunk = pmod(xxhash64(id), n_chunks) — one directory per chunk),
-    then the search runs pass-at-a-time: each pass partition-prunes ONE
-    chunk off disk, broadcasts it, streams the queries through the same
-    shuffle-free matmul top-k as f4, materializes that pass's k-per-
-    query candidates to parquet, and ``unpersist()``s the broadcast
-    before the next pass. Peak memory is therefore O(chunk_size · d) on
-    the DRIVER as well as per executor — at no point does any process
-    hold the full corpus (round 2 collected it driver-side; this is the
-    docstring's own 100-TB recipe made real). The materialized
-    candidates (n_queries · k · n_chunks rows, not n² scores) then
-    merge with a window partitioned by query_id — the only shuffle.
+    then the search runs pass-at-a-time: each pass points the workers at
+    ONE chunk directory; every Python worker lazily reads that chunk off
+    disk on first use (``_worker_load`` — the same executor-side build
+    as f4, no driver collect and no broadcast round-trip at all) and
+    streams the queries through the same shuffle-free matmul top-k,
+    materializing that pass's k-per-query candidates to parquet. Peak
+    memory is O(chunk_size · d) per executor and O(1) on the driver —
+    at no point does ANY process hold the full corpus (round 2
+    collected it all driver-side, round 3 still staged each chunk
+    through the driver; this is the docstring's own 100-TB recipe made
+    real). The materialized candidates (n_queries · k · n_chunks rows,
+    not n² scores) then merge with a window partitioned by query_id —
+    the only shuffle.
 
     Global top-k ⊆ union of per-chunk top-k, so the result is EXACT;
     identical ranking law as f4 (6dp-rounded score, neighbor-id
     tie-break) — hash-equality with f4 is pytest-asserted across chunk
     sizes. ``work_dir`` is the staging root (a real pipeline passes a
-    job-scoped path; defaults to a mkdtemp for tests).
+    job-scoped path on shared storage; defaults to the session scratch
+    root, removed at interpreter exit).
     """
     import math
-    import tempfile
 
     import numpy as np
     import pandas as pd
 
-    spark = embeddings.sparkSession
+    from ..util import scratch_dir_unique
+
     # The query side is scanned once per pass; cache it (MEMORY_AND_DISK
     # — degrades to local-disk reads when the corpus outgrows memory, so
     # the cache is an optimization, never a memory contract).
     src = embeddings.select(F.col(id_col).alias("id"), "embedding").persist()
     n = src.count()
     n_chunks = max(1, math.ceil(n / chunk_size))
-    root = work_dir or tempfile.mkdtemp(prefix="spark_graft_f4c_")
+    root = work_dir or scratch_dir_unique("f4c")
     corpus_path = f"{root}/corpus"
     cand_path = f"{root}/cand"
     (
@@ -148,24 +208,20 @@ def cosine_topk_chunked(
         .mode("overwrite")
         .parquet(corpus_path)
     )
-    corpus = spark.read.parquet(corpus_path)
     out_schema = "query_id bigint, neighbor_id bigint, cos_sim double"
 
+    # chunk directories present on disk (hash-chunking can leave gaps);
+    # a shared-FS listing at cluster scale — O(n_chunks) names either way
+    chunk_dirs = sorted(
+        f"{corpus_path}/{d}"
+        for d in os.listdir(corpus_path)
+        if d.startswith("chunk=")
+    )
     first = True
-    for ci in range(n_chunks):
-        # partition-pruned single-chunk read: O(chunk) driver memory
-        chunk_pdf = (
-            corpus.filter(F.col("chunk") == ci).select("id", "embedding").toPandas()
-        )
-        if len(chunk_pdf) == 0:
-            continue
-        c_ids = chunk_pdf["id"].to_numpy(dtype=np.int64)
-        c_mat = np.vstack(chunk_pdf["embedding"].to_numpy()).astype(np.float64)
-        c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
-        bc = spark.sparkContext.broadcast((c_ids, c_norm))
+    for chunk_dir in chunk_dirs:
 
-        def chunk_topk(batches, _bc=bc):
-            ids_c, nmat_c = _bc.value
+        def chunk_topk(batches, _path=chunk_dir):
+            ids_c, nmat_c = _load_normalized_corpus(_path)
             # same composite-key vectorized top-k as f4's kernel; the
             # max-key sentinel (self match) is filtered AFTER selection
             # because a small chunk can have fewer than k+1 candidates
@@ -196,18 +252,18 @@ def cosine_topk_chunked(
                     }
                 )
 
-        # the write is the pass barrier: after it returns, the broadcast
-        # is dead weight and is dropped before the next chunk loads
+        # the write is the pass barrier: workers drop the cached chunk
+        # when the next pass hands them a new path (_worker_load keeps
+        # one entry), so per-worker memory stays O(chunk)
         (
             src.mapInPandas(chunk_topk, out_schema)
             .write.mode("overwrite" if first else "append")
             .parquet(cand_path)
         )
-        bc.unpersist()
         first = False
 
     src.unpersist()  # every pass is materialized; the result reads cand_path
-    cand = spark.read.parquet(cand_path)
+    cand = embeddings.sparkSession.read.parquet(cand_path)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -745,9 +801,11 @@ def pq_topk(
         how every PQ system works, FAISS included);
       - ENCODE is a distributed ``mapInPandas`` scan against the
         broadcast codebooks — each executor quantizes its own split;
-      - only the encoded (id, codes) matrix — m bytes/vector, the
+      - the encoded (id, codes) matrix — m bytes/vector, the
         32x-compressed index whose smallness is PQ's entire point —
-        is collected and re-broadcast for the ADC search scan.
+        is written to a scratch parquet layout and lazily loaded per
+        Python worker for the ADC search scan; the driver never holds
+        anything that scales with n.
     Rows-only query (codebooks are data-derived); recall vs the exact
     f4 truth is pytest-asserted.
     """
@@ -804,15 +862,29 @@ def pq_topk(
                 )
             yield pd.DataFrame({"id": v_ids, "codes": list(cs)})
 
-    # distributed encode; only the compressed code matrix lands driver-side
-    codes_pdf = queries.mapInPandas(encode, "id bigint, codes array<int>").toPandas()
-    ids = codes_pdf["id"].to_numpy(dtype=np.int64)
-    codes = np.vstack(codes_pdf["codes"].to_numpy()).astype(np.int32)
+    # distributed encode, materialized to a scratch parquet layout; the
+    # 32x-compressed (id, codes) index is then lazily loaded per Python
+    # worker (_worker_load) for the ADC scan — the driver holds only the
+    # codebooks (m·n_codes·sub_d doubles), nothing that scales with n
+    # (round 3 still collected the code matrix driver-side; fixed r4)
+    codes_path = _stage(
+        queries.mapInPandas(encode, "id bigint, codes array<int>"), "f33_codes"
+    )
 
-    bc = spark.sparkContext.broadcast((ids, codes, codebooks))
+    def _load_codes(path):
+        import pyarrow.parquet as pq
+
+        def build(p):
+            t = pq.read_table(p, columns=["id", "codes"])
+            c_ids = t.column("id").to_numpy().astype(np.int64)
+            cs = np.vstack(t.column("codes").to_numpy(zero_copy_only=False))
+            return c_ids, cs.astype(np.int32)
+
+        return _worker_load(path, build)
 
     def adc_topk(batches):
-        c_ids, c_codes, books = bc.value
+        c_ids, c_codes = _load_codes(codes_path)
+        books = bc_books.value
         # fully batched ADC: distance tables for ALL queries at once
         # ((Q, m, n_codes) via one broadcasted subtraction per call),
         # then the (Q, corpus) approx matrix is m fancy-indexed lookups

@@ -295,6 +295,29 @@ def test_two_phase_rank_matches_window_functions(spark):
         assert g == e, f"mismatch at n={n} k={k}"
 
 
+def test_two_phase_rank_materialize_modes_agree(spark):
+    """Both materialization modes (local_checkpoint / cluster-safe
+    persist) must number identically; unknown modes must raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators.rank import (
+        with_global_row_number,
+    )
+
+    df = spark.range(257).select(
+        (F.col("id") * 41 % 257).alias("key"), F.col("id").alias("uid")
+    )
+    order = [F.col("key").asc(), F.col("uid").asc()]
+    lc = with_global_row_number(df, order, "rn", materialize="local_checkpoint")
+    ps = with_global_row_number(df, order, "rn", materialize="persist")
+    assert {(r.uid, r.rn) for r in lc.collect()} == {
+        (r.uid, r.rn) for r in ps.collect()
+    }
+    with pytest.raises(ValueError, match="materialize"):
+        with_global_row_number(df, order, "rn", materialize="checkpoint")
+
+
 def test_srp_neardup_equals_bruteforce(spark):
     """f4b's LSH-candidates + exact-rescore must return exactly the
     brute-force all-pairs result. Two regimes: the real embeddings table
