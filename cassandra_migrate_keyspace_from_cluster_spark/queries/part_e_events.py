@@ -871,10 +871,10 @@ def e21_commitlog_replay(spark, sf_dir):
     (batch_rows — the maxOffsetsPerTrigger analog) and checkpoint
     offset replay are pytest-asserted; here the full log is admitted in
     one availableNow pass so the driver check is a bounded single run."""
-    import tempfile
     import uuid
 
     from ..sources.commitlog_stream import read_commitlog_stream
+    from ..util import scratch_dir_unique
 
     stream = read_commitlog_stream(
         spark, f"{sf_dir}/events.parquet", n_slices=4, batch_rows=0
@@ -883,11 +883,13 @@ def e21_commitlog_replay(spark, sf_dir):
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="clog_ckpt_"))
+        .option("checkpointLocation", scratch_dir_unique("clog_ckpt"))
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("e21: commit-log replay did not finish in 300 s")
     return spark.table(name).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -950,11 +952,10 @@ def e23_foreachbatch_sink(spark, sf_dir):
     transactional store keyed on (epoch, partition). Hash-match against
     the raw table proves no row was lost or duplicated through the
     source → micro-batch → sink chain."""
-    import tempfile
-
     from ..sources.commitlog_stream import read_commitlog_stream
+    from ..util import scratch_dir_unique
 
-    out_dir = tempfile.mkdtemp(prefix="e23_sink_")
+    out_dir = scratch_dir_unique("e23_sink")
     stream = read_commitlog_stream(
         spark, f"{sf_dir}/events.parquet", n_slices=4, batch_rows=0
     )
@@ -971,11 +972,13 @@ def e23_foreachbatch_sink(spark, sf_dir):
 
     q = (
         stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="e23_ckpt_"))
+        .option("checkpointLocation", scratch_dir_unique("e23_ckpt"))
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("e23: foreachBatch drain did not finish in 300 s")
     return spark.read.parquet(out_dir).select(
         "event_id", "user_id", "event_type", "value"
     )

@@ -2240,12 +2240,16 @@ def f45_domain_pagerank(spark, sf_dir):
         .select(F.col("domain").alias("src"), F.col("dom_b").alias("dst"))
         .distinct()
     )
+    # edges/nodes/deg are re-read by every power iteration AND the
+    # node-count job — persist them so the expensive co-citation pair
+    # join runs once, not once per iteration (the pinned state is
+    # O(domains + edges), tiny next to the document scan it replaces)
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    nodes = edges.select(F.col("src").alias("domain")).distinct()
-    n_nodes = float(nodes.count())  # O(domains), bounded
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ).distinct().persist()
+    nodes = edges.select(F.col("src").alias("domain")).distinct().persist()
+    n_nodes = float(nodes.count())  # O(domains), bounded; warms both caches
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
     pr = nodes.select("domain", F.round(F.lit(1.0) / n_nodes, 12).alias("pr"))
     for _ in range(3):
         contrib = (
@@ -2773,9 +2777,15 @@ def f34_hybrid_rrf_search(spark, sf_dir):
     dtok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
-    n_docs = float(docs.count())
-    idf = dtok.groupBy("tok").agg(
-        F.log(F.lit(n_docs) / F.countDistinct("doc_id")).alias("idf")
+    # corpus size joins in as a broadcast 1-row frame instead of an
+    # eager driver-side count() at query-build time — the whole ranking
+    # stays one lazy plan
+    n_docs_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = (
+        dtok.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df_t"))
+        .crossJoin(F.broadcast(n_docs_df))
+        .select("tok", F.log(F.col("n_docs") / F.col("df_t")).alias("idf"))
     )
     lex = (
         dtok.join(F.broadcast(qtok), "tok")

@@ -20,9 +20,14 @@ Scale notes:
     read; each slice is read independently by its own task.
   - Offsets are plain dicts → checkpointable; ``read`` re-derives rows
     from (lo, hi) alone, so batch replay after failure is exact —
-    the property end-to-end exactly-once sinks need.
-  - The per-task full-file read + slice is the simulation's concession
-    (same as cluster_source): a real log store seeks by offset.
+    the property end-to-end exactly-once sinks need. On restart the
+    admission cap re-syncs to the engine-supplied offsets
+    (``partitions``/``commit``), so a checkpointed position is never
+    trailed by ``latestOffset``.
+  - ``read`` prunes to the row groups overlapping its slice
+    (``ParquetFile.read_row_group``) — a task touches O(slice) bytes,
+    not the whole log; a real log store would seek by offset the same
+    way.
 """
 
 from __future__ import annotations
@@ -67,6 +72,10 @@ class CommitLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["pos"], end["pos"]
+        # restart re-sync: after a checkpoint restore the engine replays
+        # from the committed position — never let the admission cap
+        # trail it (a fresh reader starts at _cap=0)
+        self._cap = max(self._cap, lo, hi)
         if hi <= lo:
             return [RowSlice(lo, lo)]
         n = self.n_slices
@@ -80,13 +89,30 @@ class CommitLogStreamReader(DataSourceStreamReader):
             return
         import pyarrow.parquet as pq
 
-        table = pq.read_table(self.path)
-        for batch in table.slice(partition.lo, partition.hi - partition.lo).to_batches():
-            for row in batch.to_pylist():
-                yield tuple(row.values())
+        # row-group-pruned read: only the groups overlapping [lo, hi)
+        # are decoded, so a slice task touches O(slice) bytes
+        pf = pq.ParquetFile(self.path)
+        pos = 0
+        for rg in range(pf.metadata.num_row_groups):
+            n_rows = pf.metadata.row_group(rg).num_rows
+            g_lo, g_hi = pos, pos + n_rows
+            pos = g_hi
+            if g_hi <= partition.lo:
+                continue
+            if g_lo >= partition.hi:
+                break
+            s = max(partition.lo - g_lo, 0)
+            e = min(partition.hi - g_lo, n_rows)
+            sliced = pf.read_row_group(rg).slice(s, e - s)
+            for batch in sliced.to_batches():
+                for row in batch.to_pylist():
+                    yield tuple(row.values())
 
     def commit(self, end):
-        pass
+        # committed position is a floor for the admission cap (restart
+        # path: the engine may commit a replayed batch before the next
+        # latestOffset call)
+        self._cap = max(self._cap, end["pos"])
 
 
 class CommitLogStreamDataSource(DataSource):
