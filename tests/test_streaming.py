@@ -109,9 +109,12 @@ def test_transform_with_state_twin_matches_batch(spark, events_dir):
     protobuf (not shipped in this container) — skipped when absent;
     the twin itself is plain PySpark and runs wherever protobuf is.
     Install was attempted and is impossible here: the sandbox has no
-    PyPI route (``pip download protobuf`` → "No matching distribution
-    found") and no wheel is cached on disk, so the skip is a container
-    limitation, not a code gap."""
+    PyPI route (``pip download protobuf`` fails at DNS resolution) and
+    the only protobuf python runtime on disk (google-cloud-sdk's
+    vendored 4.23.2) predates the ``runtime_version`` module that
+    Spark 4.1.2's generated ``StateMessage_pb2`` validates against
+    (it requires runtime ≥ 6.33.0), so vendoring it cannot work
+    either. The skip is a container limitation, not a code gap."""
     import pytest
 
     pytest.importorskip("google.protobuf.descriptor")
