@@ -63,25 +63,41 @@ def _load_normalized_corpus(path: str):
     return _worker_load(path, build)
 
 
-def _stage(df: DataFrame, label: str) -> str:
-    """Write ``df`` to a fresh token-named dir under the session scratch
-    root, dropping any earlier staging of the same label (one live layout
-    per label). The token makes the path a valid cache key for
-    ``_worker_load`` — a fresh write is never confused with a cached
-    read of the previous invocation's data."""
+def _stage(df: DataFrame, label: str, content_key: str | None = None) -> str:
+    """Write ``df`` to a dir under the session scratch root, dropping any
+    earlier staging of the same label (one live layout per label).
+
+    Without ``content_key`` the dir is token-named per call, making the
+    path a valid cache key for ``_worker_load`` — a fresh write is never
+    confused with a cached read of the previous invocation's data. With
+    ``content_key`` (callers whose input is identified by a stable name,
+    e.g. an sf_dir) the dir is named by the key's hash and a completed
+    staging (`_SUCCESS` present) is REUSED instead of rewritten — the
+    within-process idempotence that lets bench/parity/driver runs share
+    one corpus write."""
+    import hashlib
     import shutil as _shutil
     import uuid
 
     base = scratch_dir(label)
+    if content_key is not None:
+        path = os.path.join(base, hashlib.md5(content_key.encode()).hexdigest()[:12])
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return path
+    else:
+        path = os.path.join(base, uuid.uuid4().hex[:12])
     for old in os.listdir(base):
-        _shutil.rmtree(os.path.join(base, old), ignore_errors=True)
-    path = os.path.join(base, uuid.uuid4().hex[:12])
+        if os.path.join(base, old) != path:
+            _shutil.rmtree(os.path.join(base, old), ignore_errors=True)
     df.write.mode("overwrite").parquet(path)
     return path
 
 
 def cosine_topk(
-    embeddings: DataFrame, k: int = 5, id_col: str = "vec_id"
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    corpus_key: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector (self excluded).
 
@@ -114,7 +130,9 @@ def cosine_topk(
     import pandas as pd
 
     corpus_path = _stage(
-        embeddings.select(F.col(id_col).alias("id"), "embedding"), "f4_corpus"
+        embeddings.select(F.col(id_col).alias("id"), "embedding"),
+        "f4_corpus",
+        content_key=corpus_key,
     )
 
     def topk(batches):

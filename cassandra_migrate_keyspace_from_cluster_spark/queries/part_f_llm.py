@@ -209,7 +209,7 @@ def f4_cosine_topk(spark, sf_dir):
     """Exact top-5 cosine neighbors per vector — brute force baseline.
     Ranking on ROUNDED cosine + vec_id tie-break on both engines."""
     emb = t(spark, sf_dir, "embeddings")
-    return sim.cosine_topk(emb, k=5).select(
+    return sim.cosine_topk(emb, k=5, corpus_key=sf_dir).select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank")
     )
 

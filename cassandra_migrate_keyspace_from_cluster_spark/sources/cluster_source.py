@@ -73,6 +73,25 @@ class TokenRange(InputPartition):
         self.hi = hi
 
 
+def _arrow_batches(table):
+    """Yield a pyarrow Table as Spark-ready RecordBatches: timestamp
+    columns are cast to micros/UTC (Spark's arrow form of
+    TimestampType — naive values keep their wall-clock reading, the
+    same interpretation the old row-by-row path produced via naive
+    datetimes in a UTC session). Yielding Arrow batches instead of
+    per-row python tuples keeps the source on the vectorized
+    serialization path — order-of-magnitude faster for wide scans."""
+    import pyarrow as pa
+
+    cast_fields = [
+        pa.field(f.name, pa.timestamp("us", tz="UTC"))
+        if pa.types.is_timestamp(f.type)
+        else f
+        for f in table.schema
+    ]
+    yield from table.cast(pa.schema(cast_fields)).to_batches()
+
+
 def _ddl_schema(path: str) -> str:
     import pyarrow.parquet as pq
 
@@ -105,18 +124,24 @@ class KeyspaceClusterReader(DataSourceReader):
     def read(self, partition: TokenRange):
         # runs ON THE EXECUTOR, one call per token range. A real
         # connector pushes `token(pk) in [lo, hi)` to the server; the
-        # parquet simulation filters locally (a token-sorted layout
-        # plus row-group stats would restore the pruning).
+        # parquet simulation filters locally — the hash-token filter
+        # cannot row-group-prune (a token-SORTED layout plus row-group
+        # stats would restore that), but streaming group-at-a-time
+        # bounds task memory to one row group instead of the file.
         import pyarrow.parquet as pq
 
-        table = pq.read_table(self.path)
-        keys = table[self.key].to_pylist()
-        hits = [
-            i for i, k in enumerate(keys) if partition.lo <= token_of(k) < partition.hi
-        ]
-        for batch in table.take(hits).to_batches():
-            for row in batch.to_pylist():
-                yield tuple(row.values())
+        pf = pq.ParquetFile(self.path)
+        for rg in range(pf.metadata.num_row_groups):
+            tbl = pf.read_row_group(rg)
+            keys = tbl[self.key].to_pylist()
+            hits = [
+                i
+                for i, k in enumerate(keys)
+                if partition.lo <= token_of(k) < partition.hi
+            ]
+            if not hits:
+                continue
+            yield from _arrow_batches(tbl.take(hits))
 
 
 class KeyspaceClusterDataSource(DataSource):

@@ -103,10 +103,9 @@ class CommitLogStreamReader(DataSourceStreamReader):
                 break
             s = max(partition.lo - g_lo, 0)
             e = min(partition.hi - g_lo, n_rows)
-            sliced = pf.read_row_group(rg).slice(s, e - s)
-            for batch in sliced.to_batches():
-                for row in batch.to_pylist():
-                    yield tuple(row.values())
+            from .cluster_source import _arrow_batches
+
+            yield from _arrow_batches(pf.read_row_group(rg).slice(s, e - s))
 
     def commit(self, end):
         # committed position is a floor for the admission cap (restart
