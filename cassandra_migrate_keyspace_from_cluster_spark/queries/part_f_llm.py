@@ -2451,10 +2451,13 @@ def f47_cluster_quality(spark, sf_dir):
     partial agg — all shapes already proven at scale; output is
     O(clusters)."""
     docs = t(spark, sf_dir, "documents")
+    # pairs feeds BOTH the CC and the edge-stats aggregate — materialize
+    # the postings join once (it is the dominant cost) instead of
+    # replaying it per consumer; star CC gives the O(log n) round bound
     pairs = dd.jaccard_pairs_postings(
         docs, blocking=["lang", "source"], threshold=0.6
-    )
-    clusters = dd.neardup_clusters(docs, pairs)
+    ).localCheckpoint()
+    clusters = dd.neardup_clusters_star(docs, pairs)
     lab = clusters.select(
         F.col("doc_id").alias("doc_a"), "cluster_id"
     )
