@@ -123,6 +123,11 @@ _DRIVER_GREEN = frozenset({
 # queries (c6, c7, f3, f3b, f5, f5b, f42b) — they sort into tier 1
 # below, directly after this window. After r4+r5 every declared query
 # will have ridden a driver window at least once.
+#
+# r5 window should ALSO include the green queries rewritten during r4
+# (stale-row precedent from b20/c16): a1_cluster_scan (arrow-batch
+# source), f4_cosine_topk / f4c_cosine_topk_chunked (worker-side lazy
+# corpus). All are parity-green locally after the rewrite.
 _WINDOW = frozenset({
     "a15_repair_apply", "a16_clustered_copy_scan", "a17_scd2_history",
     "a18_referential_check", "a19_migration_plan_estimate",

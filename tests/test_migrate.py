@@ -218,3 +218,86 @@ def test_copy_with_observed_metrics(spark):
     assert m["max_key"] == src.agg(F.max("o_orderkey")).collect()[0][0]
     got = spark.read.parquet(f"{dst}/orders.parquet")
     assert got.count() == m["rows_copied"]
+
+
+def test_commitlog_reader_resyncs_cap_after_restart():
+    """Checkpoint-restart contract of the commit-log reader: a fresh
+    reader (admission cap 0) that learns a committed position via
+    partitions()/commit() must never let latestOffset trail it —
+    otherwise a restarted paced query reads empty batches until the
+    cap catches up (the r4 ADVICE finding). Driver-side unit test: no
+    Spark session, just the reader protocol."""
+    from cassandra_migrate_keyspace_from_cluster_spark.sources.commitlog_stream import (
+        CommitLogStreamReader,
+    )
+
+    path = f"{SMOKE_SF}/events.parquet"
+    r = CommitLogStreamReader({"path": path, "n_slices": "2", "batch_rows": "100"})
+    # simulated restart: the engine replays the checkpointed batch
+    # [300, 400) before ever calling latestOffset
+    r.partitions({"pos": 300}, {"pos": 400})
+    nxt = r.latestOffset()["pos"]
+    assert nxt >= 400, f"latestOffset {nxt} trails the restored position"
+    # commit() alone must also raise the floor
+    r2 = CommitLogStreamReader({"path": path, "n_slices": "2", "batch_rows": "100"})
+    r2.commit({"pos": 500})
+    assert r2.latestOffset()["pos"] >= 500
+
+
+def test_commitlog_reader_rowgroup_pruned_slices():
+    """The sliced reads must reconstruct the log exactly (no row lost
+    or duplicated at row-group boundaries) and each slice must only
+    yield its own [lo, hi) rows."""
+    import pyarrow.parquet as pq
+
+    from cassandra_migrate_keyspace_from_cluster_spark.sources.commitlog_stream import (
+        CommitLogStreamReader,
+        RowSlice,
+    )
+
+    path = f"{SMOKE_SF}/events.parquet"
+    total = pq.ParquetFile(path).metadata.num_rows
+    r = CommitLogStreamReader({"path": path, "n_slices": "4"})
+    slices = r.partitions({"pos": 0}, {"pos": total})
+    n = 0
+    for sl in slices:
+        got = sum(b.num_rows for b in r.read(sl))
+        assert got == sl.hi - sl.lo
+        n += got
+    assert n == total
+    # interior slice crossing a row-group boundary-sized span
+    mid = RowSlice(total // 3, total // 3 + 57)
+    assert sum(b.num_rows for b in r.read(mid)) == 57
+
+
+def test_stage_content_key_reuse_and_worker_cache(spark):
+    """_stage with a content_key must reuse a completed staging (same
+    path, no rewrite) and produce a fresh path without one; the
+    per-worker loader keeps exactly one corpus in memory."""
+    import os
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import (
+        similarity as sim,
+    )
+
+    df = spark.range(10).selectExpr(
+        "id", "array(cast(id as float), cast(id+1 as float)) as embedding"
+    )
+    p1 = sim._stage(df.select("id", "embedding"), "stage_test", content_key="k1")
+    mtimes = {
+        f: os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1)
+    }
+    p2 = sim._stage(df.select("id", "embedding"), "stage_test", content_key="k1")
+    assert p1 == p2
+    assert {
+        f: os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1)
+    } == mtimes, "completed staging was rewritten"
+    p3 = sim._stage(df.select("id", "embedding"), "stage_test")
+    assert p3 != p1
+    ids1, mat1 = sim._load_normalized_corpus(p3)
+    assert len(ids1) == 10 and mat1.shape == (10, 2)
+    assert set(sim._WORKER_INDEX_CACHE) == {p3}
+    # loading a different path evicts the previous entry (single-slot)
+    p4 = sim._stage(df.select("id", "embedding"), "stage_test2", content_key="k2")
+    sim._load_normalized_corpus(p4)
+    assert set(sim._WORKER_INDEX_CACHE) == {p4}
