@@ -374,3 +374,25 @@ def test_clustered_copy_scan_pushes_range_predicate(spark):
     copy's parquet scan (PushedFilters), where the range-clustered
     layout turns it into row-group min/max skipping."""
     assert_pushed_filter(q(spark, "a16_clustered_copy_scan"), "o_orderdate")
+
+
+def test_cluster_quality_materializes_pair_join_once(spark):
+    """f47's pair join feeds both the CC pass and the edge-stats
+    aggregate; the r4 fix materializes it once (localCheckpoint), so
+    the final plan must read the pair table as a materialized RDD scan
+    and contain NO token-explode (a Generate node here would mean the
+    postings join is being replayed inside the consuming plan)."""
+    plan = physical_plan(q(spark, "f47_cluster_quality"))
+    assert "Generate" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_domain_pagerank_iterates_over_cached_edges(spark):
+    """f45's three power iterations must read the co-citation edge
+    table from cache (InMemoryTableScan), not re-derive it from the
+    document scan per iteration — at most one URL-explode may remain
+    anywhere in the final plan (cache materialization), not one per
+    iteration branch."""
+    plan = physical_plan(q(spark, "f45_domain_pagerank"))
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("Generate explode") <= 1, plan
