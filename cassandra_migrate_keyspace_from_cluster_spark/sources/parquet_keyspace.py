@@ -63,12 +63,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
-    if name == "events" and dtypes.get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    # NANOS detection is footer-driven, not column-name-driven: ANY
+    # column Spark read as bigint whose parquet logical type is a
+    # nanosecond timestamp came through the nanosAsLong legacy path
+    # (r1/r2 fixtures did this for events.ts; a future regen could do
+    # it to any table).
+    bigint_cols = [c for c, dt in dtypes.items() if dt == "bigint"]
+    if bigint_cols:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        footer = pq.read_schema(path)
+        for col in bigint_cols:
+            if col in footer.names and pat.is_timestamp(footer.field(col).type):
+                from pyspark.sql import functions as F
+
+                assert footer.field(col).type.unit == "ns", footer.field(col)
+                df = df.withColumn(
+                    col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+                )
     for col, dt in dtypes.items():
         if dt == "timestamp_ntz":
             df = df.withColumn(col, df[col].cast("timestamp"))

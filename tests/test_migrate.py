@@ -301,3 +301,54 @@ def test_stage_content_key_reuse_and_worker_cache(spark):
     p4 = sim._stage(df.select("id", "embedding"), "stage_test2", content_key="k2")
     sim._load_normalized_corpus(p4)
     assert set(sim._WORKER_INDEX_CACHE) == {p4}
+
+
+def test_load_table_normalizes_timestamp_encodings(spark):
+    """Fixture timestamp encodings have drifted across driver rounds
+    (r1/r2 NANOS → r3 MICROS-NTZ); load_table must deliver plain
+    TimestampType with identical wall-clock values for every plausible
+    parquet encoding of the same data, so a future regen cannot break
+    the query layer again."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_migrate_keyspace_from_cluster_spark.sources.parquet_keyspace import (
+        load_table,
+    )
+    from cassandra_migrate_keyspace_from_cluster_spark.util import (
+        scratch_dir_unique,
+    )
+
+    wall = [
+        datetime.datetime(2024, 1, 1, 12, 0, 0),
+        datetime.datetime(2024, 6, 15, 23, 59, 59, 123456),
+    ]
+    encodings = {
+        "ns_ntz": pa.timestamp("ns"),
+        "us_ntz": pa.timestamp("us"),
+        "ms_ntz": pa.timestamp("ms"),
+        "us_utc": pa.timestamp("us", tz="UTC"),
+    }
+    for label, typ in encodings.items():
+        vals = wall if typ.unit != "ms" else [w.replace(microsecond=0) for w in wall]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([0, 1], pa.int64()),
+                "ts": pa.array(vals, typ),
+            }
+        )
+        d = scratch_dir_unique(f"ts_enc_{label}")
+        pq.write_table(tbl, f"{d}/events.parquet")
+        got = load_table(spark, d, "events")
+        assert dict(got.dtypes)["ts"] == "timestamp", (label, got.dtypes)
+        rows = {
+            (r.event_id, r.ts.strftime("%Y-%m-%d %H:%M:%S.%f")[:23])
+            for r in got.collect()
+        }
+        expect = {
+            (i, v.strftime("%Y-%m-%d %H:%M:%S.%f")[:23])
+            for i, v in enumerate(vals)
+        }
+        assert rows == expect, (label, rows, expect)
