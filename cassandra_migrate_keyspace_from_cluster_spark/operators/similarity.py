@@ -792,6 +792,7 @@ def pq_topk(
     n_codes: int = 32,
     id_col: str = "vec_id",
     sample_n: int = 16384,
+    corpus_key: str | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via PRODUCT QUANTIZATION with
     asymmetric distance computation (ADC) — the memory-side compression
@@ -886,7 +887,15 @@ def pq_topk(
     # codebooks (m·n_codes·sub_d doubles), nothing that scales with n
     # (round 3 still collected the code matrix driver-side; fixed r4)
     codes_path = _stage(
-        queries.mapInPandas(encode, "id bigint, codes array<int>"), "f33_codes"
+        queries.mapInPandas(encode, "id bigint, codes array<int>"),
+        "f33_codes",
+        # codebook training is deterministic given (data, params), so a
+        # completed encode for the same corpus identity can be reused
+        content_key=(
+            f"{corpus_key}|m={m}|codes={n_codes}|sample={sample_n}"
+            if corpus_key is not None
+            else None
+        ),
     )
 
     def _load_codes(path):

@@ -1485,7 +1485,7 @@ def f33_pq_topk(spark, sf_dir):
     operators/similarity.py::pq_topk). Rows-only; recall vs the exact
     f4 truth asserted in pytest."""
     emb = t(spark, sf_dir, "embeddings")
-    return sim.pq_topk(emb, k=5, m=8, n_codes=32)
+    return sim.pq_topk(emb, k=5, m=8, n_codes=32, corpus_key=sf_dir)
 
 
 # --------------------------------------------------------------------------
