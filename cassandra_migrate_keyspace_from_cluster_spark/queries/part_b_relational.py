@@ -745,7 +745,18 @@ def b15b_asof_pandas_api(spark, sf_dir):
     """Same as-of semantics as b15 through the pandas-on-Spark API
     (``ps.merge_asof`` — the third API surface next to DataFrame and
     SQL). Hash-matching b15's oracle proves the two implementations and
-    DuckDB's native ASOF all agree."""
+    DuckDB's native ASOF all agree.
+
+    SCALE WARNING (measured, r4): ``ps.merge_asof`` delegates to
+    Spark's ``_joinAsOf``, whose ``RewriteAsOfJoin`` plans a
+    BroadcastNestedLoopJoin on the range predicate over DISTINCT LEFT
+    TIMESTAMPS x right rows — the ``by`` equality does NOT constrain
+    that inner stage, so the pair space is quadratic in the time-key
+    cardinality: ~6M pairs at sf0.01 (≈6 s), ~625M at sf0.1 (>240 s —
+    measured cliff), unusable beyond. This query exists to hash-check
+    the API surface at the correctness-gate SF; the production as-of
+    join is b15 (operators/asof.py: union + per-key window — linear,
+    one shuffle)."""
     import pyspark.pandas as ps
 
     ev = t(spark, sf_dir, "events")
