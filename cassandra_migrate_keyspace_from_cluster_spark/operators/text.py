@@ -130,24 +130,48 @@ def quality_scores(docs: DataFrame) -> DataFrame:
        length_score    = least(n_chars / 500, 1.0)
        type_token_ratio= n_distinct_tokens / n_tokens
        avg_tok_score   = least(avg_token_len / 10, 1.0)
-       quality         = 0.4*length + 0.3*ttr + 0.3*avg_tok  (6dp)"""
+       quality         = 0.4*length + 0.3*ttr + 0.3*avg_tok  (6dp)
+
+    Every metric is a RATIONAL of small integers, so the 6dp rounding
+    is done in exact bigint arithmetic (round-half-up of num/den =
+    ``(2·num·10⁶ + den) div (2·den)``) instead of ``round(double, 6)``.
+    The double round is engine-ambiguous exactly on half-boundaries:
+    Spark rounds the double's shortest decimal form HALF_UP while
+    DuckDB rounds the binary value, so a quality landing on ...x5e-7
+    (first seen: 1 doc in 5000 at sf0.1) rounds differently per
+    engine. Integer rounding is boundary-exact on both sides; for all
+    non-boundary inputs it equals the old rounding (hash-compatible
+    with the driver-green r3 rows, re-verified by parity)."""
     toks = F.split("text", " ")
-    n_toks = F.size(toks).cast("double")
-    n_uniq = F.size(F.array_distinct(toks)).cast("double")
-    avg_len = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x).cast("bigint")
-    ).cast("double") / n_toks
-    length_score = F.least(F.col("n_chars") / 500.0, F.lit(1.0))
-    ttr = n_uniq / n_toks
-    avg_tok_score = F.least(avg_len / 10.0, F.lit(1.0))
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        F.round(length_score, 6).alias("length_score"),
-        F.round(ttr, 6).alias("type_token_ratio"),
-        F.round(avg_tok_score, 6).alias("avg_tok_score"),
-        F.round(
-            0.4 * length_score + 0.3 * ttr + 0.3 * avg_tok_score, 6
-        ).alias("quality"),
+        F.size(toks).cast("bigint").alias("__n"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("__u"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x).cast("bigint")
+        ).alias("__L"),
+        F.least(F.col("n_chars").cast("bigint"), F.lit(500).cast("bigint")).alias(
+            "__nc5"
+        ),
+    ).withColumn("__L10", F.expr("least(__L, 10 * __n)"))
+
+    def r6_rat(num: str, den: str) -> F.Column:
+        # exact half-up 6dp round of the rational num/den (both bigint
+        # expressions; numerators stay well under 2^53)
+        return F.expr(
+            f"cast((2 * ({num}) * 1000000 + ({den})) div (2 * ({den})) as double)"
+            " / 1000000"
+        )
+
+    return base.select(
+        "doc_id",
+        r6_rat("__nc5", "500").alias("length_score"),
+        r6_rat("__u", "__n").alias("type_token_ratio"),
+        r6_rat("__L10", "10 * __n").alias("avg_tok_score"),
+        # 0.4·nc5/500 + 0.3·u/n + 0.3·L10/(10n) over denominator 2500n
+        r6_rat("2 * __n * __nc5 + 750 * __u + 75 * __L10", "2500 * __n").alias(
+            "quality"
+        ),
     )
 
 

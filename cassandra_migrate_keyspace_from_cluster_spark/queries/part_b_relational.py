@@ -109,7 +109,7 @@ def b3_case_when(spark, sf_dir):
     "b4_agg_global",
     oracle="""
     SELECT round(sum(l_quantity), 2)       AS sum_qty,
-           round(avg(l_extendedprice), 6)  AS avg_price,
+           round(avg(l_extendedprice), 2)  AS avg_price,
            round(min(l_extendedprice), 6)  AS min_price,
            round(max(l_extendedprice), 6)  AS max_price,
            count(*)                        AS n_rows,
@@ -122,7 +122,9 @@ def b4_agg_global(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return li.agg(
         r2(F.sum("l_quantity")).alias("sum_qty"),
-        r6(F.avg("l_extendedprice")).alias("avg_price"),
+        # 2dp: O(4e4) magnitude over a 1e5+-row sum — 6dp sits inside
+        # cross-engine summation-order noise (SURVEY 5.4 coarse law)
+        r2(F.avg("l_extendedprice")).alias("avg_price"),
         r6(F.min("l_extendedprice")).alias("min_price"),
         r6(F.max("l_extendedprice")).alias("max_price"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -141,7 +143,7 @@ def b4_agg_global(spark, sf_dir):
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
                                           AS sum_charge,
            round(avg(l_quantity), 6)      AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_extendedprice), 2) AS avg_price,
            round(avg(l_discount), 6)      AS avg_disc,
            count(*)                       AS count_order
     FROM lineitem
@@ -167,7 +169,7 @@ def b5_agg_groupby(spark, sf_dir):
             r2(F.sum(disc_price)).alias("sum_disc_price"),
             r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
             r6(F.avg("l_quantity")).alias("avg_qty"),
-            r6(F.avg("l_extendedprice")).alias("avg_price"),
+            r2(F.avg("l_extendedprice")).alias("avg_price"),  # 2dp: 5.4 coarse law
             r6(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )

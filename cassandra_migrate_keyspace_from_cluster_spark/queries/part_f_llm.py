@@ -80,15 +80,19 @@ def f5b_ivf_topk(spark, sf_dir):
       FROM documents
       QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
                                  ORDER BY doc_id) = 1),
+    b AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS u,
+             CAST(list_reduce(list_transform(string_split(text, ' '),
+                  x -> length(x)), (a, bb) -> a + bb) AS BIGINT) AS L,
+             CAST(least(n_chars, 500) AS BIGINT) AS nc5
+      FROM kept),
     q AS (
       SELECT doc_id, lang,
-             round(0.4 * least(n_chars / 500.0, 1.0)
-           + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                    / len(string_split(text, ' ')))
-           + 0.3 * least((CAST(list_reduce(list_transform(string_split(text, ' '),
-                    x -> length(x)), (a, b) -> a + b) AS DOUBLE)
-                    / len(string_split(text, ' '))) / 10.0, 1.0), 6) AS quality
-      FROM kept),
+             CAST((2*(2*n*nc5 + 750*u + 75*least(L, 10*n))*1000000 + 2500*n)
+                  // (5000*n) AS DOUBLE)/1000000 AS quality
+      FROM b),
     j AS (
       SELECT q.lang, q.quality,
              sqrt(list_reduce(list_transform(CAST(e.embedding AS DOUBLE[]),
@@ -509,20 +513,22 @@ def f13_langid(spark, sf_dir):
 @register(
     "f14_quality",
     oracle="""
-    WITH q AS (
-      SELECT doc_id,
-             least(n_chars / 500.0, 1.0) AS length_score,
-             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')) AS ttr,
-             least((CAST(list_reduce(list_transform(string_split(text, ' '),
-                      x -> length(x)), (a, b) -> a + b) AS DOUBLE)
-                    / len(string_split(text, ' '))) / 10.0, 1.0) AS avg_tok
-      FROM documents)
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS u,
+             CAST(list_reduce(list_transform(string_split(text, ' '),
+                  x -> length(x)), (a, bb) -> a + bb) AS BIGINT) AS L,
+             CAST(least(n_chars, 500) AS BIGINT) AS nc5
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang, n, u, nc5, least(L, 10*n) AS L10 FROM b)
     SELECT doc_id,
-           round(length_score, 6) AS length_score,
-           round(ttr, 6) AS type_token_ratio,
-           round(avg_tok, 6) AS avg_tok_score,
-           round(0.4 * length_score + 0.3 * ttr + 0.3 * avg_tok, 6) AS quality
+           CAST((2*nc5*1000000 + 500) // 1000 AS DOUBLE)/1000000 AS length_score,
+           CAST((2*u*1000000 + n) // (2*n) AS DOUBLE)/1000000 AS type_token_ratio,
+           CAST((2*L10*1000000 + 10*n) // (20*n) AS DOUBLE)/1000000 AS avg_tok_score,
+           CAST((2*(2*n*nc5 + 750*u + 75*L10)*1000000 + 2500*n) // (5000*n)
+                AS DOUBLE)/1000000 AS quality
     FROM q
     """,
 )
@@ -1436,15 +1442,19 @@ def f31_unigram_logprob(spark, sf_dir):
 @register(
     "f32_quality_aware_dedup",
     oracle="""
-    WITH q AS (
+    WITH b AS (
       SELECT doc_id, md5(lower(trim(text))) AS text_hash,
-             round(0.4 * least(n_chars / 500.0, 1.0)
-           + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                    / len(string_split(text, ' ')))
-           + 0.3 * least((CAST(list_reduce(list_transform(string_split(text, ' '),
-                    x -> length(x)), (a, b) -> a + b) AS DOUBLE)
-                    / len(string_split(text, ' '))) / 10.0, 1.0), 6) AS quality
-      FROM documents)
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS u,
+             CAST(list_reduce(list_transform(string_split(text, ' '),
+                  x -> length(x)), (a, bb) -> a + bb) AS BIGINT) AS L,
+             CAST(least(n_chars, 500) AS BIGINT) AS nc5
+      FROM documents),
+    q AS (
+      SELECT doc_id, text_hash,
+             CAST((2*(2*n*nc5 + 750*u + 75*least(L, 10*n))*1000000 + 2500*n)
+                  // (5000*n) AS DOUBLE)/1000000 AS quality
+      FROM b)
     SELECT doc_id, text_hash, quality,
            count(*) OVER (PARTITION BY text_hash) AS n_copies
     FROM q

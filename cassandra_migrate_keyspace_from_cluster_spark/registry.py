@@ -127,7 +127,12 @@ _DRIVER_GREEN = frozenset({
 # r5 window should ALSO include the green queries rewritten during r4
 # (stale-row precedent from b20/c16): a1_cluster_scan (arrow-batch
 # source), f4_cosine_topk / f4c_cosine_topk_chunked (worker-side lazy
-# corpus). All are parity-green locally after the rewrite.
+# corpus), and the three whose RECORDED VALUES changed when the r4
+# sf0.1 oracle sweep exposed summation-order noise at 6dp — b4/b5
+# (avg_price now 2dp) and g3 (weighted price now 2dp). f14/f32/f18's
+# integer-exact quality rounding did NOT change sf0.01 values (verified
+# byte-identical), so their green rows remain valid. All are
+# parity-green locally after the rewrites.
 _WINDOW = frozenset({
     "a15_repair_apply", "a16_clustered_copy_scan", "a17_scd2_history",
     "a18_referential_check", "a19_migration_plan_estimate",
