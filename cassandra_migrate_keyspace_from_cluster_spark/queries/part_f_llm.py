@@ -1854,7 +1854,13 @@ def f40_incremental_dedup(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").filter(
         F.size(F.split("text", " ")) >= 3
     )
-    bands = dd.minhash_bands(docs, n_hashes=16, band_rows=4, k_shingle=3)
+    # The band index and shingle table are each referenced twice below
+    # (batch side + corpus side); without persist the 16-hash minhash
+    # pipeline and the shingling both execute twice in one plan
+    # (measured 2x wall at sf0.1). In production these ARE the
+    # persisted artifacts (parquet band index, staged shingle table) —
+    # persist() is the single-job stand-in for that contract.
+    bands = dd.minhash_bands(docs, n_hashes=16, band_rows=4, k_shingle=3).persist()
     is_batch = F.col("doc_id") % 5 == 0
     bb = bands.filter(is_batch).select(
         F.col("doc_id").alias("batch_doc"), "band", "band_hash"
@@ -1867,7 +1873,7 @@ def f40_incremental_dedup(spark, sf_dir):
         .select("batch_doc", "corpus_doc")
         .distinct()
     )
-    d = docs.select("doc_id", dd.shingles("text", 3).alias("sh"))
+    d = docs.select("doc_id", dd.shingles("text", 3).alias("sh")).persist()
     verified = (
         cand.join(
             d.select(F.col("doc_id").alias("batch_doc"), F.col("sh").alias("sh_b")),
