@@ -125,7 +125,7 @@ def classify_language(docs: DataFrame, top_n: int = 10) -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
+def quality_scores(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Pinned document quality score:
        length_score    = least(n_chars / 500, 1.0)
        type_token_ratio= n_distinct_tokens / n_tokens
@@ -141,10 +141,17 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     (first seen: 1 doc in 5000 at sf0.1) rounds differently per
     engine. Integer rounding is boundary-exact on both sides; for all
     non-boundary inputs it equals the old rounding (hash-compatible
-    with the driver-green r3 rows, re-verified by parity)."""
+    with the driver-green r3 rows, re-verified by parity).
+
+    ``keep`` names extra input columns to carry through unchanged, so a
+    composite (f18) can score in the SAME scan/stage as an upstream
+    per-row stage instead of re-scanning the table and equi-joining the
+    scores back on doc_id — quality is per-row, so scoring a filtered
+    frame equals filtering joined scores."""
     toks = F.split("text", " ")
     base = docs.select(
         "doc_id",
+        *keep,
         F.size(toks).cast("bigint").alias("__n"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("__u"),
         F.aggregate(
@@ -165,6 +172,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
     return base.select(
         "doc_id",
+        *keep,
         r6_rat("__nc5", "500").alias("length_score"),
         r6_rat("__u", "__n").alias("type_token_ratio"),
         r6_rat("__L10", "10 * __n").alias("avg_tok_score"),

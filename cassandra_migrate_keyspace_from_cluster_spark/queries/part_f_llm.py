@@ -111,19 +111,21 @@ def f18_pipeline_report(spark, sf_dir):
     per-language corpus report. Every stage is a tested operator; this
     query proves they compose (the shape of a real 100-TB curation run:
     one shuffle for dedup, one for the id-equi-join, one for the final
-    tiny agg)."""
+    tiny agg). Dedup survivor-filter and quality score are FUSED into
+    one scan of documents: quality is per-row, so scoring the
+    post-dedup frame (via quality_scores(keep=...)) is exactly
+    filtering joined scores — same values, two fewer doc_id joins and
+    two fewer table scans than the compose-by-join form."""
     docs = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
-    kept = dd.exact_dedup(docs).select("doc_id")
-    quality = tx.quality_scores(docs).select("doc_id", "quality")
+    kept = dd.exact_dedup(docs).select("doc_id", "lang", "text", "n_chars")
     norms = emb.select(
         F.col("vec_id").alias("doc_id"),
         l2_norm(to_double_array("embedding")).alias("vec_norm"),
     )
     j = (
-        docs.select("doc_id", "lang")
-        .join(kept, "doc_id")
-        .join(quality, "doc_id")
+        tx.quality_scores(kept, keep=("lang",))
+        .select("doc_id", "lang", "quality")
         .filter(F.col("quality") >= 0.5)
         .join(norms, "doc_id")
     )
