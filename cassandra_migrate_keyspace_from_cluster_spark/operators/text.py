@@ -34,21 +34,28 @@ def word_counts(docs: DataFrame) -> DataFrame:
 def tf_idf(docs: DataFrame) -> DataFrame:
     """Pinned TF-IDF: tf = count/doc_len, idf = ln((N+1)/(df+1)),
     score = tf * idf. (Deliberately NOT MLlib's IDF variant — the
-    formula is pinned so both engines compute identical doubles.)"""
-    toks = doc_tokens(docs)
-    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
-    term_counts = toks.groupBy("doc_id", "token").agg(
+    formula is pinned so both engines compute identical doubles.)
+
+    Dataflow: ONE corpus explode → (doc, term) counts, then doc_len
+    and df as PARTITIONED windows over that compact frame (sum(cnt)
+    over doc_id ≡ token count of the doc; count(*) over token ≡ docs
+    containing it). Versus the aggregate+join form this is one fewer
+    corpus explode, two fewer joins, and — decisively at 100 TB — no
+    O(vocab) broadcast of the df table (vocab grows with noise tokens;
+    the windows shuffle only the (doc, term) pairs they rank). Both
+    window keys are high-cardinality, so no single-reducer hazard;
+    stopword df-skew equals the old groupBy-token skew."""
+    term_counts = doc_tokens(docs).groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    df_counts = term_counts.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df")
-    )
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
-    tf = F.col("cnt") / F.col("doc_len")
+    tf = F.col("cnt").cast("double") / F.col("doc_len")
     idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
     return (
-        term_counts.join(doc_len, "doc_id")
-        .join(F.broadcast(df_counts), "token")
+        term_counts.withColumn(
+            "doc_len", F.sum("cnt").over(Window.partitionBy("doc_id"))
+        )
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

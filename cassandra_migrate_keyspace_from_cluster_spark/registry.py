@@ -132,10 +132,12 @@ _DRIVER_GREEN = frozenset({
 # (avg_price now 2dp) and g3 (weighted price now 2dp). f14/f32/f18's
 # integer-exact quality rounding did NOT change sf0.01 values (verified
 # byte-identical), so their green rows remain valid. All are
-# parity-green locally after the rewrites. f18 was additionally
-# scan-fused late in r4 (dedup+quality in one documents pass) —
+# parity-green locally after the rewrites. f18 (scan-fused: dedup +
+# quality in one documents pass) and f8 (tf-idf via partitioned
+# windows over term_counts instead of aggregate+join — drops the
+# O(vocab) df broadcast) were additionally rewritten late in r4 —
 # values unchanged (parity + plain-session driver sim green), but
-# include it in the r5 window under the same rewritten-query policy.
+# include both in the r5 window under the same rewritten-query policy.
 _WINDOW = frozenset({
     "a15_repair_apply", "a16_clustered_copy_scan", "a17_scd2_history",
     "a18_referential_check", "a19_migration_plan_estimate",
