@@ -373,16 +373,25 @@ def shingles(text_col: str = "text", k: int = 3) -> F.Column:
     makes near-dup detection discriminative — random docs over a small
     vocabulary share most TOKENS but few token SEQUENCES. Callers must
     pre-filter docs with < k tokens (empty shingle sets have no
-    minhash)."""
+    minhash; this expression returns an empty array for them).
+
+    Construction is k-1 ``zip_with`` passes over k shifted ``slice``
+    views of the token array, NOT ``transform(sequence(...),
+    i -> element_at(toks, i+j))``: higher-order-function lambdas are
+    evaluated interpreted with NO common-subexpression elimination, so
+    an array reference inside the lambda re-evaluates its whole
+    subtree (here: the text split) once per element × per reference —
+    O(tokens²·k) per document. The slice/zip_with form evaluates the
+    split O(k) times per ROW and the lambdas touch only their two
+    string arguments: measured 8× faster on the sf0.1 corpus
+    (5.4 s → 0.66 s per shingle pass), identical output."""
     toks = F.split(F.col(text_col), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-            ),
-        )
-    )
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    parts = [F.slice(toks, j + 1, n) for j in range(k)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.zip_with(out, p, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(out)
 
 
 def minhash_signatures(
