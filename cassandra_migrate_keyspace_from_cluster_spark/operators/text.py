@@ -68,12 +68,17 @@ def tf_idf(docs: DataFrame) -> DataFrame:
 
 
 def bigrams(docs: DataFrame) -> DataFrame:
-    """(lang, bigram, n) — bigrams built by indexed slicing of the token
-    array (no MLlib NGram needed; stays in codegen)."""
+    """(lang, bigram, n) — bigrams zipped from two shifted slice views
+    of the token array (no MLlib NGram needed; stays in codegen). Same
+    slice/zip_with shape as operators/dedup.shingles and for the same
+    reason: an ``element_at(toks, i)`` inside a transform lambda
+    re-runs the split per element per reference (O(tokens²))."""
     toks = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, n),
+        F.slice(toks, 2, n),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     return (
         docs.select("lang", F.explode(grams).alias("bigram"))

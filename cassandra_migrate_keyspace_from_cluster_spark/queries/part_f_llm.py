@@ -1716,21 +1716,21 @@ def f38_chunk_dedup(spark, sf_dir):
     on chunk text (partial-agg), one chunk-keyed join back, one doc
     rollup — all hash-partitioned, nothing pairwise."""
     docs = t(spark, sf_dir, "documents")
-    tk = F.split("text", " ")
-    chunks = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size(tk) / F.lit(8.0)).cast("long") - 1,
-                ),
-                lambda i: F.array_join(
-                    F.slice(tk, (i * 8 + 1).cast("int"), 8), " "
-                ),
-            )
-        ).alias("chunk"),
+    from ..functions.hof import let
+
+    # let-bind the token array so the per-chunk slice reads a bound
+    # variable instead of re-splitting the text per chunk (hof.py)
+    chunk_arr = let(
+        F.split("text", " "),
+        lambda tk: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(tk) / F.lit(8.0)).cast("long") - 1,
+            ),
+            lambda i: F.array_join(F.slice(tk, (i * 8 + 1).cast("int"), 8), " "),
+        ),
     )
+    chunks = docs.select("doc_id", F.explode(chunk_arr).alias("chunk"))
     freq = chunks.groupBy("chunk").agg(
         F.countDistinct("doc_id").alias("n_docs_with")
     )
@@ -2895,18 +2895,22 @@ def f43_chunk_dedup_rewrite(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    toks = F.split("text", " ")
+    from ..functions.hof import let
+
+    # let-bound token array — same per-chunk re-split fix as f38
+    chunk_arr = let(
+        F.split("text", " "),
+        lambda tk: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(tk) / F.lit(8.0)).cast("int") - 1,
+            ),
+            lambda i: F.concat_ws(" ", F.slice(tk, i * 8 + 1, 8)),
+        ),
+    )
     chunks = docs.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size(toks) / F.lit(8.0)).cast("int") - 1,
-                ),
-                lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
-            )
-        ).alias("cidx", "chunk"),
+        F.posexplode(chunk_arr).alias("cidx", "chunk"),
     )
     w = Window.partitionBy("chunk").orderBy("doc_id", "cidx")
     ranked = chunks.withColumn("occ", F.row_number().over(w))
