@@ -403,6 +403,38 @@ def shingles(text_col: str = "text", k: int = 3) -> F.Column:
     return F.array_distinct(out)
 
 
+def minhash_signatures_wide(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+) -> DataFrame:
+    """Wide MinHash signatures: one row per doc with columns
+    ``mh0..mh{n-1}``, mh_j = min over the doc's distinct k-shingles of
+    the pinned seeded hash. Docs with < k_shingle tokens are dropped
+    (no shingles → no signature).
+
+    Shape: shingles explode once, each shingle ROW carries its
+    n_hashes seeded hashes as COLUMNS, then ONE partial-aggregated
+    min-groupBy keyed by doc alone. Versus the long (doc, j) form this
+    is n_hashes× fewer aggregation-map entries and n_hashes× fewer
+    shuffled rows for the same bytes — and the band keys downstream
+    become per-row expressions instead of a second groupBy.
+    100-TB-safe: work ∝ shingles × n_hashes, memory O(n_hashes)."""
+    toks = (
+        docs.filter(F.size(F.split(F.col(text_col), " ")) >= k_shingle)
+        .select(id_col, F.explode(shingles(text_col, k_shingle)).alias("tk"))
+    )
+    hashed = toks.select(
+        id_col,
+        *[_pinned_hash60(F.col("tk"), j).alias(f"h{j}") for j in range(n_hashes)],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"mh{j}") for j in range(n_hashes)]
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = 16,
@@ -410,30 +442,24 @@ def minhash_signatures(
     text_col: str = "text",
     k_shingle: int = 3,
 ) -> DataFrame:
-    """Long-form MinHash signatures: (doc_id, j, mh) for j in
-    0..n_hashes-1, mh = min over the doc's distinct k-shingles of the
-    pinned seeded hash. Docs with < k_shingle tokens are dropped (no
-    shingles → no signature).
-
-    Shape: shingles explode once, each shingle row emits n_hashes
-    (j, hash) pairs in-place (no extra shuffle), then ONE
-    partial-aggregated min-groupBy on (doc, j) — the shuffle carries
-    n_hashes rows per doc, not per shingle. 100-TB-safe: work ∝
-    shingles × n_hashes, memory O(1)."""
-    toks = (
-        docs.filter(F.size(F.split(F.col(text_col), " ")) >= k_shingle)
-        .select(id_col, F.explode(shingles(text_col, k_shingle)).alias("tk"))
+    """Long-form MinHash signatures (doc_id, j, mh) — the classic
+    row-per-hash shape, derived by unpivoting the wide form (one cheap
+    per-row explode AFTER the min-aggregation, so the heavy path is
+    still the single doc-keyed groupBy of minhash_signatures_wide)."""
+    wide = minhash_signatures_wide(
+        docs, n_hashes=n_hashes, id_col=id_col, text_col=text_col, k_shingle=k_shingle
     )
-    seeded = toks.select(
+    return wide.select(
         id_col,
         F.explode(
             F.array(*[
-                F.struct(F.lit(j).alias("j"), _pinned_hash60(F.col("tk"), j).alias("h"))
+                F.struct(
+                    F.lit(j).alias("j"), F.col(f"mh{j}").alias("mh")
+                )
                 for j in range(n_hashes)
             ])
-        ).alias("jh"),
-    ).select(id_col, F.col("jh.j").alias("j"), F.col("jh.h").alias("h"))
-    return seeded.groupBy(id_col, "j").agg(F.min("h").alias("mh"))
+        ).alias("jm"),
+    ).select(id_col, F.col("jm.j").alias("j"), F.col("jm.mh").alias("mh"))
 
 
 def minhash_bands(
@@ -449,25 +475,36 @@ def minhash_bands(
     This is the PERSISTABLE dedup index: because the hashes are pinned
     (md5-derived, no fitted state), bands computed for a NEW batch in a
     later job collide with bands computed for the corpus years earlier
-    — the property incremental dedup (f40) relies on."""
-    sig = minhash_signatures(
+    — the property incremental dedup (f40) relies on.
+
+    Band keys are per-row md5s over the wide signature columns (same
+    comma-joined j-ordered string, hence hash-identical to the old
+    collect_list form) — no second shuffle after the signature
+    aggregation."""
+    wide = minhash_signatures_wide(
         docs, n_hashes=n_hashes, id_col=id_col, text_col=text_col, k_shingle=k_shingle
     )
-    return (
-        sig.withColumn("band", (F.col("j") / band_rows).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
+    n_bands = -(-n_hashes // band_rows)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("j", "mh"))),
-                        lambda x: x["mh"].cast("string"),
-                    ),
+                F.concat_ws(
                     ",",
+                    *[
+                        F.col(f"mh{j}").cast("string")
+                        for j in range(
+                            b * band_rows, min((b + 1) * band_rows, n_hashes)
+                        )
+                    ],
                 )
-            ).alias("band_hash")
+            ).alias("band_hash"),
         )
-    )
+        for b in range(n_bands)
+    ]
+    return wide.select(
+        id_col, F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
 def minhash_band_candidates(
@@ -485,9 +522,13 @@ def minhash_band_candidates(
 
     Scale shape: band key = md5 of the band's minhash run; candidates
     come from an equi-join on (band, band_hash) buckets — pair work is
-    ∝ Σ bucket², never corpus². The whole dataflow is 3 shuffles
-    (sig min-agg, band agg, bucket self-join) regardless of corpus
-    size."""
+    ∝ Σ bucket², never corpus². Two shuffles (sig min-agg, bucket
+    self-join) regardless of corpus size. The band frame is persisted
+    before the self-join — without it each join side re-runs the
+    shingle × n_hashes md5 pipeline (measured 2× wall at sf0.1); in
+    production the band index is a persisted table by design (f40's
+    incremental-dedup contract), and persist() is its single-job
+    stand-in."""
     bands = minhash_bands(
         docs,
         n_hashes=n_hashes,
@@ -495,7 +536,7 @@ def minhash_band_candidates(
         id_col=id_col,
         text_col=text_col,
         k_shingle=k_shingle,
-    )
+    ).persist()
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
     return (
