@@ -818,3 +818,46 @@ def test_semantic_dedup_kmeans_recall_on_planted_dups(spark):
     }
     recall = len(set(planted) & flagged) / len(planted)
     assert recall >= 0.9, f"KMeans-tier recall {recall:.2f}; flagged={sorted(flagged)[:10]}"
+
+
+def test_hof_let_binds_value_once_and_nests(spark):
+    """functions/hof.let: body sees the bound value (list + scalar),
+    null propagates as a bound null (body still runs), and nested
+    higher-order functions can close over the bound variable."""
+    from cassandra_migrate_keyspace_from_cluster_spark.functions.hof import let
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "id bigint, txt string"
+    )
+    out = df.select(
+        "id",
+        let(
+            F.split("txt", " "),
+            lambda toks: F.when(
+                toks.isNull(), F.lit(-1)
+            ).otherwise(
+                F.aggregate(
+                    toks,
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.length(x).cast("bigint"),
+                )
+            ),
+        ).alias("total_len"),
+    ).orderBy("id")
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [(1, 3), (2, -1)], rows
+
+    # long-form minhash signatures (unpivoted from wide) keep the
+    # (doc, j, mh) contract: n_hashes rows per doc, j densely 0..n-1
+    import cassandra_migrate_keyspace_from_cluster_spark.operators.dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four"), (2, "alpha beta gamma")],
+        "doc_id bigint, text string",
+    )
+    sig = dd.minhash_signatures(docs, n_hashes=8).collect()
+    assert len(sig) == 16
+    per_doc = {}
+    for r in sig:
+        per_doc.setdefault(r.doc_id, []).append(r.j)
+    assert all(sorted(js) == list(range(8)) for js in per_doc.values())

@@ -396,3 +396,23 @@ def test_domain_pagerank_iterates_over_cached_edges(spark):
     plan = physical_plan(q(spark, "f45_domain_pagerank"))
     assert "InMemoryTableScan" in plan, plan
     assert plan.count("Generate explode") <= 1, plan
+
+
+def test_minhash_bands_single_aggregate_exchange(spark):
+    """The wide-signature rewrite promises ONE aggregation shuffle for
+    the whole band index: min-hashes aggregate keyed by doc alone and
+    band md5s are per-row expressions over the wide columns. A second
+    HashAggregate exchange here would mean the (doc, j) long-form or
+    the collect_list banding crept back in."""
+    import cassandra_migrate_keyspace_from_cluster_spark.operators.dedup as dd
+    from cassandra_migrate_keyspace_from_cluster_spark.sources.parquet_keyspace import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = physical_plan(dd.minhash_bands(docs, n_hashes=16, band_rows=4))
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+    assert "collect_list" not in plan, plan
