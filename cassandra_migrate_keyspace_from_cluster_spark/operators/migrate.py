@@ -509,26 +509,30 @@ def migrate_keyspace(
     ``copy_table``, coalesced to ~1M-row output files so the target
     never inherits the source's fragmentation (coalesce is narrow — it
     merges read splits without a shuffle; a4f's repartition form is the
-    rebalancing alternative). Tables are independent, so on a cluster
-    they parallelize trivially (their jobs interleave across executors
-    — submit order is not a dependency). Counts on the parquet target
-    are metadata-only. The report is a union of 1-row frames:
-    driver-side loop over TABLE NAMES (10 items), never over data."""
-    reports = []
-    for name in tables:
+    rebalancing alternative). Tables are independent, so their copy
+    jobs are SUBMITTED CONCURRENTLY from a thread pool — the standard
+    Spark pattern for fleets of small independent jobs (the scheduler
+    interleaves them across executors; per-job fixed overhead stops
+    serializing). Counts on the parquet target are metadata-only. The
+    report rows are collected driver-side per TABLE NAME (10 scalars,
+    never data) and emitted as one frame in ``tables`` order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def copy_one(name: str):
         src = load_table(spark, src_dir, name)
         dst = os.path.join(dst_dir, f"{name}.parquet")
         n_src = src.count()
         n_files = max(1, -(-n_src // 1_000_000))
         src.coalesce(n_files).write.mode("overwrite").parquet(dst)
         n_dst = spark.read.parquet(dst).count()
-        reports.append(
-            spark.createDataFrame(
-                [(name, n_src, n_dst, n_src == n_dst)],
-                "table_name string, n_rows_src bigint, n_rows_dst bigint, counts_match boolean",
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), reports)
+        return (name, n_src, n_dst, n_src == n_dst)
+
+    with ThreadPoolExecutor(max_workers=min(8, len(tables))) as ex:
+        rows = list(ex.map(copy_one, tables))  # preserves tables order
+    return spark.createDataFrame(
+        rows,
+        "table_name string, n_rows_src bigint, n_rows_dst bigint, counts_match boolean",
+    )
 
 
 def copy_table_clustered(

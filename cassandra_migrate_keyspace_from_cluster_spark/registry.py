@@ -135,9 +135,12 @@ _DRIVER_GREEN = frozenset({
 # parity-green locally after the rewrites. f18 (scan-fused: dedup +
 # quality in one documents pass) and f8 (tf-idf via partitioned
 # windows over term_counts instead of aggregate+join — drops the
-# O(vocab) df broadcast) were additionally rewritten late in r4 —
-# values unchanged (parity + plain-session driver sim green), but
-# include both in the r5 window under the same rewritten-query policy.
+# O(vocab) df broadcast), a13 (keyspace copy jobs submitted from a
+# thread pool, report built as one frame), and f24/f36/f40's shared
+# minhash pipeline (wide signatures, per-row band md5s, persisted band
+# index) were additionally rewritten late in r4 — values unchanged
+# (parity + plain-session driver sim green), but include them in the
+# r5 window under the same rewritten-query policy.
 _WINDOW = frozenset({
     "a15_repair_apply", "a16_clustered_copy_scan", "a17_scd2_history",
     "a18_referential_check", "a19_migration_plan_estimate",
