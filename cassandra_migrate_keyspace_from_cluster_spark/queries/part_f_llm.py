@@ -2124,7 +2124,7 @@ def f29_train_split(spark, sf_dir):
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
     seeds AS (SELECT vec_id AS seed_id, emb AS semb
-              FROM e ORDER BY vec_id LIMIT 8),
+              FROM e ORDER BY vec_id LIMIT 32),
     assigned AS (
       SELECT vec_id, emb, seed_id AS cluster_id FROM (
         SELECT a.vec_id, a.emb, s.seed_id,
@@ -2145,15 +2145,19 @@ def f29_train_split(spark, sf_dir):
     """,
 )
 def f42_semantic_dedup(spark, sf_dir):
-    """SemDeDup-style semantic dedup: coarse-cluster (8 deterministic
+    """SemDeDup-style semantic dedup: coarse-cluster (32 deterministic
     seed vectors stand in for KMeans centroids so the oracle can replay
     the clustering), then flag vectors whose cluster holds an earlier
     member with cosine >= 0.8. Pair work is confined per cluster
     (Σ cluster² vs f4b's global n² candidate space); assignment is one
-    broadcast join. See operators/similarity.py::semantic_dedup for
-    the 100-TB shape."""
+    broadcast join. Seed count raised 8→32 in r4 BEFORE this query's
+    first driver window (values change with the clustering, so the
+    resize had to precede the first recorded row): at sf0.1 that cuts
+    the pair space ~4× (50k vectors / 8 clusters ≈ 150M candidate
+    cosines → ~39M). See operators/similarity.py::semantic_dedup for
+    the 100-TB shape (seeds → KMeans cells, k ~ √n)."""
     emb = t(spark, sf_dir, "embeddings")
-    return sim.semantic_dedup(emb, n_seeds=8, threshold=0.8)
+    return sim.semantic_dedup(emb, n_seeds=32, threshold=0.8)
 
 
 # --------------------------------------------------------------------------
