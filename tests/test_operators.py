@@ -119,6 +119,24 @@ def test_jaccard_postings_equals_crossjoin(spark):
         for r in dd.jaccard_pairs_postings(docs, ["lang", "source"], 0.6).collect()
     }
     assert a == b and a
+    # the prefix-filtered (SSJoin) form is the third implementation of
+    # the same contract — must match exactly too, including at a
+    # threshold whose float repr is ABOVE the rational value (0.7),
+    # where a missing ε-guard on ⌈t·n⌉ would over-prune
+    c = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd.jaccard_pairs_prefix(docs, ["lang", "source"], 0.6).collect()
+    }
+    assert a == c
+    hi_post = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd.jaccard_pairs_postings(docs, ["lang", "source"], 0.7).collect()
+    }
+    hi_pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd.jaccard_pairs_prefix(docs, ["lang", "source"], 0.7).collect()
+    }
+    assert hi_post == hi_pref and hi_pref
 
 
 def test_ivf_recall_and_probe_monotonicity(spark):
