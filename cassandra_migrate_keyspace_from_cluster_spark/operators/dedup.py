@@ -253,7 +253,12 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"), shingles(text_col, k_shingle).alias("toks")
     )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
-    feat = tf.transform(d)
+    # persisted: approxSimilarityJoin(feat, feat) references the frame
+    # on BOTH join sides, and the fit() pass reads it a third time —
+    # without persist the shingle+HashingTF pipeline runs 3x (~35%
+    # of query wall at sf0.1). Same index-persistence contract as the
+    # pinned-hash tier (minhash_band_candidates).
+    feat = tf.transform(d).persist()
     lsh = MinHashLSH(inputCol="features", outputCol="bands", numHashTables=num_hash_tables, seed=42)
     model = lsh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="jaccard_dist")
