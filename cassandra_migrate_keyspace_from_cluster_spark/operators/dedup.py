@@ -109,9 +109,16 @@ def jaccard_pairs_postings(
         *[F.col(b) for b in blocking],
         F.array_distinct(tokens(text_col)).alias("toks"),
     ).withColumn("n", F.size("toks"))
+    # persisted: the self-join references the postings on BOTH sides —
+    # without persist the scan+tokenize+explode runs twice (measured
+    # ~2x query wall at sf0.1). MEMORY_AND_DISK degrades to local-disk
+    # reads when the postings outgrow memory; at 100 TB this is the
+    # materialized inverted index every exact-similarity system builds
+    # anyway (cf. jaccard_pairs_prefix, which persists nothing but
+    # scans twice — pick per corpus regime).
     post = d.select(
         "id", "n", *blocking, F.explode("toks").alias("tok")
-    )
+    ).persist()
     a, b = post.alias("a"), post.alias("b")
     cond = [F.col("a.tok") == F.col("b.tok")]
     cond += [F.col(f"a.{k}") == F.col(f"b.{k}") for k in blocking]

@@ -138,9 +138,11 @@ _DRIVER_GREEN = frozenset({
 # O(vocab) df broadcast), a13 (keyspace copy jobs submitted from a
 # thread pool, report built as one frame), and f24/f36/f40's shared
 # minhash pipeline (wide signatures, per-row band md5s, persisted band
-# index) were additionally rewritten late in r4 — values unchanged
-# (parity + plain-session driver sim green), but include them in the
-# r5 window under the same rewritten-query policy.
+# index), and f2/f12/f21/f23/f47's shared postings join + f3's MLlib
+# feature frame (persisted across their self-join sides) were
+# additionally rewritten late in r4 — values unchanged (parity +
+# plain-session driver sim green), but include them in the r5 window
+# under the same rewritten-query policy.
 _WINDOW = frozenset({
     "a15_repair_apply", "a16_clustered_copy_scan", "a17_scd2_history",
     "a18_referential_check", "a19_migration_plan_estimate",
