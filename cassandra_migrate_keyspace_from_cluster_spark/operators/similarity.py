@@ -491,9 +491,11 @@ def srp_candidate_pairs(
                 }
             )
 
+    # persisted: the self-join references the band table on BOTH sides
+    # — without persist the Python/Arrow projection pass runs twice
     bands = embeddings.select(F.col(id_col).alias("id"), "embedding").mapInPandas(
         hash_bands, "id bigint, band int, key bigint"
-    )
+    ).persist()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -581,9 +583,11 @@ def brp_lsh_neighbors(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
+    # persisted: fit() + both approxSimilarityJoin sides read this
+    # frame — three array_to_vector passes without it
     d = with_double_embedding(embeddings).select(
         F.col(id_col).alias("id"), array_to_vector("emb").alias("features")
-    )
+    ).persist()
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="buckets",
