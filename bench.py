@@ -66,10 +66,10 @@ def main() -> None:
     # each pay a one-time class-load/codegen-infra cost (~2 s total)
     # that otherwise lands on whichever measured query hits the
     # machinery first (a4/b5/b9 historically).
-    import tempfile
-
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    from cassandra_migrate_keyspace_from_cluster_spark.util import scratch_dir_unique
 
     r = (
         spark.range(100_000)
@@ -90,7 +90,7 @@ def main() -> None:
     r.select("id", "k", F.row_number().over(w).alias("rn")).filter(
         F.col("rn") <= 3
     ).write.mode("overwrite").format("noop").save()
-    warm_dir = tempfile.mkdtemp(prefix="bench_warm")
+    warm_dir = scratch_dir_unique("bench_warm")
     r.write.mode("overwrite").parquet(warm_dir)
     spark.read.parquet(warm_dir).filter(F.col("id") > 5).count()
 
