@@ -879,3 +879,41 @@ def test_hof_let_binds_value_once_and_nests(spark):
     for r in sig:
         per_doc.setdefault(r.doc_id, []).append(r.j)
     assert all(sorted(js) == list(range(8)) for js in per_doc.values())
+
+
+def test_jaccard_three_forms_on_adversarial_shapes(spark):
+    """The three exact-Jaccard implementations must agree on shapes the
+    fixture corpus doesn't exercise: identical docs, strict token
+    subsets, single-token docs, disjoint docs, and a token shared by
+    every doc in a block (stopword df spike). Seeded, deterministic."""
+    rows = [
+        (1, "en", "web", "a b c d"),
+        (2, "en", "web", "a b c d"),        # identical to 1
+        (3, "en", "web", "a b c"),          # strict subset
+        (4, "en", "web", "x"),              # single token
+        (5, "en", "web", "p q r s t"),      # disjoint from 1-3 except none
+        (6, "en", "web", "a p q r s"),      # bridges via 'a'
+        (7, "en", "cc", "a b c d"),         # other block: never pairs with 1
+        (8, "fr", "web", "a b c d"),        # other block again
+        (9, "en", "web", "b c d a"),        # same set as 1, other order
+        (10, "en", "web", "a a b b c c d"), # dup tokens collapse distinct
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string"
+    )
+    for thr in (0.3, 0.6, 1.0):
+        forms = [
+            dd.jaccard_pairs(docs, ["lang", "source"], thr),
+            dd.jaccard_pairs_postings(docs, ["lang", "source"], thr),
+            dd.jaccard_pairs_prefix(docs, ["lang", "source"], thr),
+        ]
+        sets = [
+            {(r.doc_a, r.doc_b, r.jaccard) for r in f.collect()} for f in forms
+        ]
+        assert sets[0] == sets[1] == sets[2], (thr, sets)
+    # sanity at thr=1.0: exactly the identical-set pairs within block
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dd.jaccard_pairs_prefix(docs, ["lang", "source"], 1.0).collect()
+    }
+    assert exact == {(1, 2), (1, 9), (2, 9), (1, 10), (2, 10), (9, 10)}, exact
