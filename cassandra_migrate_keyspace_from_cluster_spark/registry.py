@@ -143,6 +143,26 @@ _DRIVER_GREEN = frozenset({
 # additionally rewritten late in r4 — values unchanged (parity +
 # plain-session driver sim green), but include them in the r5 window
 # under the same rewritten-query policy.
+#
+# CONCRETE r5 window (assemble at r5 start, once CORRECTNESS_r04 is
+# green; ~27 names, well under the 50 cap — pad the remainder with
+# already-green queries never re-checked since r1 if desired):
+#   never-driver-checked (9): f42_semantic_dedup (RESIZED r4: 32
+#     seeds — never had a row, so no staleness), f47_cluster_quality,
+#     and the 7 rows-only-by-design: c6_approx_quantile, c7_approx_cd,
+#     f3_minhash_lsh, f3b_simhash, f5_ann_lsh, f5b_ivf_topk,
+#     f42b_semantic_dedup_kmeans;
+#   green rows whose VALUES changed in r4 (3): b4_agg_global,
+#     b5_agg_groupby, g3_grouped_agg_udaf (2dp rounding law);
+#   green rows rewritten in r4, values unchanged (15): a1_cluster_scan,
+#     a13_full_keyspace_copy, f1_exact_dedup (via exact_dedup unchanged
+#     — skip if tight), f2_token_jaccard_neardup, f4_cosine_topk,
+#     f4b_cosine_neardup, f4c_cosine_topk_chunked, f8_tfidf,
+#     f12_doc_length_dedup_rate, f14_quality, f18_pipeline_report,
+#     f21_neardup_clusters, f23_dedup_suppression,
+#     f24_minhash_pinned_lsh, f36_cross_source_dups.
+# (f9/f38/f40/f43/f49 were rewritten in r4 but sit IN the r4 window,
+# so their r4 rows already cover the new code.)
 _WINDOW = frozenset({
     "a15_repair_apply", "a16_clustered_copy_scan", "a17_scd2_history",
     "a18_referential_check", "a19_migration_plan_estimate",
