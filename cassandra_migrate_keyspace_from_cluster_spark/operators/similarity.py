@@ -174,6 +174,7 @@ def cosine_topk_chunked(
     chunk_size: int = 100_000,
     id_col: str = "vec_id",
     work_dir: str | None = None,
+    corpus_key: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors when the corpus outgrows ONE
     broadcast — the fallback tier between ``cosine_topk`` (single
@@ -200,14 +201,20 @@ def cosine_topk_chunked(
     tie-break) — hash-equality with f4 is pytest-asserted across chunk
     sizes. ``work_dir`` is the staging root (a real pipeline passes a
     job-scoped path on shared storage; defaults to the session scratch
-    root, removed at interpreter exit).
+    root, removed at interpreter exit). ``corpus_key`` (e.g. the
+    sf_dir) enables content-addressed reuse of the chunked layout —
+    the same within-process idempotence as f4/f33's ``_stage``: a
+    completed staging of the same (key, n, n_chunks) is read, not
+    rewritten.
     """
+    import hashlib
     import math
+    import shutil as _shutil
 
     import numpy as np
     import pandas as pd
 
-    from ..util import scratch_dir_unique
+    from ..util import scratch_dir, scratch_dir_unique
 
     # The query side is scanned once per pass; cache it (MEMORY_AND_DISK
     # — degrades to local-disk reads when the corpus outgrows memory, so
@@ -215,17 +222,31 @@ def cosine_topk_chunked(
     src = embeddings.select(F.col(id_col).alias("id"), "embedding").persist()
     n = src.count()
     n_chunks = max(1, math.ceil(n / chunk_size))
-    root = work_dir or scratch_dir_unique("f4c")
-    corpus_path = f"{root}/corpus"
-    cand_path = f"{root}/cand"
-    (
-        src.withColumn(
-            "chunk", F.pmod(F.xxhash64("id"), F.lit(n_chunks)).cast("int")
+    staged = False
+    if work_dir is None and corpus_key is not None:
+        base = scratch_dir("f4c_corpus")
+        tag = hashlib.md5(
+            f"{corpus_key}|n={n}|chunks={n_chunks}".encode()
+        ).hexdigest()[:12]
+        corpus_path = os.path.join(base, tag)
+        for old in os.listdir(base):
+            if os.path.join(base, old) != corpus_path:
+                _shutil.rmtree(os.path.join(base, old), ignore_errors=True)
+        staged = os.path.exists(os.path.join(corpus_path, "_SUCCESS"))
+        cand_path = f"{scratch_dir_unique('f4c_cand')}/cand"
+    else:
+        root = work_dir or scratch_dir_unique("f4c")
+        corpus_path = f"{root}/corpus"
+        cand_path = f"{root}/cand"
+    if not staged:
+        (
+            src.withColumn(
+                "chunk", F.pmod(F.xxhash64("id"), F.lit(n_chunks)).cast("int")
+            )
+            .write.partitionBy("chunk")
+            .mode("overwrite")
+            .parquet(corpus_path)
         )
-        .write.partitionBy("chunk")
-        .mode("overwrite")
-        .parquet(corpus_path)
-    )
     out_schema = "query_id bigint, neighbor_id bigint, cos_sim double"
 
     # chunk directories present on disk (hash-chunking can leave gaps);

@@ -248,7 +248,9 @@ def f4c_cosine_topk_chunked(spark, sf_dir):
     pass count is n/chunk by necessity)."""
     emb = t(spark, sf_dir, "embeddings")
     chunk = max(200, -(-emb.count() // 4))
-    return sim.cosine_topk_chunked(emb, k=5, chunk_size=chunk).select(
+    return sim.cosine_topk_chunked(
+        emb, k=5, chunk_size=chunk, corpus_key=sf_dir
+    ).select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank")
     )
 
