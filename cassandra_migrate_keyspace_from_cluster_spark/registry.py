@@ -58,8 +58,9 @@ def load_all() -> None:
     from .queries import ALL_MODULES  # noqa: F401  (import side effect)
 
 
-# Queries already driver-verified green (CORRECTNESS_r01 ∪ r02 ∪ r03 —
-# 148 names, zero driver failures ever recorded against current code).
+# Queries already driver-verified green (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪
+# r04 — 198 names, zero driver failures ever recorded against current
+# code).
 # The driver's per-round correctness harness caps at the first 50
 # registry entries, so ordering is coverage policy: this round's explicit
 # window FIRST, then the remaining never-driver-checked queries,
@@ -112,58 +113,7 @@ _DRIVER_GREEN = frozenset({
     "f7_tokenize_wordcount", "f8_tfidf", "g1_python_udf", "g2_pandas_udf_scalar",
     "g3_grouped_agg_udaf", "g4_grouped_map", "g5_map_in_pandas", "g6_python_udtf",
     "g7_map_in_arrow", "g8_pandas_udf_iter",
-})
-
-
-# Round-4 driver window (exactly 50 names): 50 of the 52 hash-checkable
-# queries that have never had a driver row. Deferred to the round-5
-# window: the two heaviest never-checked queries (f42_semantic_dedup,
-# f47_cluster_quality — both locally parity-green; deferring them keeps
-# the driver harness wall-clock down) and the 7 rows-only-by-design
-# queries (c6, c7, f3, f3b, f5, f5b, f42b) — they sort into tier 1
-# below, directly after this window. After r4+r5 every declared query
-# will have ridden a driver window at least once.
-#
-# r5 window should ALSO include the green queries rewritten during r4
-# (stale-row precedent from b20/c16): a1_cluster_scan (arrow-batch
-# source), f4_cosine_topk / f4c_cosine_topk_chunked (worker-side lazy
-# corpus), and the three whose RECORDED VALUES changed when the r4
-# sf0.1 oracle sweep exposed summation-order noise at 6dp — b4/b5
-# (avg_price now 2dp) and g3 (weighted price now 2dp). f14/f32/f18's
-# integer-exact quality rounding did NOT change sf0.01 values (verified
-# byte-identical), so their green rows remain valid. All are
-# parity-green locally after the rewrites. f18 (scan-fused: dedup +
-# quality in one documents pass) and f8 (tf-idf via partitioned
-# windows over term_counts instead of aggregate+join — drops the
-# O(vocab) df broadcast), a13 (keyspace copy jobs submitted from a
-# thread pool, report built as one frame), and f24/f36/f40's shared
-# minhash pipeline (wide signatures, per-row band md5s, persisted band
-# index), and f2/f12/f21/f23/f47's shared postings join + f3's MLlib
-# feature frame (persisted across their self-join sides) were
-# additionally rewritten late in r4 — values unchanged (parity +
-# plain-session driver sim green), but include them in the r5 window
-# under the same rewritten-query policy.
-#
-# CONCRETE r5 window (assemble at r5 start, once CORRECTNESS_r04 is
-# green; ~27 names, well under the 50 cap — pad the remainder with
-# already-green queries never re-checked since r1 if desired):
-#   never-driver-checked (9): f42_semantic_dedup (RESIZED r4: 32
-#     seeds — never had a row, so no staleness), f47_cluster_quality,
-#     and the 7 rows-only-by-design: c6_approx_quantile, c7_approx_cd,
-#     f3_minhash_lsh, f3b_simhash, f5_ann_lsh, f5b_ivf_topk,
-#     f42b_semantic_dedup_kmeans;
-#   green rows whose VALUES changed in r4 (3): b4_agg_global,
-#     b5_agg_groupby, g3_grouped_agg_udaf (2dp rounding law);
-#   green rows rewritten in r4, values unchanged (15): a1_cluster_scan,
-#     a13_full_keyspace_copy, f1_exact_dedup (via exact_dedup unchanged
-#     — skip if tight), f2_token_jaccard_neardup, f4_cosine_topk,
-#     f4b_cosine_neardup, f4c_cosine_topk_chunked, f8_tfidf,
-#     f12_doc_length_dedup_rate, f14_quality, f18_pipeline_report,
-#     f21_neardup_clusters, f23_dedup_suppression,
-#     f24_minhash_pinned_lsh, f36_cross_source_dups.
-# (f9/f38/f40/f43/f49 were rewritten in r4 but sit IN the r4 window,
-# so their r4 rows already cover the new code.)
-_WINDOW = frozenset({
+    # --- CORRECTNESS_r04.json (round 4, 50/50 full hash pass) ---
     "a15_repair_apply", "a16_clustered_copy_scan", "a17_scd2_history",
     "a18_referential_check", "a19_migration_plan_estimate",
     "a20_schema_drift_report", "a21_data_expectations",
@@ -185,6 +135,57 @@ _WINDOW = frozenset({
     "f49_threshold_calibration", "f50_domain_quota_sample",
     "f51_ngram_novelty", "f52_dataset_card",
     "g11_apply_in_arrow",
+})
+
+
+# Round-5 driver window (exactly 50 names) — the verification-closure
+# rotation planned at the end of r4 and directed by the r4 verdict:
+#
+#   never-driver-checked (9): f42_semantic_dedup (r4 resized to 32
+#     seeds — never had a row, so no staleness; rides first by policy),
+#     f47_cluster_quality, and the 7 rows-only-by-design:
+#     c6_approx_quantile, c7_approx_cd, f3_minhash_lsh, f3b_simhash,
+#     f5_ann_lsh, f5b_ivf_topk, f42b_semantic_dedup_kmeans;
+#   green rows whose VALUES changed in r4 (3): b4_agg_global,
+#     b5_agg_groupby, g3_grouped_agg_udaf (2dp rounding law);
+#   green rows rewritten in r4, values unchanged locally (14):
+#     a1_cluster_scan, a13_full_keyspace_copy, f1_exact_dedup,
+#     f2_token_jaccard_neardup, f4_cosine_topk, f4b_cosine_neardup,
+#     f4c_cosine_topk_chunked, f8_tfidf, f14_quality,
+#     f18_pipeline_report, f21_neardup_clusters, f23_dedup_suppression,
+#     f24_minhash_pinned_lsh, f36_cross_source_dups.
+#     (f9/f12/f38/f40/f43/f49 were also rewritten in r4 but sat IN the
+#     r4 window, so their r4 rows already cover the new code.)
+#   padding to the 50 cap (24): r1-green relational/window queries
+#     never re-checked since round 1 — cheap, and re-riding them
+#     guards against fixture-regeneration drift on the oldest rows.
+#
+# After this window every one of the 207 declared queries has ridden a
+# driver window at least once AND every green row was recorded against
+# the shipped code.
+_WINDOW = frozenset({
+    # never driver-checked (9)
+    "f42_semantic_dedup", "f47_cluster_quality",
+    "c6_approx_quantile", "c7_approx_cd", "f3_minhash_lsh", "f3b_simhash",
+    "f5_ann_lsh", "f5b_ivf_topk", "f42b_semantic_dedup_kmeans",
+    # values changed in r4 (2dp rounding law) (3)
+    "b4_agg_global", "b5_agg_groupby", "g3_grouped_agg_udaf",
+    # rewritten in r4, values locally unchanged (14)
+    "a1_cluster_scan", "a13_full_keyspace_copy", "f1_exact_dedup",
+    "f2_token_jaccard_neardup", "f4_cosine_topk", "f4b_cosine_neardup",
+    "f4c_cosine_topk_chunked", "f8_tfidf", "f14_quality",
+    "f18_pipeline_report", "f21_neardup_clusters", "f23_dedup_suppression",
+    "f24_minhash_pinned_lsh", "f36_cross_source_dups",
+    # r1 padding, never re-checked since round 1 (24)
+    "a2_schema_manifest", "a3_ddl_manifest", "a4_copy_roundtrip",
+    "a5_range_partition_counts", "a7_table_counts", "a8_content_checksum",
+    "b1_scan_project", "b2_filter_pred", "b3_case_when", "b6_count_distinct",
+    "b7_having", "b8_join_inner_eq", "b9_join_multiway_star",
+    "b10_join_outer", "b11_join_semi", "b12_join_anti",
+    "b14_join_theta_range", "b16_union_all", "b18_intersect",
+    "b21_limit_topk",
+    "c10_row_number", "c11_topk_per_group", "c12_lag_lead",
+    "c15_running_total",
 })
 
 
