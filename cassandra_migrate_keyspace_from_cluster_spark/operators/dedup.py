@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import bounded_persist
+
 
 def normalized_text_hash(text_col: str = "text") -> F.Column:
     """Canonical content hash: md5 of lower/trimmed text (md5 is
@@ -116,9 +118,9 @@ def jaccard_pairs_postings(
     # materialized inverted index every exact-similarity system builds
     # anyway (cf. jaccard_pairs_prefix, which persists nothing but
     # scans twice — pick per corpus regime).
-    post = d.select(
-        "id", "n", *blocking, F.explode("toks").alias("tok")
-    ).persist()
+    post = bounded_persist(
+        d.select("id", "n", *blocking, F.explode("toks").alias("tok"))
+    )
     a, b = post.alias("a"), post.alias("b")
     cond = [F.col("a.tok") == F.col("b.tok")]
     cond += [F.col(f"a.{k}") == F.col(f"b.{k}") for k in blocking]
@@ -265,7 +267,7 @@ def minhash_lsh_pairs(
     # without persist the shingle+HashingTF pipeline runs 3x (~35%
     # of query wall at sf0.1). Same index-persistence contract as the
     # pinned-hash tier (minhash_band_candidates).
-    feat = tf.transform(d).persist()
+    feat = bounded_persist(tf.transform(d))
     lsh = MinHashLSH(inputCol="features", outputCol="bands", numHashTables=num_hash_tables, seed=42)
     model = lsh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="jaccard_dist")
@@ -630,14 +632,16 @@ def minhash_band_candidates(
     production the band index is a persisted table by design (f40's
     incremental-dedup contract), and persist() is its single-job
     stand-in."""
-    bands = minhash_bands(
-        docs,
-        n_hashes=n_hashes,
-        band_rows=band_rows,
-        id_col=id_col,
-        text_col=text_col,
-        k_shingle=k_shingle,
-    ).persist()
+    bands = bounded_persist(
+        minhash_bands(
+            docs,
+            n_hashes=n_hashes,
+            band_rows=band_rows,
+            id_col=id_col,
+            text_col=text_col,
+            k_shingle=k_shingle,
+        )
+    )
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
     return (

@@ -166,8 +166,14 @@ def range_split_counts(df: DataFrame, key: str, n_splits: int = 16) -> DataFrame
     """
     from .rank import ntile_from_rn, with_global_row_number
 
+    # local_checkpoint: single-JVM sandbox, where executor loss is job
+    # loss anyway — a real cluster deployment passes "persist"
     ranked = with_global_row_number(
-        df.select(F.col(key)), [F.col(key).asc()], "__rn", total_col="__n"
+        df.select(F.col(key)),
+        [F.col(key).asc()],
+        "__rn",
+        total_col="__n",
+        materialize="local_checkpoint",
     )
     return (
         ranked.select(

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, l2_norm, to_double_array
-from ..util import scratch_dir
+from ..util import bounded_persist, content_fingerprint, evict_stale_tags, scratch_dir
 
 
 def with_double_embedding(df: DataFrame, col: str = "embedding") -> DataFrame:
@@ -74,9 +74,11 @@ def _stage(df: DataFrame, label: str, content_key: str | None = None) -> str:
     e.g. an sf_dir) the dir is named by the key's hash and a completed
     staging (`_SUCCESS` present) is REUSED instead of rewritten — the
     within-process idempotence that lets bench/parity/driver runs share
-    one corpus write."""
+    one corpus write. Callers that derive the key from a data path must
+    pass it through ``content_fingerprint`` so regenerated source data
+    can never alias a stale staging. A few recent sibling tags are kept
+    (``evict_stale_tags``) so alternating corpora stay warm."""
     import hashlib
-    import shutil as _shutil
     import uuid
 
     base = scratch_dir(label)
@@ -86,9 +88,7 @@ def _stage(df: DataFrame, label: str, content_key: str | None = None) -> str:
             return path
     else:
         path = os.path.join(base, uuid.uuid4().hex[:12])
-    for old in os.listdir(base):
-        if os.path.join(base, old) != path:
-            _shutil.rmtree(os.path.join(base, old), ignore_errors=True)
+    evict_stale_tags(base, keep=path)
     df.write.mode("overwrite").parquet(path)
     return path
 
@@ -132,7 +132,9 @@ def cosine_topk(
     corpus_path = _stage(
         embeddings.select(F.col(id_col).alias("id"), "embedding"),
         "f4_corpus",
-        content_key=corpus_key,
+        content_key=(
+            content_fingerprint(corpus_key) if corpus_key is not None else None
+        ),
     )
 
     def topk(batches):
@@ -209,7 +211,6 @@ def cosine_topk_chunked(
     """
     import hashlib
     import math
-    import shutil as _shutil
 
     import numpy as np
     import pandas as pd
@@ -225,13 +226,14 @@ def cosine_topk_chunked(
     staged = False
     if work_dir is None and corpus_key is not None:
         base = scratch_dir("f4c_corpus")
+        # content_fingerprint folds the source files' (size, mtime) into
+        # the tag — in-place fixture regeneration with an unchanged row
+        # count can no longer alias a stale _SUCCESS-marked staging
         tag = hashlib.md5(
-            f"{corpus_key}|n={n}|chunks={n_chunks}".encode()
+            f"{content_fingerprint(corpus_key)}|n={n}|chunks={n_chunks}".encode()
         ).hexdigest()[:12]
         corpus_path = os.path.join(base, tag)
-        for old in os.listdir(base):
-            if os.path.join(base, old) != corpus_path:
-                _shutil.rmtree(os.path.join(base, old), ignore_errors=True)
+        evict_stale_tags(base, keep=corpus_path)
         staged = os.path.exists(os.path.join(corpus_path, "_SUCCESS"))
         cand_path = f"{scratch_dir_unique('f4c_cand')}/cand"
     else:
@@ -405,10 +407,9 @@ def ivf_cosine_topk(
                 }
             )
 
-    probes = (
+    probes = bounded_persist(
         embeddings.select(F.col(id_col).alias("id"), "embedding")
         .mapInPandas(probe, "cell int, qid bigint, qemb array<float>")
-        .persist()
     )
     probed_cells = [r.cell for r in probes.select("cell").distinct().collect()]
     corpus_cells = spark.read.parquet(layout).filter(
@@ -514,9 +515,11 @@ def srp_candidate_pairs(
 
     # persisted: the self-join references the band table on BOTH sides
     # — without persist the Python/Arrow projection pass runs twice
-    bands = embeddings.select(F.col(id_col).alias("id"), "embedding").mapInPandas(
-        hash_bands, "id bigint, band int, key bigint"
-    ).persist()
+    bands = bounded_persist(
+        embeddings.select(F.col(id_col).alias("id"), "embedding").mapInPandas(
+            hash_bands, "id bigint, band int, key bigint"
+        )
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -606,9 +609,11 @@ def brp_lsh_neighbors(
 
     # persisted: fit() + both approxSimilarityJoin sides read this
     # frame — three array_to_vector passes without it
-    d = with_double_embedding(embeddings).select(
-        F.col(id_col).alias("id"), array_to_vector("emb").alias("features")
-    ).persist()
+    d = bounded_persist(
+        with_double_embedding(embeddings).select(
+            F.col(id_col).alias("id"), array_to_vector("emb").alias("features")
+        )
+    )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="buckets",
@@ -917,7 +922,7 @@ def pq_topk(
         # codebook training is deterministic given (data, params), so a
         # completed encode for the same corpus identity can be reused
         content_key=(
-            f"{corpus_key}|m={m}|codes={n_codes}|sample={sample_n}"
+            f"{content_fingerprint(corpus_key)}|m={m}|codes={n_codes}|sample={sample_n}"
             if corpus_key is not None
             else None
         ),

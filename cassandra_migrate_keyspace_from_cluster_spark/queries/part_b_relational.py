@@ -556,7 +556,11 @@ def b20_sort_multikey(spark, sf_dir):
         F.col("status_nullable").asc_nulls_first(),
         F.col("o_orderkey").asc(),
     ]
-    return with_global_row_number(o, order, "sort_pos").orderBy(*order)
+    # local_checkpoint: single-JVM sandbox, where executor loss is job
+    # loss anyway — a real cluster deployment passes "persist"
+    return with_global_row_number(
+        o, order, "sort_pos", materialize="local_checkpoint"
+    ).orderBy(*order)
 
 
 # --------------------------------------------------------------------------

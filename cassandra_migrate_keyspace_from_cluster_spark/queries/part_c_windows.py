@@ -427,11 +427,14 @@ def c16_ntile_pctrank(spark, sf_dir):
     )
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # local_checkpoint: single-JVM sandbox, where executor loss is job
+    # loss anyway — a real cluster deployment passes "persist"
     ranked = with_global_row_number(
         o,
         [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
         "rn",
         total_col="n_total",
+        materialize="local_checkpoint",
     )
     rn, n = F.col("rn"), F.col("n_total")
     return ranked.select(

@@ -19,6 +19,7 @@ from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import text as tx
 from ..registry import register
+from ..util import bounded_persist
 from .util import r6, t
 
 
@@ -1864,7 +1865,9 @@ def f40_incremental_dedup(spark, sf_dir):
     # (measured 2x wall at sf0.1). In production these ARE the
     # persisted artifacts (parquet band index, staged shingle table) —
     # persist() is the single-job stand-in for that contract.
-    bands = dd.minhash_bands(docs, n_hashes=16, band_rows=4, k_shingle=3).persist()
+    bands = bounded_persist(
+        dd.minhash_bands(docs, n_hashes=16, band_rows=4, k_shingle=3)
+    )
     is_batch = F.col("doc_id") % 5 == 0
     bb = bands.filter(is_batch).select(
         F.col("doc_id").alias("batch_doc"), "band", "band_hash"
@@ -1877,7 +1880,7 @@ def f40_incremental_dedup(spark, sf_dir):
         .select("batch_doc", "corpus_doc")
         .distinct()
     )
-    d = docs.select("doc_id", dd.shingles("text", 3).alias("sh")).persist()
+    d = bounded_persist(docs.select("doc_id", dd.shingles("text", 3).alias("sh")))
     verified = (
         cand.join(
             d.select(F.col("doc_id").alias("batch_doc"), F.col("sh").alias("sh_b")),
@@ -2268,12 +2271,16 @@ def f45_domain_pagerank(spark, sf_dir):
     # node-count job — persist them so the expensive co-citation pair
     # join runs once, not once per iteration (the pinned state is
     # O(domains + edges), tiny next to the document scan it replaces)
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
-    nodes = edges.select(F.col("src").alias("domain")).distinct().persist()
+    edges = bounded_persist(
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    nodes = bounded_persist(edges.select(F.col("src").alias("domain")).distinct())
     n_nodes = float(nodes.count())  # O(domains), bounded; warms both caches
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
+    deg = bounded_persist(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    )
     pr = nodes.select("domain", F.round(F.lit(1.0) / n_nodes, 12).alias("pr"))
     for _ in range(3):
         contrib = (
@@ -2823,8 +2830,14 @@ def f34_hybrid_rrf_search(spark, sf_dir):
     )
     from ..operators.rank import with_global_row_number
 
+    # local_checkpoint at all three rank sites: single-JVM sandbox,
+    # where executor loss is job loss anyway — a real cluster passes
+    # "persist" (recomputable lineage survives lost executors)
     lexr = with_global_row_number(
-        lex, [F.col("lex_score").desc(), F.col("doc_id")], rn_col="r_lex"
+        lex,
+        [F.col("lex_score").desc(), F.col("doc_id")],
+        rn_col="r_lex",
+        materialize="local_checkpoint",
     ).withColumn("r_lex", F.col("r_lex").cast("bigint"))
     e = sim.with_double_embedding(emb).select("vec_id", "emb")
     qv = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
@@ -2839,7 +2852,10 @@ def f34_hybrid_rrf_search(spark, sf_dir):
         )
     )
     vecr = with_global_row_number(
-        vec, [F.col("cos_sim").desc(), F.col("doc_id")], rn_col="r_vec"
+        vec,
+        [F.col("cos_sim").desc(), F.col("doc_id")],
+        rn_col="r_vec",
+        materialize="local_checkpoint",
     ).withColumn("r_vec", F.col("r_vec").cast("bigint"))
     fused = (
         lexr.select("doc_id", "r_lex")
@@ -2854,7 +2870,10 @@ def f34_hybrid_rrf_search(spark, sf_dir):
         )
     )
     ranked = with_global_row_number(
-        fused, [F.col("rrf").desc(), F.col("doc_id")], rn_col="rank"
+        fused,
+        [F.col("rrf").desc(), F.col("doc_id")],
+        rn_col="rank",
+        materialize="local_checkpoint",
     )
     return ranked.withColumn("rank", F.col("rank").cast("bigint")).filter(
         F.col("rank") <= 20

@@ -48,3 +48,78 @@ def scratch_dir(label: str) -> str:
 def scratch_dir_unique(label: str) -> str:
     """Fresh scratch dir per call, under the auto-cleaned root."""
     return tempfile.mkdtemp(prefix=f"{label}_", dir=scratch_root())
+
+
+def content_fingerprint(key: str) -> str:
+    """``key`` plus a cheap content fingerprint when it names a real path.
+
+    Staging tags derived from a stable name (e.g. an sf_dir) must change
+    when the data AT that name changes: fixtures get regenerated in-place
+    mid-session, and a tag keyed only on (path, row-count) would silently
+    reuse a _SUCCESS-marked staging built from the old data. Folding in
+    the sorted (name, size, mtime_ns) of the path's parquet files makes
+    the tag content-addressed for O(#files) stat calls, no data read.
+    Non-path keys pass through unchanged.
+    """
+    if not os.path.exists(key):
+        return key
+    if os.path.isdir(key):
+        names = sorted(e for e in os.listdir(key) if e.endswith(".parquet"))
+        paths = [os.path.join(key, e) for e in names]
+    else:
+        names, paths = [os.path.basename(key)], [key]
+    stats = [
+        (name, st.st_size, st.st_mtime_ns)
+        for name, p in zip(names, paths)
+        for st in (os.stat(p),)
+    ]
+    return f"{key}|{stats!r}"
+
+
+def evict_stale_tags(base: str, keep: str, max_tags: int = 4) -> None:
+    """Drop old staging tag dirs under ``base``, keeping ``keep`` plus the
+    most recently modified ``max_tags - 1`` siblings.
+
+    Keeping a few recent tags (instead of exactly one) lets a process
+    that alternates corpora — sf0.01 parity interleaved with sf0.1 bench
+    — keep both stagings warm; evicting every sibling on each call
+    silently defeated the reuse the tags exist for.
+    """
+    entries = []
+    for name in os.listdir(base):
+        path = os.path.join(base, name)
+        if path == keep:
+            continue
+        try:
+            entries.append((os.stat(path).st_mtime_ns, path))
+        except OSError:
+            continue
+    entries.sort(reverse=True)
+    for _, path in entries[max(0, max_tags - 1):]:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+# Bounded registry for persist() calls whose cached frame is part of a
+# RETURNED lazy plan (self-join build sides, band indexes): the consuming
+# action runs outside the operator, so the operator cannot unpersist
+# eagerly. Without a bound, a long-lived session (bench loops every query
+# several times) accumulates cached blocks without limit. FIFO eviction
+# is correctness-safe — unpersisting a frame that is later re-used only
+# costs recomputation — so a small cap converts an unbounded leak into a
+# bounded working set.
+_PERSISTED: list = []
+_PERSIST_CAP = 8
+
+
+def bounded_persist(df, storage_level=None):
+    """``df.persist()`` registered in a process-wide FIFO of size
+    ``_PERSIST_CAP``; the oldest cached frame is unpersisted (non-
+    blocking) when the cap is exceeded."""
+    df = df.persist(storage_level) if storage_level is not None else df.persist()
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > _PERSIST_CAP:
+        try:
+            _PERSISTED.pop(0).unpersist(blocking=False)
+        except Exception:
+            pass
+    return df
