@@ -917,3 +917,79 @@ def test_jaccard_three_forms_on_adversarial_shapes(spark):
         for r in dd.jaccard_pairs_prefix(docs, ["lang", "source"], 1.0).collect()
     }
     assert exact == {(1, 2), (1, 9), (2, 9), (1, 10), (2, 10), (9, 10)}, exact
+
+
+def test_content_fingerprint_tracks_source_mutation(tmp_path):
+    """Staging tags must change when the data at a stable path changes:
+    the grading driver regenerates fixtures in-place mid-round, and a
+    (path, row-count)-keyed tag silently reused stale stagings (ADVICE
+    r4, medium). Non-path keys pass through untouched."""
+    import os
+    import time
+
+    from cassandra_migrate_keyspace_from_cluster_spark.util import content_fingerprint
+
+    src = tmp_path / "embeddings.parquet"
+    src.write_bytes(b"v1-bytes")
+    fp_dir_1 = content_fingerprint(str(tmp_path))
+    fp_file_1 = content_fingerprint(str(src))
+    # same content, same stat → identical fingerprint (reuse works)
+    assert content_fingerprint(str(tmp_path)) == fp_dir_1
+    # regenerate in place with the SAME size (the dangerous case:
+    # row-count-keyed tags cannot see this) — mtime must flip the tag
+    time.sleep(0.01)
+    src.write_bytes(b"v2-bytes")
+    assert content_fingerprint(str(tmp_path)) != fp_dir_1
+    assert content_fingerprint(str(src)) != fp_file_1
+    # non-path keys are passed through verbatim
+    assert content_fingerprint("sf0.01|m=8") == "sf0.01|m=8"
+    # non-parquet files do not affect the directory fingerprint
+    (tmp_path / "_SUCCESS").write_bytes(b"")
+    fp_dir_2 = content_fingerprint(str(tmp_path))
+    (tmp_path / "_SUCCESS").write_bytes(b"x")
+    assert content_fingerprint(str(tmp_path)) == fp_dir_2
+
+
+def test_evict_stale_tags_keeps_recent_siblings(tmp_path):
+    """Alternating two corpora (sf0.01 parity / sf0.1 bench) must keep
+    both stagings warm; evicting every sibling on each call silently
+    defeated the reuse (ADVICE r4, low)."""
+    import os
+    import time
+
+    from cassandra_migrate_keyspace_from_cluster_spark.util import evict_stale_tags
+
+    tags = []
+    for i in range(6):
+        d = tmp_path / f"tag{i}"
+        d.mkdir()
+        os.utime(d, ns=(i * 10**9, i * 10**9))  # distinct, ordered mtimes
+        tags.append(d)
+    keep = tags[0]  # oldest is the active tag
+    evict_stale_tags(str(tmp_path), keep=str(keep), max_tags=4)
+    survivors = sorted(p.name for p in tmp_path.iterdir())
+    # active tag + the 3 most recently modified siblings survive
+    assert survivors == ["tag0", "tag3", "tag4", "tag5"]
+
+
+def test_bounded_persist_caps_cached_frames(spark):
+    """The FIFO persist registry must unpersist the oldest frame past
+    the cap so long-lived sessions hold a bounded cached working set,
+    and eviction must not break later reuse (recompute is fine)."""
+    from cassandra_migrate_keyspace_from_cluster_spark import util as U
+
+    registered = []
+    try:
+        for i in range(U._PERSIST_CAP + 3):
+            df = U.bounded_persist(spark.range(10 + i))
+            registered.append(df)
+            df.count()
+        assert len(U._PERSISTED) == U._PERSIST_CAP
+        # oldest frames were unpersisted but still compute correctly
+        assert registered[0].count() == 10
+        assert not registered[0].storageLevel.useMemory
+        assert registered[-1].storageLevel.useMemory
+    finally:
+        for df in registered:
+            df.unpersist(blocking=False)
+        U._PERSISTED.clear()
