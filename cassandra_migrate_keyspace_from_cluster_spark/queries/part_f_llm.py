@@ -2869,14 +2869,19 @@ def f34_hybrid_rrf_search(spark, sf_dir):
             ).alias("rrf"),
         )
     )
-    ranked = with_global_row_number(
-        fused,
-        [F.col("rrf").desc(), F.col("doc_id")],
-        rn_col="rank",
-        materialize="local_checkpoint",
-    )
-    return ranked.withColumn("rank", F.col("rank").cast("bigint")).filter(
-        F.col("rank") <= 20
+    # final top-20: TakeOrderedAndProject (distributed per-partition
+    # top-k + merge — no global sort, no materialization job like the
+    # two full rankings above need), then number the SURVIVING 20 rows.
+    # The unpartitioned window is bounded by the preceding limit, so
+    # the single-task sort it implies is over k rows, never the corpus.
+    from pyspark.sql import Window as _W
+
+    top = fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(20)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(_W.orderBy(F.col("rrf").desc(), F.col("doc_id")))
+        .cast("bigint"),
     )
 
 
