@@ -993,3 +993,52 @@ def test_bounded_persist_caps_cached_frames(spark):
         for df in registered:
             df.unpersist(blocking=False)
         U._PERSISTED.clear()
+
+
+def test_chunked_staging_refreshes_on_source_change(spark, tmp_path):
+    """cosine_topk_chunked's content-keyed staging must be reused while
+    the source is unchanged and REBUILT when the parquet at the same
+    path is regenerated (ADVICE r4 medium: a (path, row-count) tag
+    silently served neighbors computed from pre-regeneration data)."""
+    import os
+    import shutil
+    import time
+
+    import numpy as np
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import similarity as sim
+    from cassandra_migrate_keyspace_from_cluster_spark.util import scratch_dir
+
+    rng = np.random.default_rng(7)
+    src = str(tmp_path / "emb")
+
+    def write_corpus(seed):
+        r = np.random.default_rng(seed)
+        rows = [
+            (int(i), [float(x) for x in r.normal(size=8)]) for i in range(40)
+        ]
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+
+    def run():
+        emb = spark.read.parquet(src)
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in sim.cosine_topk_chunked(
+                emb, k=2, chunk_size=25, corpus_key=src
+            ).collect()
+        }
+
+    write_corpus(1)
+    first = run()
+    tags_after_first = set(os.listdir(scratch_dir("f4c_corpus")))
+    # unchanged source → same tag set (staging reused, not rewritten)
+    assert run() == first
+    assert set(os.listdir(scratch_dir("f4c_corpus"))) == tags_after_first
+    # regenerated source, same row count → new tag, fresh neighbors
+    time.sleep(0.05)
+    write_corpus(2)
+    second = run()
+    assert set(os.listdir(scratch_dir("f4c_corpus"))) != tags_after_first
+    assert second != first  # different embeddings ⇒ different neighbors

@@ -416,3 +416,11 @@ def test_minhash_bands_single_aggregate_exchange(spark):
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, plan
     assert "collect_list" not in plan, plan
+
+
+def test_hybrid_rrf_final_cut_is_take_ordered(spark):
+    """f34's final top-20 must plan as TakeOrderedAndProject (distributed
+    per-partition top-k + merge), not a third two-phase global rank:
+    the RRF fusion needs full rankings for both source lists, but the
+    final cut only needs k rows."""
+    assert_contains(q(spark, "f34_hybrid_rrf_search"), "TakeOrderedAndProject")
