@@ -156,7 +156,13 @@ _DRIVER_GREEN = frozenset({
 #     f24_minhash_pinned_lsh, f36_cross_source_dups.
 #     (f9/f12/f38/f40/f43/f49 were also rewritten in r4 but sat IN the
 #     r4 window, so their r4 rows already cover the new code.)
-#   padding to the 50 cap (24): r1-green relational/window queries
+#   rewritten IN round 5 (3): f34_hybrid_rrf_search (final top-20 via
+#     TakeOrderedAndProject instead of a third global rank),
+#     f40_incremental_dedup / f45_domain_pagerank (persist calls
+#     rerouted through the bounded registry) — their r4 rows predate
+#     the r5 diffs, so they re-ride; f3's r5 pre-transform rewrite is
+#     already covered by its never-checked slot above.
+#   padding to the 50 cap (21): r1-green relational/window queries
 #     never re-checked since round 1 — cheap, and re-riding them
 #     guards against fixture-regeneration drift on the oldest rows.
 #
@@ -176,16 +182,17 @@ _WINDOW = frozenset({
     "f4c_cosine_topk_chunked", "f8_tfidf", "f14_quality",
     "f18_pipeline_report", "f21_neardup_clusters", "f23_dedup_suppression",
     "f24_minhash_pinned_lsh", "f36_cross_source_dups",
-    # r1 padding, never re-checked since round 1 (24)
+    # rewritten in round 5 (3)
+    "f34_hybrid_rrf_search", "f40_incremental_dedup", "f45_domain_pagerank",
+    # r1 padding, never re-checked since round 1 (21)
     "a2_schema_manifest", "a3_ddl_manifest", "a4_copy_roundtrip",
     "a5_range_partition_counts", "a7_table_counts", "a8_content_checksum",
     "b1_scan_project", "b2_filter_pred", "b3_case_when", "b6_count_distinct",
     "b7_having", "b8_join_inner_eq", "b9_join_multiway_star",
     "b10_join_outer", "b11_join_semi", "b12_join_anti",
-    "b14_join_theta_range", "b16_union_all", "b18_intersect",
+    "b14_join_theta_range", "b18_intersect",
     "b21_limit_topk",
-    "c10_row_number", "c11_topk_per_group", "c12_lag_lead",
-    "c15_running_total",
+    "c10_row_number", "c11_topk_per_group",
 })
 
 
