@@ -169,6 +169,17 @@ _DRIVER_GREEN = frozenset({
 # After this window every one of the 207 declared queries has ridden a
 # driver window at least once AND every green row was recorded against
 # the shipped code.
+#
+# CONCRETE r6 window plan (assemble at r6 start, once CORRECTNESS_r05
+# is green): verification closure is achieved, so r6 rotates the
+# OLDEST-standing green rows as staleness insurance against fixture
+# drift — first any query rewritten during r6 itself (standing
+# policy), then the 25 r1 greens not re-ridden in the r5 padding
+# (a4b/a4c/a4d/a4e, a6, a9, b13, b15, b15b, b16, b17, b19, b22, b23,
+# b24, b25, b26, c1, c12, c13, c14, c15, c17, c18, c19), then the
+# oldest r2 rows (alphabetical from a10) up to the 50 cap. Every
+# subsequent round repeats the same rule: rewrites first, then
+# oldest-row rotation.
 _WINDOW = frozenset({
     # never driver-checked (9)
     "f42_semantic_dedup", "f47_cluster_quality",
