@@ -1042,3 +1042,26 @@ def test_chunked_staging_refreshes_on_source_change(spark, tmp_path):
     second = run()
     assert set(os.listdir(scratch_dir("f4c_corpus"))) != tags_after_first
     assert second != first  # different embeddings ⇒ different neighbors
+
+
+def test_registry_window_is_the_first_fifty():
+    """The driver's correctness harness checks the FIRST 50 registry
+    entries, so the rotation mechanism is ordering: the declared window
+    must be exactly the first 50 names queries() yields, every window
+    name must resolve, and the rows-only set (no oracle) must stay the
+    7 declared engine-specific ops plus c24/f33 from earlier rounds."""
+    from cassandra_migrate_keyspace_from_cluster_spark import registry
+
+    registry.load_all()
+    names = list(registry.queries())
+    assert len(registry._WINDOW) == 50
+    assert set(names[:50]) == registry._WINDOW
+    assert registry._WINDOW <= set(registry.QUERIES)
+    no_oracle = {n for n, s in registry.specs().items() if s.oracle is None}
+    assert no_oracle == {
+        "c6_approx_quantile", "c7_approx_cd", "c24_hll_mergeable",
+        "f3_minhash_lsh", "f3b_simhash", "f5_ann_lsh", "f5b_ivf_topk",
+        "f33_pq_topk", "f42b_semantic_dedup_kmeans",
+    }
+    # oracle_sql only carries hash-checkable queries, same order
+    assert set(registry.oracle_sql()) == set(names) - no_oracle
