@@ -156,13 +156,16 @@ _DRIVER_GREEN = frozenset({
 #     f24_minhash_pinned_lsh, f36_cross_source_dups.
 #     (f9/f12/f38/f40/f43/f49 were also rewritten in r4 but sat IN the
 #     r4 window, so their r4 rows already cover the new code.)
-#   rewritten IN round 5 (3): f34_hybrid_rrf_search (final top-20 via
-#     TakeOrderedAndProject instead of a third global rank),
-#     f40_incremental_dedup / f45_domain_pagerank (persist calls
-#     rerouted through the bounded registry) — their r4 rows predate
-#     the r5 diffs, so they re-ride; f3's r5 pre-transform rewrite is
-#     already covered by its never-checked slot above.
-#   padding to the 50 cap (21): r1-green relational/window queries
+#   rewritten IN round 5 (6): f34_hybrid_rrf_search (final top-20 via
+#     TakeOrderedAndProject instead of a third global rank);
+#     f40_incremental_dedup / f45_domain_pagerank / f21b / f49 (persist
+#     calls rerouted through the bounded registry via shared helpers);
+#     f33_pq_topk (staging tag now content-fingerprinted) — their
+#     earlier rows predate the r5 diffs, so they re-ride even though
+#     every change is value-identical by construction; f3's r5
+#     pre-transform rewrite is already covered by its never-checked
+#     slot above.
+#   padding to the 50 cap (18): r1-green relational/window queries
 #     never re-checked since round 1 — cheap, and re-riding them
 #     guards against fixture-regeneration drift on the oldest rows.
 #
@@ -174,12 +177,12 @@ _DRIVER_GREEN = frozenset({
 # is green): verification closure is achieved, so r6 rotates the
 # OLDEST-standing green rows as staleness insurance against fixture
 # drift — first any query rewritten during r6 itself (standing
-# policy), then the 25 r1 greens not re-ridden in the r5 padding
-# (a4b/a4c/a4d/a4e, a6, a9, b13, b15, b15b, b16, b17, b19, b22, b23,
-# b24, b25, b26, c1, c12, c13, c14, c15, c17, c18, c19), then the
-# oldest r2 rows (alphabetical from a10) up to the 50 cap. Every
-# subsequent round repeats the same rule: rewrites first, then
-# oldest-row rotation.
+# policy), then the 28 r1 greens not re-ridden in the r5 padding
+# (a4b/a4c/a4d/a4e, a6, a9, b11, b12, b13, b15, b15b, b16, b17, b19,
+# b22, b23, b24, b25, b26, c1, c10, c12, c13, c14, c15, c17, c18,
+# c19), then the oldest r2 rows (alphabetical from a10) up to the 50
+# cap. Every subsequent round repeats the same rule: rewrites first,
+# then oldest-row rotation.
 _WINDOW = frozenset({
     # never driver-checked (9)
     "f42_semantic_dedup", "f47_cluster_quality",
@@ -193,17 +196,18 @@ _WINDOW = frozenset({
     "f4c_cosine_topk_chunked", "f8_tfidf", "f14_quality",
     "f18_pipeline_report", "f21_neardup_clusters", "f23_dedup_suppression",
     "f24_minhash_pinned_lsh", "f36_cross_source_dups",
-    # rewritten in round 5 (3)
+    # rewritten in round 5 (6)
     "f34_hybrid_rrf_search", "f40_incremental_dedup", "f45_domain_pagerank",
-    # r1 padding, never re-checked since round 1 (21)
+    "f21b_neardup_clusters_star", "f49_threshold_calibration", "f33_pq_topk",
+    # r1 padding, never re-checked since round 1 (18)
     "a2_schema_manifest", "a3_ddl_manifest", "a4_copy_roundtrip",
     "a5_range_partition_counts", "a7_table_counts", "a8_content_checksum",
     "b1_scan_project", "b2_filter_pred", "b3_case_when", "b6_count_distinct",
     "b7_having", "b8_join_inner_eq", "b9_join_multiway_star",
-    "b10_join_outer", "b11_join_semi", "b12_join_anti",
+    "b10_join_outer",
     "b14_join_theta_range", "b18_intersect",
     "b21_limit_topk",
-    "c10_row_number", "c11_topk_per_group",
+    "c11_topk_per_group",
 })
 
 
