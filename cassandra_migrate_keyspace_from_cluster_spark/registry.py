@@ -164,7 +164,12 @@ _DRIVER_GREEN = frozenset({
 #     earlier rows predate the r5 diffs, so they re-ride even though
 #     every change is value-identical by construction; f3's r5
 #     pre-transform rewrite is already covered by its never-checked
-#     slot above.
+#     slot above. NOT re-ridden: b20/c16/a9/a10/a19's rank call sites
+#     gained an explicit materialize="local_checkpoint" kwarg — that
+#     value IS the parameter default, so the compiled plan is
+#     byte-identical and there is no code-vs-row divergence to cover
+#     (unlike the persist-registry swaps above, which do change the
+#     runtime caching path).
 #   padding to the 50 cap (18): r1-green relational/window queries
 #     never re-checked since round 1 — cheap, and re-riding them
 #     guards against fixture-regeneration drift on the oldest rows.
