@@ -142,7 +142,9 @@ _DRIVER_GREEN = frozenset({
 # rotation planned at the end of r4 and directed by the r4 verdict:
 #
 #   never-driver-checked (9): f42_semantic_dedup (r4 resized to 32
-#     seeds — never had a row, so no staleness; rides first by policy),
+#     seeds — never had a row, so no staleness; per the r4 verdict it
+#     was re-validated against its oracle in a plain driver-style
+#     session BEFORE this window shipped — tools/window_sim.py),
 #     f47_cluster_quality, and the 7 rows-only-by-design:
 #     c6_approx_quantile, c7_approx_cd, f3_minhash_lsh, f3b_simhash,
 #     f5_ann_lsh, f5b_ivf_topk, f42b_semantic_dedup_kmeans;
