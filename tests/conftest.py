@@ -10,6 +10,26 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# transformWithStateInPandas needs google.protobuf in BOTH the test
+# process and the pyspark worker processes. The container has no wheel,
+# but tests/_protoshim/sitecustomize.py can bridge to the pure-Python
+# runtime bundled in the google-cloud-sdk tree (see its docstring).
+# PYTHONPATH must carry the shim dir BEFORE the SparkSession/JVM is
+# created so workers inherit it; loading the module here applies the
+# same shim to this (driver) process. No-op once a real wheel exists.
+_PROTOSHIM = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_protoshim")
+if os.path.isdir(_PROTOSHIM):
+    os.environ["PYTHONPATH"] = (
+        _PROTOSHIM + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "_tws_protoshim", os.path.join(_PROTOSHIM, "sitecustomize.py")
+    )
+    _mod = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
+
 from cassandra_migrate_keyspace_from_cluster_spark.session import build_session
 from cassandra_migrate_keyspace_from_cluster_spark.sources import TABLES
 
