@@ -89,6 +89,8 @@ def jaccard_pairs_postings(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard via an inverted index — same result as
     ``jaccard_pairs``, different (scalable) dataflow.
@@ -100,17 +102,48 @@ def jaccard_pairs_postings(
     Pairs sharing zero tokens never materialize, so the pair space is
     sum-over-tokens df(t)² within blocks instead of block² — the
     standard exact-similarity-join shape (cf. prefix-filtering
-    literature). Hazards at 100 TB: Zipfian df(t)² blowup on stopword
-    tokens → mitigate with AQE skew split (on), or drop tokens with
-    df > cap as a pre-filter when the threshold permits (a token shared
-    by everyone contributes nothing to distinguishing near-dups).
-    Equality with the cross-join form is pytest-asserted.
+    literature). Hazard at 100 TB: Zipfian df(t)² blowup on stopword
+    tokens. Defenses: AQE skew split (always on) and the OPT-IN
+    ``df_cap`` pre-filter below.
+
+    ``df_cap``: drop tokens with block-scoped document frequency
+    ``df > df_cap`` from CANDIDATE GENERATION, then verify the distinct
+    surviving pairs exactly on the full token sets (``array_intersect``,
+    as in ``jaccard_pairs_prefix``). This collapses the df² blowup —
+    a stopword shared by every doc in a block generates |block|² pair
+    rows yet certifies nothing — and it is provably LOSSLESS under a
+    per-block guard, the capped-postings theorem:
+
+      For a pair A, B with Jaccard ≥ t and n = max(|A|, |B|), the
+      overlap i = |A∩B| satisfies i ≥ t·|A∪B| ≥ t·n, so i ≥ ⌈t·n⌉.
+      If the larger doc carries h < ⌈t·n⌉ heavy tokens (df > df_cap),
+      then fewer than i of the shared tokens can be heavy — at least
+      one shared token is light, and light tokens survive the filter
+      on BOTH sides (df is block-scoped), so the pair is generated.
+
+    The guard is enforced per block: the filter applies only in blocks
+    where EVERY member doc has ``h < ⌈t·n⌉`` (computed with the same
+    ``ceil(t·n − 1e-9)`` under-approximation as the prefix form, which
+    can only tighten the guard — never admit an unsafe drop). Blocks
+    with any violating doc keep all their postings, so capped and
+    uncapped results are identical for ANY (df_cap, threshold) —
+    pytest-asserted as a law, alongside a non-vacuity test that the
+    filter actually drops stopword postings on a crafted corpus.
+    Default ``df_cap=None`` preserves the original single-pass
+    count-based dataflow byte-for-byte (no verify join).
+
+    ``stats`` (opt-in, runs two small eager counts): records
+    ``postings_total``, ``postings_dropped``, ``blocks_capped``.
     """
     d = docs.select(
         F.col(id_col).alias("id"),
         *[F.col(b) for b in blocking],
         F.array_distinct(tokens(text_col)).alias("toks"),
     ).withColumn("n", F.size("toks"))
+    if df_cap is not None:
+        return _jaccard_pairs_postings_capped(
+            d, blocking, threshold, df_cap, stats
+        )
     # persisted: the self-join references the postings on BOTH sides —
     # without persist the scan+tokenize+explode runs twice (measured
     # ~2x query wall at sf0.1). MEMORY_AND_DISK degrades to local-disk
@@ -142,6 +175,79 @@ def jaccard_pairs_postings(
         inter.select(
             "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
         ).filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _jaccard_pairs_postings_capped(
+    d: DataFrame,
+    blocking: list[str],
+    threshold: float,
+    df_cap: int,
+    stats: dict | None,
+) -> DataFrame:
+    """df-capped candidate generation + exact verify — see the
+    ``df_cap`` contract and theorem in ``jaccard_pairs_postings``.
+    ``d`` is the (id, *blocking, toks, n) frame built there."""
+    post = d.select("id", "n", *blocking, F.explode("toks").alias("tok"))
+    dft = post.groupBy(*blocking, "tok").agg(F.count(F.lit(1)).alias("df"))
+    enriched = post.join(dft, [*blocking, "tok"]).withColumn(
+        "heavy", F.col("df") > df_cap
+    )
+    # per-doc guard: h (heavy-token count) vs the minimum overlap any
+    # qualifying pair must share with this doc as its larger side;
+    # under-approximated exactly like the prefix form's ε-guard so a
+    # float representation of threshold can only TIGHTEN the guard.
+    doc_guard = enriched.groupBy("id", *blocking).agg(
+        F.sum(F.col("heavy").cast("int")).alias("h"),
+        F.first("n").alias("n"),
+    ).withColumn(
+        "alpha", F.greatest(F.lit(1), F.ceil(F.col("n") * threshold - 1e-9))
+    )
+    block_ok = doc_guard.groupBy(*blocking).agg(
+        F.min((F.col("h") < F.col("alpha")).cast("int")).alias("blk_capped")
+    )
+    kept = enriched.join(block_ok, blocking).filter(
+        ~(F.col("heavy") & (F.col("blk_capped") == 1))
+    )
+    # persisted for the same reason as the uncapped form: both sides of
+    # the candidate self-join read it.
+    kept = bounded_persist(kept.select("id", *blocking, "tok"))
+    if stats is not None:
+        total = post.count()
+        remaining = kept.count()
+        stats["postings_total"] = total
+        stats["postings_dropped"] = total - remaining
+        stats["blocks_capped"] = (
+            block_ok.filter(F.col("blk_capped") == 1).count()
+        )
+    a, b = kept.alias("a"), kept.alias("b")
+    cond = [F.col("a.tok") == F.col("b.tok")]
+    cond += [F.col(f"a.{k}") == F.col(f"b.{k}") for k in blocking]
+    cond.append(F.col("a.id") < F.col("b.id"))
+    cand = (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    da = d.select(
+        F.col("id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
+    )
+    db = d.select(
+        F.col("id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter.cast("double") / (
+        F.col("n_a") + F.col("n_b") - inter
+    ).cast("double")
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

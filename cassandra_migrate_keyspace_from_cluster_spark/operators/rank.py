@@ -18,10 +18,11 @@ steps, all of them parallel:
 The partition id must be consistent between the counting pass and the
 numbering pass, so the range-partitioned frame is materialized once.
 HOW it is materialized is a call-site choice (``materialize=``):
-``"local_checkpoint"`` (default — cheapest, but blocks are lost with a
-failed executor, so a retry hazard on a real cluster) or ``"persist"``
-(MEMORY_AND_DISK with replicated recompute semantics — the
-cluster-safe form; the caller owns ``unpersist`` once consumed). One
+``"persist"`` (default — MEMORY_AND_DISK with recomputable lineage,
+the cluster-safe form; the caller owns ``unpersist`` once consumed) or
+``"local_checkpoint"`` (cheapest in single-JVM local mode, but blocks
+are lost with a failed executor, so a retry hazard on a real cluster —
+opt in only where the runtime is known to be local). One
 materialization versus one single-task sort is the whole trade, and it
 wins as soon as the table outgrows one executor.
 
@@ -56,7 +57,7 @@ def with_global_row_number(
     rn_col: str = "rn",
     total_col: str | None = None,
     num_partitions: int | None = None,
-    materialize: str = "local_checkpoint",
+    materialize: str = "persist",
 ) -> DataFrame:
     """Add ``rn_col`` = global 1-based row number under ``order_cols``.
 
@@ -67,13 +68,14 @@ def with_global_row_number(
     same per-partition counts, no extra pass.
 
     ``materialize`` picks how the range-partitioned frame is pinned so
-    both passes see the same partition ids: ``"local_checkpoint"``
-    (default; executor-local blocks, lost on executor failure) or
-    ``"persist"`` (MEMORY_AND_DISK — recomputable lineage, the
-    cluster-safe choice; determinism survives recompute because range
-    boundary sampling is seeded per-partition and the local window
-    sorts on a total order). With ``"persist"`` the caller owns
-    ``unpersist`` once the result is consumed.
+    both passes see the same partition ids: ``"persist"`` (default;
+    MEMORY_AND_DISK — recomputable lineage, the cluster-safe choice;
+    determinism survives recompute because range boundary sampling is
+    seeded per-partition and the local window sorts on a total order)
+    or ``"local_checkpoint"`` (executor-local blocks, lost on executor
+    failure — safe only in single-JVM local mode, where it skips the
+    block-manager replication bookkeeping). With ``"persist"`` the
+    caller owns ``unpersist`` once the result is consumed.
     """
     if num_partitions is None:
         num_partitions = int(

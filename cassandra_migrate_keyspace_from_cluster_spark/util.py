@@ -25,6 +25,8 @@ import atexit
 import os
 import shutil
 import tempfile
+import threading
+import uuid
 
 _SCRATCH_ROOT: str | None = None
 
@@ -59,20 +61,26 @@ def content_fingerprint(key: str) -> str:
     reuse a _SUCCESS-marked staging built from the old data. Folding in
     the sorted (name, size, mtime_ns) of the path's parquet files makes
     the tag content-addressed for O(#files) stat calls, no data read.
-    Non-path keys pass through unchanged.
+    Non-path keys pass through unchanged. A source in flux — a file
+    vanishing between listdir and stat (fixtures get regenerated
+    in-place) — must not crash the query: it falls back to a one-shot
+    key (uuid suffix) so that run simply skips staging reuse.
     """
     if not os.path.exists(key):
         return key
-    if os.path.isdir(key):
-        names = sorted(e for e in os.listdir(key) if e.endswith(".parquet"))
-        paths = [os.path.join(key, e) for e in names]
-    else:
-        names, paths = [os.path.basename(key)], [key]
-    stats = [
-        (name, st.st_size, st.st_mtime_ns)
-        for name, p in zip(names, paths)
-        for st in (os.stat(p),)
-    ]
+    try:
+        if os.path.isdir(key):
+            names = sorted(e for e in os.listdir(key) if e.endswith(".parquet"))
+            paths = [os.path.join(key, e) for e in names]
+        else:
+            names, paths = [os.path.basename(key)], [key]
+        stats = [
+            (name, st.st_size, st.st_mtime_ns)
+            for name, p in zip(names, paths)
+            for st in (os.stat(p),)
+        ]
+    except OSError:
+        return f"{key}|influx-{uuid.uuid4().hex}"
     return f"{key}|{stats!r}"
 
 
@@ -109,17 +117,24 @@ def evict_stale_tags(base: str, keep: str, max_tags: int = 4) -> None:
 # bounded working set.
 _PERSISTED: list = []
 _PERSIST_CAP = 8
+_PERSISTED_LOCK = threading.Lock()
 
 
 def bounded_persist(df, storage_level=None):
     """``df.persist()`` registered in a process-wide FIFO of size
     ``_PERSIST_CAP``; the oldest cached frame is unpersisted (non-
-    blocking) when the cap is exceeded."""
+    blocking) when the cap is exceeded. The registry is locked:
+    operators submit jobs from thread pools (a13), and an unguarded
+    append/pop race could let the FIFO exceed its cap."""
     df = df.persist(storage_level) if storage_level is not None else df.persist()
-    _PERSISTED.append(df)
-    while len(_PERSISTED) > _PERSIST_CAP:
+    evict = []
+    with _PERSISTED_LOCK:
+        _PERSISTED.append(df)
+        while len(_PERSISTED) > _PERSIST_CAP:
+            evict.append(_PERSISTED.pop(0))
+    for old in evict:
         try:
-            _PERSISTED.pop(0).unpersist(blocking=False)
+            old.unpersist(blocking=False)
         except Exception:
             pass
     return df

@@ -139,6 +139,89 @@ def test_jaccard_postings_equals_crossjoin(spark):
     assert hi_post == hi_pref and hi_pref
 
 
+def test_jaccard_postings_df_cap_law(spark):
+    """The opt-in df_cap pre-filter must be invisible in the results for
+    ANY (cap, threshold): blocks where a doc violates the capped-postings
+    theorem's guard (h < ceil(t*n)) keep all their postings, and the
+    surviving candidates are re-verified on full token sets. Caps span
+    aggressive (2), moderate (25), and no-op (1e6) regimes."""
+    docs = load_table(spark, SF_T2, "documents")
+    for thr in (0.6, 0.7):
+        base = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dd.jaccard_pairs_postings(
+                docs, ["lang", "source"], thr
+            ).collect()
+        }
+        assert base
+        for cap in (2, 25, 10**6):
+            capped = {
+                (r.doc_a, r.doc_b, r.jaccard)
+                for r in dd.jaccard_pairs_postings(
+                    docs, ["lang", "source"], thr, df_cap=cap
+                ).collect()
+            }
+            assert capped == base, (thr, cap)
+
+
+def test_jaccard_postings_df_cap_drops_stopwords(spark):
+    """Non-vacuity: on a corpus where one stopword rides every doc but
+    each doc has plenty of distinctive tokens, the cap must actually
+    drop the stopword postings (the df² hazard it exists for) while the
+    pair results stay identical."""
+    rows = [
+        # 12 docs, all contain 'the'; doc i shares its other 9 tokens
+        # with doc i+1 only when i is even (pairs 0-1, 2-3, ...).
+        (i, "en", "web",
+         "the " + " ".join(f"w{(i // 2)}_{j}" for j in range(9)))
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string"
+    )
+    base = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd.jaccard_pairs_postings(docs, ["lang", "source"], 0.6).collect()
+    }
+    assert base == {(2 * k, 2 * k + 1, 1.0) for k in range(6)}
+    stats: dict = {}
+    capped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd.jaccard_pairs_postings(
+            docs, ["lang", "source"], 0.6, df_cap=3, stats=stats
+        ).collect()
+    }
+    assert capped == base
+    # every doc: n=10, h=1 ('the', df=12 > 3), guard 1 < ceil(6) holds
+    # -> block capped, the 12 'the' postings dropped.
+    assert stats["blocks_capped"] == 1 and stats["postings_dropped"] == 12
+
+
+def test_jaccard_postings_df_cap_guard_blocks_unsafe_drop(spark):
+    """Adversarial guard case: identical one-token docs. Every token is
+    heavy under df_cap=1 and ALSO the doc's entire overlap budget
+    (h = 1 = ceil(t*n)), so the guard must refuse to cap the block —
+    dropping 'x' would silently lose the J=1.0 pairs."""
+    rows = [(i, "en", "web", "x") for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string"
+    )
+    base = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd.jaccard_pairs_postings(docs, ["lang", "source"], 0.6).collect()
+    }
+    assert len(base) == 10  # C(5,2) identical pairs
+    stats: dict = {}
+    capped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd.jaccard_pairs_postings(
+            docs, ["lang", "source"], 0.6, df_cap=1, stats=stats
+        ).collect()
+    }
+    assert capped == base
+    assert stats["blocks_capped"] == 0 and stats["postings_dropped"] == 0
+
+
 def test_ivf_recall_and_probe_monotonicity(spark):
     """f5b (IVF) recall vs the exact f4 truth. Random gaussian vectors
     are IVF's worst case (no real cluster structure), so the bound is

@@ -63,6 +63,13 @@ def main() -> None:
                 b2 = b[sorted(b.columns)].sort_values(
                     by=sorted(b.columns)
                 ).reset_index(drop=True)
+                # NOTE: astype(str) equality is an APPROXIMATION of the
+                # driver's hash protocol (float/NaN/Decimal repr could
+                # diverge between the engines' pandas frames); the
+                # authoritative cell-exact compare is tests/test_parity.py,
+                # which runs the same normalization over ALL queries.
+                # This pre-flight exists to catch plain-session breakage
+                # (confs, ordering, empty results), not to re-prove parity.
                 ok = (
                     list(a2.columns) == list(b2.columns)
                     and len(a2) == len(b2)
@@ -70,7 +77,12 @@ def main() -> None:
                 )
                 status = "HASH-OK" if ok else "MISMATCH"
             else:
-                ok = len(a) >= 0
+                # rows-only queries must actually RETURN rows: a
+                # regression emptying an LSH/sketch query would
+                # otherwise pass pre-flight and only surface at the
+                # grading driver (every registered rows-only query
+                # yields >0 rows on all fixture SFs by construction).
+                ok = len(a) > 0
                 status = f"ROWS-ONLY({len(a)})"
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
             ok, status = False, f"ERROR {type(ex).__name__}: {str(ex)[:160]}"
