@@ -367,6 +367,16 @@ def minhash_lsh_pairs(
     ).select(
         F.col(id_col).alias("id"), shingles(text_col, k_shingle).alias("toks")
     )
+    # Spread the transform: a small corpus arrives as ONE parquet
+    # row-group = one partition, and every downstream stage (shingle
+    # explode, HashingTF, the minhash UDF that dominates this
+    # pipeline's wall) inherits it — measured 2x the warm query at
+    # sf0.1 on one core of 32. Widen only when under-parallel: a
+    # 100-TB corpus already carries >= defaultParallelism partitions
+    # and must not pay a gratuitous full shuffle here.
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target, "id")
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
     # persisted: approxSimilarityJoin(feat, feat) references the frame
     # on BOTH join sides, and the fit() pass reads it a third time —

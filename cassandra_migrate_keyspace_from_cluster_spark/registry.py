@@ -58,9 +58,9 @@ def load_all() -> None:
     from .queries import ALL_MODULES  # noqa: F401  (import side effect)
 
 
-# Queries already driver-verified green (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪
-# r04 — 198 names, zero driver failures ever recorded against current
-# code).
+# Queries already driver-verified green (CORRECTNESS_r01 ∪ … ∪ r05 —
+# all 207 names have now ridden a driver window; zero driver failures
+# ever recorded against current code).
 # The driver's per-round correctness harness caps at the first 50
 # registry entries, so ordering is coverage policy: this round's explicit
 # window FIRST, then the remaining never-driver-checked queries,
@@ -135,86 +135,71 @@ _DRIVER_GREEN = frozenset({
     "f49_threshold_calibration", "f50_domain_quota_sample",
     "f51_ngram_novelty", "f52_dataset_card",
     "g11_apply_in_arrow",
-})
-
-
-# Round-5 driver window (exactly 50 names) — the verification-closure
-# rotation planned at the end of r4 and directed by the r4 verdict:
-#
-#   never-driver-checked (9): f42_semantic_dedup (r4 resized to 32
-#     seeds — never had a row, so no staleness; per the r4 verdict it
-#     was re-validated against its oracle in a plain driver-style
-#     session BEFORE this window shipped — tools/window_sim.py),
-#     f47_cluster_quality, and the 7 rows-only-by-design:
-#     c6_approx_quantile, c7_approx_cd, f3_minhash_lsh, f3b_simhash,
-#     f5_ann_lsh, f5b_ivf_topk, f42b_semantic_dedup_kmeans;
-#   green rows whose VALUES changed in r4 (3): b4_agg_global,
-#     b5_agg_groupby, g3_grouped_agg_udaf (2dp rounding law);
-#   green rows rewritten in r4, values unchanged locally (14):
-#     a1_cluster_scan, a13_full_keyspace_copy, f1_exact_dedup,
-#     f2_token_jaccard_neardup, f4_cosine_topk, f4b_cosine_neardup,
-#     f4c_cosine_topk_chunked, f8_tfidf, f14_quality,
-#     f18_pipeline_report, f21_neardup_clusters, f23_dedup_suppression,
-#     f24_minhash_pinned_lsh, f36_cross_source_dups.
-#     (f9/f12/f38/f40/f43/f49 were also rewritten in r4 but sat IN the
-#     r4 window, so their r4 rows already cover the new code.)
-#   rewritten IN round 5 (6): f34_hybrid_rrf_search (final top-20 via
-#     TakeOrderedAndProject instead of a third global rank);
-#     f40_incremental_dedup / f45_domain_pagerank / f21b / f49 (persist
-#     calls rerouted through the bounded registry via shared helpers);
-#     f33_pq_topk (staging tag now content-fingerprinted) — their
-#     earlier rows predate the r5 diffs, so they re-ride even though
-#     every change is value-identical by construction; f3's r5
-#     pre-transform rewrite is already covered by its never-checked
-#     slot above. NOT re-ridden: b20/c16/a9/a10/a19's rank call sites
-#     gained an explicit materialize="local_checkpoint" kwarg — that
-#     value IS the parameter default, so the compiled plan is
-#     byte-identical and there is no code-vs-row divergence to cover
-#     (unlike the persist-registry swaps above, which do change the
-#     runtime caching path).
-#   padding to the 50 cap (18): r1-green relational/window queries
-#     never re-checked since round 1 — cheap, and re-riding them
-#     guards against fixture-regeneration drift on the oldest rows.
-#
-# After this window every one of the 207 declared queries has ridden a
-# driver window at least once AND every green row was recorded against
-# the shipped code.
-#
-# CONCRETE r6 window plan (assemble at r6 start, once CORRECTNESS_r05
-# is green): verification closure is achieved, so r6 rotates the
-# OLDEST-standing green rows as staleness insurance against fixture
-# drift — first any query rewritten during r6 itself (standing
-# policy), then the 28 r1 greens not re-ridden in the r5 padding
-# (a4b/a4c/a4d/a4e, a6, a9, b11, b12, b13, b15, b15b, b16, b17, b19,
-# b22, b23, b24, b25, b26, c1, c10, c12, c13, c14, c15, c17, c18,
-# c19), then the oldest r2 rows (alphabetical from a10) up to the 50
-# cap. Every subsequent round repeats the same rule: rewrites first,
-# then oldest-row rotation.
-_WINDOW = frozenset({
-    # never driver-checked (9)
+    # --- CORRECTNESS_r05.json (round 5, 42 hash + 8 rows-only) ---
+    # (names not already green in earlier rounds)
     "f42_semantic_dedup", "f47_cluster_quality",
     "c6_approx_quantile", "c7_approx_cd", "f3_minhash_lsh", "f3b_simhash",
     "f5_ann_lsh", "f5b_ivf_topk", "f42b_semantic_dedup_kmeans",
-    # values changed in r4 (2dp rounding law) (3)
-    "b4_agg_global", "b5_agg_groupby", "g3_grouped_agg_udaf",
-    # rewritten in r4, values locally unchanged (14)
-    "a1_cluster_scan", "a13_full_keyspace_copy", "f1_exact_dedup",
-    "f2_token_jaccard_neardup", "f4_cosine_topk", "f4b_cosine_neardup",
-    "f4c_cosine_topk_chunked", "f8_tfidf", "f14_quality",
-    "f18_pipeline_report", "f21_neardup_clusters", "f23_dedup_suppression",
-    "f24_minhash_pinned_lsh", "f36_cross_source_dups",
-    # rewritten in round 5 (6)
-    "f34_hybrid_rrf_search", "f40_incremental_dedup", "f45_domain_pagerank",
-    "f21b_neardup_clusters_star", "f49_threshold_calibration", "f33_pq_topk",
-    # r1 padding, never re-checked since round 1 (18)
-    "a2_schema_manifest", "a3_ddl_manifest", "a4_copy_roundtrip",
-    "a5_range_partition_counts", "a7_table_counts", "a8_content_checksum",
-    "b1_scan_project", "b2_filter_pred", "b3_case_when", "b6_count_distinct",
-    "b7_having", "b8_join_inner_eq", "b9_join_multiway_star",
-    "b10_join_outer",
-    "b14_join_theta_range", "b18_intersect",
-    "b21_limit_topk",
-    "c11_topk_per_group",
+})
+
+
+# Round-6 driver window (exactly 50 names) — the staleness rotation
+# pre-planned at the end of r5 and directed by the r5 verdict
+# ("rewrites first, then oldest-row rotation"), pre-flighted 50/50 by
+# tools/window_sim.py before shipping:
+#
+#   rewritten IN round 6 (2): f2_token_jaccard_neardup (its operator
+#     jaccard_pairs_postings grew the opt-in df_cap branch — the
+#     registered call rides the default path whose plan is unchanged,
+#     but rewritten code re-rides by standing policy);
+#     f3_minhash_lsh (minhash_lsh_pairs now widens an under-
+#     partitioned input before the MLlib transforms — 2x warm
+#     speedup, identical pairs; rows-only).
+#     NOT re-ridden for the other r6 diffs: the rank.py materialize
+#     default flip (every call site passes the kwarg explicitly, so no
+#     compiled plan changed) and the util.py fingerprint/lock hygiene
+#     (no plan surface at all) — same byte-identical-plan rule r5
+#     applied to its kwarg-only diffs.
+#   r1 greens never re-ridden since round 1 (28): fixtures were
+#     regenerated in place three times across r3-r4, so these are the
+#     oldest code-vs-fixture rows standing — a4b/a4c/a4d/a4e, a6, a9,
+#     b11-b13, b15, b15b, b16/b17/b19, b22-b26, c1, c10, c12-c15,
+#     c17-c19.
+#   oldest r2 rows, alphabetical from a10, to the 50 cap (20):
+#     a10-a14(minus a13 which re-rode r5), a4f, b14b, b27-b33,
+#     c20-c24, c2, d13.
+#
+# CONCRETE r7 window plan (assemble at r7 start, once CORRECTNESS_r06
+# is green): rewrites during r7 first, then the remaining r2 rows
+# (d14, d15, d16, d17, e11, e12, e13, e15, e17, e18, e19, e20, f25,
+# f26, f27, f28, f30, f31, f32, f35, f37, f38, f39, g9, g10 — 25
+# names), then the oldest r3 rows (alphabetical: b20, c16, c3, c4,
+# c5, c5b, d1, ...) to the 50 cap. Every subsequent round repeats the
+# same rule: rewrites first, then oldest-row rotation.
+_WINDOW = frozenset({
+    # rewritten in round 6 (2)
+    "f2_token_jaccard_neardup", "f3_minhash_lsh",
+    # r1 greens never re-ridden since round 1 (28)
+    "a4b_copy_roundtrip_csv", "a4c_copy_roundtrip_json",
+    "a4d_copy_partitioned", "a4e_copy_roundtrip_orc",
+    "a6_writetime_copy", "a9_resumable_copy",
+    "b11_join_semi", "b12_join_anti", "b13_join_cross",
+    "b15_join_asof", "b15b_asof_pandas_api",
+    "b16_union_all", "b17_union_distinct", "b19_except",
+    "b22_distinct_rows", "b23_exists_subquery", "b24_salted_agg",
+    "b25_tpch_q3_shaped", "b26_tpch_q10_shaped",
+    "c1_rollup", "c10_row_number", "c12_lag_lead", "c13_frame_rows",
+    "c14_frame_range", "c15_running_total", "c17_first_last",
+    "c18_forward_fill", "c19_filtered_agg",
+    # oldest r2 rows, alphabetical from a10 (20)
+    "a10_throttled_copy", "a11_snapshot_diff",
+    "a12_schema_evolution_copy", "a14_range_checksums",
+    "a4f_copy_compacted", "b14b_range_join_banded",
+    "b27_scalar_subquery", "b28_join_disjunctive", "b29_lateral_join",
+    "b30_in_subquery", "b31_limit_offset", "b32_group_by_all",
+    "b33_union_evolved", "c20_unpivot", "c21_date_spine_gapfill",
+    "c22_window_count_distinct", "c23_listagg", "c24_hll_mergeable",
+    "c2_cube", "d13_regex_array",
 })
 
 
