@@ -983,3 +983,112 @@ def pq_topk(
     return queries.mapInPandas(
         adc_topk, "query_id bigint, neighbor_id bigint, approx_dist double"
     )
+
+
+# -- application-layer tier selection ---------------------------------------
+
+#: The vector-search ladder, cheapest-exact first. Values are the
+#: operator functions in this module; names are the registry QueryIDs
+#: that exercise each tier.
+SIMILARITY_TIERS = {
+    "exact_broadcast": cosine_topk,          # f4
+    "exact_chunked": cosine_topk_chunked,    # f4c
+    "ivf": ivf_cosine_topk,                  # f5b
+    "pq": pq_topk,                           # f33
+}
+
+
+def choose_similarity_tier(
+    n_rows: int,
+    dim: int,
+    executor_mem_bytes: int,
+    exact_required: bool = False,
+    broadcast_fraction: float = 0.25,
+    ivf_spill_multiple: int = 64,
+) -> str:
+    """Pick the similarity-search tier from corpus stats — the SURVEY §4
+    deferred auto-selector, as a documented application-layer helper
+    (NOT a Catalyst rule: the inputs are table statistics the planner
+    does not model, and the tiers differ in recall, which no relational
+    optimizer may silently trade away).
+
+    Decision table (returns a key of ``SIMILARITY_TIERS``):
+
+      corpus footprint  = n_rows * dim * 8 bytes   (the float64
+        normalized matrix each worker caches — the same quantity
+        ``_load_normalized_corpus`` materializes per process)
+
+      1. footprint <= broadcast_fraction * executor_mem
+           -> "exact_broadcast" (f4): shuffle-free BLAS matmul, the
+              fastest AND exact — always preferred when it fits. The
+              default fraction (0.25) mirrors broadcast-join
+              conservatism: the worker also holds Arrow batches, the
+              id vector, and the interpreter itself.
+      2. exact_required and it doesn't fit
+           -> "exact_chunked" (f4c): exact at any scale; pays
+              ceil(footprint / chunk_bytes) corpus passes, so it is
+              the right answer only when recall must be 1.0.
+      3. approximate allowed, footprint <= ivf_spill_multiple * mem
+           -> "ivf" (f5b): per-query work touches only n_probe/n_cells
+              of the corpus and the worker cache holds PROBED CELLS,
+              not the corpus — viable until even hot-cell gathers
+              thrash, which the spill multiple (default 64x) bounds.
+      4. beyond that
+           -> "pq" (f33): m-byte codes instead of dim*8-byte vectors
+              (~32x smaller at the defaults), so the ADC scan stays
+              executor-resident two orders of magnitude past raw.
+
+    The thresholds are deliberately coarse — tier choice is a
+    cost-model CLIFF decision (fits / does not fit), not a continuous
+    optimum — and every boundary is monotone: growing the corpus never
+    moves the choice back toward a cheaper-memory-footprint-assuming
+    tier (pytest-asserted as a law over a stats grid).
+    """
+    if n_rows <= 0 or dim <= 0 or executor_mem_bytes <= 0:
+        raise ValueError("n_rows, dim, executor_mem_bytes must be positive")
+    footprint = n_rows * dim * 8
+    if footprint <= broadcast_fraction * executor_mem_bytes:
+        return "exact_broadcast"
+    if exact_required:
+        return "exact_chunked"
+    if footprint <= ivf_spill_multiple * executor_mem_bytes:
+        return "ivf"
+    return "pq"
+
+
+def auto_cosine_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    executor_mem_bytes: int | None = None,
+    exact_required: bool = False,
+    chosen: dict | None = None,
+    **tier_kwargs,
+) -> DataFrame:
+    """Dispatch top-k cosine search through ``choose_similarity_tier``.
+
+    Corpus stats come from one cheap aggregate (count + first-row
+    embedding length — no data-wide scan of the vectors themselves);
+    executor memory defaults to ``spark.executor.memory`` (falling back
+    to the 1g Spark default) times the JVM-to-usable haircut built into
+    the broadcast fraction. ``chosen`` (opt-in) records the decision
+    ({"tier": ..., "n_rows": ..., "dim": ...}) for callers that log or
+    test the routing; ``tier_kwargs`` pass through to the tier operator
+    (e.g. ``n_probe`` for IVF, ``m`` for PQ).
+    """
+    row = embeddings.select(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("d")
+    ).collect()[0]
+    if executor_mem_bytes is None:
+        conf = embeddings.sparkSession.conf.get("spark.executor.memory", "1g")
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        s = conf.strip().lower()
+        executor_mem_bytes = (
+            int(s[:-1]) * units[s[-1]] if s[-1] in units else int(s)
+        )
+    tier = choose_similarity_tier(
+        row.n, row.d, executor_mem_bytes, exact_required=exact_required
+    )
+    if chosen is not None:
+        chosen.update({"tier": tier, "n_rows": row.n, "dim": row.d})
+    return SIMILARITY_TIERS[tier](embeddings, k=k, id_col=id_col, **tier_kwargs)

@@ -1148,3 +1148,72 @@ def test_registry_window_is_the_first_fifty():
     }
     # oracle_sql only carries hash-checkable queries, same order
     assert set(registry.oracle_sql()) == set(names) - no_oracle
+
+
+def test_similarity_tier_choice_table():
+    """The SURVEY §4 auto-selector: documented decision table over
+    (rows x dim vs executor memory), plus the monotonicity law — growing
+    the corpus never moves the choice back toward a tier that assumes a
+    smaller memory footprint."""
+    GB = 1 << 30
+    # (n_rows, dim, mem, exact_required) -> expected tier
+    table = [
+        # fits the broadcast fraction -> exact wins regardless of flag
+        (10_000, 128, 1 * GB, False, "exact_broadcast"),
+        (10_000, 128, 1 * GB, True, "exact_broadcast"),
+        # 8 GB corpus vs 4 GB executor: too big to broadcast
+        (8_000_000, 128, 4 * GB, True, "exact_chunked"),
+        (8_000_000, 128, 4 * GB, False, "ivf"),
+        # 1 TB corpus vs 4 GB executor: past the IVF spill bound (64x)
+        (1_000_000_000, 128, 4 * GB, False, "pq"),
+        (1_000_000_000, 128, 4 * GB, True, "exact_chunked"),
+    ]
+    for n, d, mem, exact, want in table:
+        got = sim.choose_similarity_tier(n, d, mem, exact_required=exact)
+        assert got == want, (n, d, mem, exact, got, want)
+    # monotonicity law: as n grows with mem fixed, the approximate
+    # ladder only ever descends exact_broadcast -> ivf -> pq
+    order = ["exact_broadcast", "ivf", "pq"]
+    last = 0
+    for n in [10**i for i in range(2, 11)]:
+        tier = sim.choose_similarity_tier(n, 128, 4 * GB)
+        idx = order.index(tier)
+        assert idx >= last, (n, tier)
+        last = idx
+    # and with exact_required the ladder is exact_broadcast -> chunked
+    order_e = ["exact_broadcast", "exact_chunked"]
+    last = 0
+    for n in [10**i for i in range(2, 11)]:
+        tier = sim.choose_similarity_tier(n, 128, 4 * GB, exact_required=True)
+        idx = order_e.index(tier)
+        assert idx >= last, (n, tier)
+        last = idx
+    import pytest
+
+    with pytest.raises(ValueError):
+        sim.choose_similarity_tier(0, 128, 4 * GB)
+
+
+def test_auto_cosine_topk_dispatches_and_matches_exact(spark):
+    """The dispatcher must (a) route the fixture corpus (tiny) to the
+    exact broadcast tier and reproduce cosine_topk's rows exactly, and
+    (b) route to IVF when executor memory is squeezed below the corpus
+    footprint while approximate is allowed."""
+    emb = sim.with_double_embedding(
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    )
+    chosen: dict = {}
+    got = sim.auto_cosine_topk(emb, k=3, chosen=chosen).collect()
+    assert chosen["tier"] == "exact_broadcast"
+    want = sim.cosine_topk(emb, k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # squeeze memory: footprint = n*d*8; force it past the broadcast
+    # fraction but inside the IVF spill bound
+    footprint = chosen["n_rows"] * chosen["dim"] * 8
+    squeezed = int(footprint / 0.25) // 2
+    chosen2: dict = {}
+    out = sim.auto_cosine_topk(
+        emb, k=3, executor_mem_bytes=squeezed, chosen=chosen2, n_probe=2
+    )
+    assert chosen2["tier"] == "ivf"
+    assert out.count() > 0
