@@ -98,6 +98,20 @@ def test_jaccard_postings_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_jaccard_postings_df_cap_no_cartesian(spark):
+    """The df_cap branch adds a df join, the per-block guard, and the
+    exact verify join — none of which may degrade to a product join."""
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import dedup as dd
+    from cassandra_migrate_keyspace_from_cluster_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = physical_plan(
+        dd.jaccard_pairs_postings(docs, ["lang", "source"], 0.6, df_cap=25)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_salted_agg_two_phase(spark):
     """b24 must aggregate in two keyed phases (salted partial, final) —
     visible as two HashAggregate pairs in the plan."""
