@@ -32,6 +32,8 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import SparkSession
 
+    from tests.parity import compare_frames
+
     spark = SparkSession.builder.master(master).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -57,25 +59,17 @@ def main() -> None:
             a = qs[name](spark, sf_dir).toPandas()
             if name in oracles:
                 b = con.execute(oracles[name]).df()
-                a2 = a[sorted(a.columns)].sort_values(
-                    by=sorted(a.columns)
-                ).reset_index(drop=True)
-                b2 = b[sorted(b.columns)].sort_values(
-                    by=sorted(b.columns)
-                ).reset_index(drop=True)
-                # NOTE: astype(str) equality is an APPROXIMATION of the
-                # driver's hash protocol (float/NaN/Decimal repr could
-                # diverge between the engines' pandas frames); the
-                # authoritative cell-exact compare is tests/test_parity.py,
-                # which runs the same normalization over ALL queries.
-                # This pre-flight exists to catch plain-session breakage
-                # (confs, ordering, empty results), not to re-prove parity.
-                ok = (
-                    list(a2.columns) == list(b2.columns)
-                    and len(a2) == len(b2)
-                    and a2.astype(str).equals(b2.astype(str))
-                )
-                status = "HASH-OK" if ok else "MISMATCH"
+                # SAME normalization as the parity replica (cell-level
+                # type folding, order-insensitive) — tests/parity.py is
+                # the one compare routine both gates share, so this
+                # pre-flight cannot pass/fail differently from the
+                # all-queries parity suite on representation quirks.
+                try:
+                    compare_frames(a, b, name)
+                    ok, status = True, "HASH-OK"
+                except AssertionError as diff:
+                    ok = False
+                    status = f"MISMATCH {str(diff).splitlines()[0][:160]}"
             else:
                 # rows-only queries must actually RETURN rows: a
                 # regression emptying an LSH/sketch query would
