@@ -248,3 +248,50 @@ def test_chunk_dedup_conservation(spark, rows):
     assert all(r["count"] == 1 for r in survivors.collect())
     n_distinct = ranked.select("chunk").distinct().count()
     assert survivors.count() == n_distinct
+
+
+docs_st = st.lists(
+    st.tuples(
+        st.sampled_from(["web", "cc"]),
+        st.lists(
+            st.sampled_from(["t0", "t1", "t2", "t3", "t4", "t5"]),
+            min_size=1,
+            max_size=8,
+        ),
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(
+    docs=docs_st,
+    thr=st.sampled_from([0.34, 0.5, 0.67, 0.9]),
+    cap=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_df_cap_lossless_property(spark, docs, thr, cap):
+    """The capped-postings theorem as a PROPERTY: for ANY corpus over a
+    tiny vocabulary (maximal stopword pressure — every token is heavy
+    under small caps), any threshold, and any cap, the df_cap path must
+    return exactly the uncapped pairs and scores. The per-block guard
+    carries the whole burden here: most sampled corpora violate
+    h < ceil(t*n) for some doc, so the filter must refuse precisely
+    there, and apply only where the theorem licenses it."""
+    rows = [
+        (i, "en", src, " ".join(toks)) for i, (src, toks) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string"
+    )
+    base = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd.jaccard_pairs_postings(df, ["lang", "source"], thr).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd.jaccard_pairs_postings(
+            df, ["lang", "source"], thr, df_cap=cap
+        ).collect()
+    }
+    assert capped == base, (thr, cap, sorted(rows))
