@@ -2460,7 +2460,8 @@ def f48_split_leakage(spark, sf_dir):
     es AS (
       SELECT l.cluster_id,
              CAST(count(*) AS BIGINT) AS n_edges,
-             round(avg(p.jaccard), 6) AS avg_sim,
+             CAST((2 * sum(CAST(round(p.jaccard * 1e6, 0) AS BIGINT))
+                   + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS avg_sim,
              round(min(p.jaccard), 6) AS min_sim,
              round(max(p.jaccard), 6) AS max_sim
       FROM pairs p JOIN lab l ON p.doc_a = l.doc
@@ -2480,7 +2481,17 @@ def f47_cluster_quality(spark, sf_dir):
     before suppressing); a tight cluster has min ≈ max ≈ 1. Composes
     the postings pair join + CC label table with one edge-keyed join +
     partial agg — all shapes already proven at scale; output is
-    O(clusters)."""
+    O(clusters).
+
+    avg_sim is computed in exact integer micro-units — jaccard is
+    already 6dp-rounded, so sum(round(j*1e6)) is an exact bigint and
+    the half-up mean is ``(2s + n) div (2n)`` with no float summation
+    anywhere: means of 6dp-rounded values land EXACTLY on 7th-digit
+    halves whenever 2s ≡ n (mod 2n), where engine float-sum order
+    flips the 6dp rounding (caught by an sf0.001 parity probe as a
+    1-ulp avg_sim divergence; the gate SFs never hit a boundary).
+    Both engines then divide identical integers — identical doubles,
+    any SF."""
     docs = t(spark, sf_dir, "documents")
     # pairs feeds BOTH the CC and the edge-stats aggregate — materialize
     # the postings join once (it is the dominant cost) instead of
@@ -2493,14 +2504,23 @@ def f47_cluster_quality(spark, sf_dir):
         F.col("doc_id").alias("doc_a"), "cluster_id"
     )
     es = (
-        pairs.join(lab, "doc_a")
+        pairs.withColumn(
+            "__micro", F.round(F.col("jaccard") * 1e6, 0).cast("bigint")
+        )
+        .join(lab, "doc_a")
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_edges"),
-            F.round(F.avg("jaccard"), 6).alias("avg_sim"),
+            F.sum("__micro").alias("__s"),
             F.round(F.min("jaccard"), 6).alias("min_sim"),
             F.round(F.max("jaccard"), 6).alias("max_sim"),
         )
+        .withColumn(
+            "avg_sim",
+            F.expr("(2 * __s + n_edges) div (2 * n_edges)").cast("double")
+            / F.lit(1e6),
+        )
+        .drop("__s")
     )
     sz = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
     return sz.join(es, "cluster_id").select(
