@@ -1942,7 +1942,11 @@ def f40_incremental_dedup(spark, sf_dir):
       FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
     SELECT lang, CAST(bucket AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(avg_logprob), 6) AS bucket_avg_logprob,
+           CAST(CASE WHEN sum(CAST(round(avg_logprob * 1e6, 0) AS BIGINT)) < 0
+                     THEN -1 ELSE 1 END
+                * ((2 * abs(sum(CAST(round(avg_logprob * 1e6, 0) AS BIGINT)))
+                    + count(*)) // (2 * count(*))) AS DOUBLE) / 1e6
+             AS bucket_avg_logprob,
            round(min(avg_logprob), 6) AS bucket_min_logprob
     FROM bucketed GROUP BY lang, bucket
     """,
@@ -1957,7 +1961,17 @@ def f41_perplexity_buckets(spark, sf_dir):
     Scale shape: the ntile window partitions by LANG — bounded-width
     partitions, never a global single-partition sort; ordering carries
     the rounded score + doc_id tie-break so bucket edges are
-    cross-engine deterministic."""
+    cross-engine deterministic.
+
+    bucket_avg_logprob averages 6dp-ROUNDED scores, so it shares f47's
+    half-boundary hazard (a mean of k-rounded values can land exactly
+    on a 7th-digit half, where engine float-sum order flips the final
+    rounding). Same exact fix, extended to the negative domain:
+    sum(round(v*1e6)) is an exact bigint s, and the half-AWAY-FROM-ZERO
+    mean (both engines' round convention) is
+    sign(s) * ((2|s| + n) div (2n)) — positive-operand integer
+    division, on which Spark's div (truncate) and DuckDB's //
+    (floor) agree."""
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
@@ -1979,10 +1993,28 @@ def f41_perplexity_buckets(spark, sf_dir):
         scored.join(docs.select("doc_id", "lang"), "doc_id")
         .withColumn("bucket", F.ntile(4).over(w).cast("long"))
     )
-    return bucketed.groupBy("lang", "bucket").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        r6(F.avg("avg_logprob")).alias("bucket_avg_logprob"),
-        r6(F.min("avg_logprob")).alias("bucket_min_logprob"),
+    return (
+        bucketed.withColumn(
+            "__micro", F.round(F.col("avg_logprob") * 1e6, 0).cast("bigint")
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__micro").alias("__s"),
+            r6(F.min("avg_logprob")).alias("bucket_min_logprob"),
+        )
+        .withColumn(
+            "bucket_avg_logprob",
+            F.expr(
+                "CAST(CASE WHEN __s < 0 THEN -1 ELSE 1 END"
+                " * ((2 * abs(__s) + n_docs) div (2 * n_docs)) AS DOUBLE)"
+            )
+            / F.lit(1e6),
+        )
+        .select(
+            "lang", "bucket", "n_docs", "bucket_avg_logprob",
+            "bucket_min_logprob",
+        )
     )
 
 
