@@ -1,0 +1,80 @@
+"""Cross-engine-exact 6dp means.
+
+``round(avg(x), 6)`` is NOT cross-engine deterministic even when both
+engines hold bit-identical doubles: Spark's ``round`` goes through
+``BigDecimal.valueOf`` (the double's SHORTEST decimal repr, HALF_UP),
+DuckDB rounds the binary value — measured 74/5000 disagreements on
+doubles whose shortest repr is an exact 7th-digit half (r6 probe; the
+f47 sf0.001 parity catch was this class in the wild). For integer
+inputs the hazard is structural, not measure-zero: a group of n = 2^7·k
+rows with an odd reduced sum makes s/n a dyadic rational that IS an
+exact 7-digit half (1/128 = 0.0078125), so any fixture regeneration can
+flip such a query between engines.
+
+Fix: compute the mean in exact integer arithmetic — no float summation,
+no engine ``round`` at all. For integer s = sum(x), n = count:
+
+    round6(s/n) = sign(s) * ((2*|s|*1e6 + n) div (2*n)) / 1e6
+
+which is round-half-AWAY-FROM-ZERO (both engines' documented convention)
+of the true rational, and every operand of the integer division is
+positive — where Spark's ``div`` (truncate) and DuckDB's ``//`` (floor)
+agree. The final ``/1e6`` divides identical integers into identical
+doubles on any engine.
+
+``pre_scaled=True`` is the f47/f41 variant: the inputs were ALREADY
+6dp-rounded and summed in micro-units (s = sum(round(x*1e6))), so the
+1e6 factor is omitted.
+
+Scope boundary — which rounds do NOT need this treatment:
+  - single-division integer ratios (jaccard i/u, tf cnt/len, e12's
+    ooo_rate, f38's shared_frac): both engines derive the IDENTICAL
+    double from exact integers, and at an exact dyadic half (e.g.
+    i/128) both round it up (Spark's shortest-repr HALF_UP and
+    DuckDB's binary half-away agree there — the measured 74/5000
+    disagreements need a double within half-an-ulp of a 7-digit half
+    WITHOUT equality, which requires denominators ~1e9+). Safe for
+    any registered ratio; convert only if a denominator can reach
+    that scale.
+  - irrational-derived rounds (sqrt, ln): shortest reprs practically
+    never terminate at 7 digits; measure-zero risk, left alone.
+  - float-SUM-derived means (the f47 catch) and Python/numpy-side
+    rounds (half-EVEN — disagrees with both engines at every exact
+    dyadic half; the f17 pixel/sample means were structurally
+    exposed): ALWAYS convert.
+
+Overflow bound (bigint path): 2*|s|*1e6 must stay under 2^63, i.e.
+|s| < 4.6e12 — comfortable for every registered aggregate at any tested
+SF (character counts, pixel sums, token counts); at true 100-TB group
+sums, lift the expressions to DECIMAL(38,0)/HUGEINT — same algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def exact_mean6(sum_name: str, n_name: str, pre_scaled: bool = False) -> Column:
+    """Spark column: exact ``round(s/n, 6)`` from integer-typed column
+    NAMES (names, not Columns — the integer division must go through
+    SQL ``div``, which has no Column-API operator)."""
+    mult = "" if pre_scaled else " * 1000000"
+    return (
+        F.expr(
+            f"CAST(CASE WHEN {sum_name} < 0 THEN -1 ELSE 1 END"
+            f" * ((2 * abs({sum_name}){mult} + {n_name})"
+            f" div (2 * {n_name})) AS DOUBLE)"
+        )
+        / F.lit(1e6)
+    )
+
+
+def sql_exact_mean6(s: str, n: str, pre_scaled: bool = False) -> str:
+    """DuckDB SQL text of the same exact mean (for oracle strings)."""
+    mult = "" if pre_scaled else " * 1000000"
+    return (
+        f"CAST(CASE WHEN ({s}) < 0 THEN -1 ELSE 1 END"
+        f" * ((2 * abs({s}){mult} + ({n})) // (2 * ({n}))) AS DOUBLE)"
+        f" / 1e6"
+    )

@@ -34,6 +34,25 @@ FEATURE_SCHEMA = (
 )
 
 
+
+def exact_mean6(x) -> float:
+    """round(mean, 6) of an integer-valued array, computed exactly.
+
+    Python's ``round`` is half-EVEN and DuckDB's ``round`` is binary
+    half-away — they disagree whenever the mean is an exact 7th-digit
+    half, which is STRUCTURAL for integer sums over dyadic pixel/sample
+    counts (1/128 = 0.0078125). Same exact integer form as
+    functions/rounding.exact_mean6: s is exact (integer dtype, or
+    integer-valued floats whose sum stays < 2^53), and
+    sign(s) * ((2|s|*1e6 + n) // (2n)) / 1e6 is the true rational mean
+    rounded half-away-from-zero — matching the oracle's
+    sql_exact_mean6 on any engine."""
+    s = int(round(float(x.sum())))
+    n = int(x.size)
+    q = (2 * abs(s) * 1000000 + n) // (2 * n)
+    return (q if s >= 0 else -q) / 1e6
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's default parallelism —
     payload synthesis and codec work are CPU-bound python, so one
@@ -200,7 +219,7 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
                 x = s.astype(np.float64)
                 rates.append(rate)
                 lens.append(len(s))
-                means.append(round(float(x.mean()), 6))
+                means.append(exact_mean6(x))
                 rmss.append(round(float(np.sqrt((x * x).mean())), 6))
                 peaks.append(int(np.abs(s).max()))
             yield pd.DataFrame(
@@ -333,9 +352,9 @@ def extract_bmp_features(media: DataFrame) -> DataFrame:
                 x = img.astype(np.float64)
                 ws.append(w)
                 hs.append(h)
-                mr.append(round(float(x[:, :, 0].mean()), 6))
-                mg.append(round(float(x[:, :, 1].mean()), 6))
-                mb.append(round(float(x[:, :, 2].mean()), 6))
+                mr.append(exact_mean6(x[:, :, 0]))
+                mg.append(exact_mean6(x[:, :, 1]))
+                mb.append(exact_mean6(x[:, :, 2]))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -370,9 +389,9 @@ def resize_bmp_features(media: DataFrame, factor: int = 2) -> DataFrame:
                 x = img.astype(np.float64)
                 ws.append(w)
                 hs.append(h)
-                mr.append(round(float(x[:, :, 0].mean()), 6))
-                mg.append(round(float(x[:, :, 1].mean()), 6))
-                mb.append(round(float(x[:, :, 2].mean()), 6))
+                mr.append(exact_mean6(x[:, :, 0]))
+                mg.append(exact_mean6(x[:, :, 1]))
+                mb.append(exact_mean6(x[:, :, 2]))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -1030,9 +1049,9 @@ def extract_jpeg_features(media: DataFrame) -> DataFrame:
                 x = img.astype(np.float64)
                 ws.append(w)
                 hs.append(h)
-                mr.append(round(float(x[:, :, 0].mean()), 6))
-                mg.append(round(float(x[:, :, 1].mean()), 6))
-                mb.append(round(float(x[:, :, 2].mean()), 6))
+                mr.append(exact_mean6(x[:, :, 0]))
+                mg.append(exact_mean6(x[:, :, 1]))
+                mb.append(exact_mean6(x[:, :, 2]))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -1109,9 +1128,9 @@ def extract_png_features(media: DataFrame) -> DataFrame:
                 x = img.astype(np.float64)
                 ws.append(w)
                 hs.append(h)
-                mr.append(round(float(x[:, :, 0].mean()), 6))
-                mg.append(round(float(x[:, :, 1].mean()), 6))
-                mb.append(round(float(x[:, :, 2].mean()), 6))
+                mr.append(exact_mean6(x[:, :, 0]))
+                mg.append(exact_mean6(x[:, :, 1]))
+                mb.append(exact_mean6(x[:, :, 2]))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -1316,9 +1335,9 @@ def extract_video_features(media: DataFrame, every_n: int = 2) -> DataFrame:
                 ns.append(len(sampled))
                 ws.append(w)
                 hs.append(h)
-                mr.append(round(float(stack[:, :, :, 0].mean()), 6))
-                mg.append(round(float(stack[:, :, :, 1].mean()), 6))
-                mb.append(round(float(stack[:, :, :, 2].mean()), 6))
+                mr.append(exact_mean6(stack[:, :, :, 0]))
+                mg.append(exact_mean6(stack[:, :, :, 1]))
+                mb.append(exact_mean6(stack[:, :, :, 2]))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

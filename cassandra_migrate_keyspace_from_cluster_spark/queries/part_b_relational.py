@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_first_later, asof_join_last_earlier
+from ..functions.rounding import exact_mean6, sql_exact_mean6
 from ..registry import register
 from ..sources import register_views
 from .util import r2, r6, t
@@ -1150,7 +1151,7 @@ def b35_salted_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "b36_skew_profile",
-    oracle="""
+    oracle=f"""
     WITH per_key AS (
       SELECT l_orderkey AS key, count(*) AS n
       FROM lineitem GROUP BY l_orderkey),
@@ -1158,8 +1159,8 @@ def b35_salted_join(spark, sf_dir):
       SELECT count(*) AS n_keys,
              CAST(sum(n) AS BIGINT) AS n_rows,
              max(n) AS max_n,
-             round(avg(n), 6) AS avg_n,
-             round(max(n) / avg(n), 6) AS skew_ratio
+             {sql_exact_mean6('sum(n)', 'count(*)')} AS avg_n,
+             {sql_exact_mean6('max(n) * count(*)', 'sum(n)')} AS skew_ratio
       FROM per_key),
     topk AS (
       SELECT key, n FROM per_key
@@ -1183,12 +1184,16 @@ def b36_skew_profile(spark, sf_dir):
     per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    stats = per_key.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("n").alias("n_rows"),
-        F.max("n").alias("max_n"),
-        F.round(F.avg("n"), 6).alias("avg_n"),
-        F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
+    # avg_n and skew_ratio are exact integer ratios -> exact integer
+    # mean (functions/rounding): skew = max/avg = max*n_keys/n_rows
+    stats = (
+        per_key.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_n"),
+        )
+        .withColumn("avg_n", exact_mean6("n_rows", "n_keys"))
+        .withColumn("skew_ratio", exact_mean6("(max_n * n_keys)", "n_rows"))
     )
     topk = per_key.orderBy(F.desc("n"), "key").limit(5).select(
         F.col("key").alias("hot_key"), F.col("n").cast("bigint").alias("hot_n")

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import exact_mean6, sql_exact_mean6
 from ..registry import register
 from .util import r2, r6, t
 
@@ -494,7 +495,7 @@ def e13_windowed_topn(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "e14_session_shape",
-    oracle="""
+    oracle=f"""
     WITH flagged AS (
         SELECT user_id, ts, event_id, event_type,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
@@ -522,8 +523,8 @@ def e13_windowed_topn(spark, sf_dir):
                 WHEN n_events <= 8 THEN '5-8'
                 ELSE '9+' END AS size_bucket,
            CAST(count(*) AS BIGINT) AS n_sessions,
-           round(avg(duration_s), 6) AS avg_duration_s,
-           round(avg(n_types), 6) AS avg_n_types
+           {sql_exact_mean6('sum(duration_s)', 'count(*)')} AS avg_duration_s,
+           {sql_exact_mean6('sum(n_types)', 'count(*)')} AS avg_n_types
     FROM sessions GROUP BY 1
     """,
 )
@@ -554,10 +555,18 @@ def e14_session_shape(spark, sf_dir):
         .when(F.col("n_events") <= 8, "5-8")
         .otherwise("9+")
     )
-    return sess.groupBy(bucket.alias("size_bucket")).agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        r6(F.avg("duration_s")).alias("avg_duration_s"),
-        r6(F.avg("n_types")).alias("avg_n_types"),
+    # both means average exact integers (whole seconds, type counts)
+    # -> exact integer mean (functions/rounding)
+    return (
+        sess.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("duration_s").alias("__sd"),
+            F.sum(F.col("n_types").cast("bigint")).alias("__st"),
+        )
+        .withColumn("avg_duration_s", exact_mean6("__sd", "n_sessions"))
+        .withColumn("avg_n_types", exact_mean6("__st", "n_sessions"))
+        .select("size_bucket", "n_sessions", "avg_duration_s", "avg_n_types")
     )
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.vector import l2_norm, to_double_array
+from ..functions.rounding import exact_mean6, sql_exact_mean6
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
@@ -400,22 +401,32 @@ def f9_ngrams(spark, sf_dir):
 
 @register(
     "f10_lang_stats",
-    oracle="""
+    oracle=f"""
     SELECT lang, count(*) AS n_docs,
-           round(avg(n_chars), 6) AS avg_chars,
-           round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+           {sql_exact_mean6('sum(n_chars)', 'count(*)')} AS avg_chars,
+           {sql_exact_mean6("sum(len(string_split(text, ' ')))",
+                            'count(*)')} AS avg_tokens,
            count(DISTINCT source) AS n_sources
     FROM documents GROUP BY lang
     """,
 )
 def f10_lang_stats(spark, sf_dir):
-    """Per-language corpus stats."""
+    """Per-language corpus stats. The char/token means are means of
+    INTEGERS, computed via the exact integer form (functions/rounding):
+    round(avg(int),6) diverges between engines when s/n lands on a
+    shortest-repr half — structural for dyadic group sizes."""
     docs = t(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        r6(F.avg("n_chars")).alias("avg_chars"),
-        r6(F.avg(F.size(F.split("text", " ")))).alias("avg_tokens"),
-        F.countDistinct("source").alias("n_sources"),
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("__sc"),
+            F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("__st"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .withColumn("avg_chars", exact_mean6("__sc", "n_docs"))
+        .withColumn("avg_tokens", exact_mean6("__st", "n_docs"))
+        .select("lang", "n_docs", "avg_chars", "avg_tokens", "n_sources")
     )
 
 
@@ -447,33 +458,40 @@ def f11_multimodal_join(spark, sf_dir):
 
 @register(
     "f12_doc_length_dedup_rate",
-    oracle="""
+    oracle=f"""
     SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
     UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents
     UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM documents
-    UNION ALL SELECT 'avg_chars', round(avg(n_chars), 6) FROM documents
+    UNION ALL SELECT 'avg_chars',
+        {sql_exact_mean6('sum(n_chars)', 'count(*)')} FROM documents
     UNION ALL SELECT 'exact_dup_rate',
-        round(1.0 - CAST(count(DISTINCT md5(lower(trim(text)))) AS DOUBLE)
-              / count(*), 6) FROM documents
+        {sql_exact_mean6(
+            "count(*) - count(DISTINCT md5(lower(trim(text))))",
+            'count(*)')} FROM documents
     UNION ALL SELECT 'total_tokens',
         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) FROM documents
     """,
 )
 def f12_doc_length_dedup_rate(spark, sf_dir):
     """Corpus quality report as (metric, value) rows — one scan, one
-    aggregate, unpivoted with stack()."""
+    aggregate, unpivoted with stack(). avg_chars and exact_dup_rate are
+    ratios of exact integers → computed via the exact integer mean
+    (functions/rounding), immune to the engines' round-at-half split."""
     docs = t(spark, sf_dir, "documents")
     agg = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.count(F.lit(1)).alias("__n"),
         F.countDistinct("lang").cast("double").alias("n_langs"),
         F.countDistinct("source").cast("double").alias("n_sources"),
-        r6(F.avg("n_chars")).alias("avg_chars"),
-        r6(
-            1.0
-            - F.countDistinct(dd.normalized_text_hash("text")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("exact_dup_rate"),
+        F.sum("n_chars").alias("__sc"),
+        F.countDistinct(dd.normalized_text_hash("text")).alias("__nd"),
         F.sum(F.size(F.split("text", " "))).cast("double").alias("total_tokens"),
+    ).select(
+        F.col("__n").cast("double").alias("n_docs"),
+        "n_langs",
+        "n_sources",
+        exact_mean6("__sc", "__n").alias("avg_chars"),
+        exact_mean6("(__n - __nd)", "__n").alias("exact_dup_rate"),
+        "total_tokens",
     )
     return agg.selectExpr(
         "stack(6, 'n_docs', n_docs, 'n_langs', n_langs, 'n_sources', n_sources, "
@@ -599,7 +617,7 @@ def f17_multimodal_features(spark, sf_dir):
 
 @register(
     "f17b_wav_decode_features",
-    oracle="""
+    oracle=f"""
     WITH params AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
     samples AS (
       SELECT p.doc_id, ((p.doc_id*31 + g.i*17) % 2003) - 1001 AS s
@@ -609,7 +627,7 @@ def f17_multimodal_features(spark, sf_dir):
     SELECT doc_id,
            CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
            count(*) AS n_samples,
-           round(avg(s), 6) AS mean_amp,
+           {sql_exact_mean6('sum(s)', 'count(*)')} AS mean_amp,
            round(sqrt(avg(s*s)), 6) AS rms,
            max(abs(s)) AS peak
     FROM samples GROUP BY doc_id
@@ -629,7 +647,7 @@ def f17b_wav_decode_features(spark, sf_dir):
 
 @register(
     "f17c_bmp_decode_features",
-    oracle="""
+    oracle=f"""
     WITH params AS (
       SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
       FROM documents),
@@ -641,9 +659,9 @@ def f17b_wav_decode_features(spark, sf_dir):
     SELECT doc_id,
            CAST(max(w) AS BIGINT) AS width,
            CAST(max(h) AS BIGINT) AS height,
-           round(avg((doc_id + 3*x + 5*y) % 256), 6) AS mean_r,
-           round(avg((2*doc_id + 7*x + y) % 256), 6) AS mean_g,
-           round(avg((5*doc_id + x + 11*y) % 256), 6) AS mean_b
+           {sql_exact_mean6('sum((doc_id + 3*x + 5*y) % 256)', 'count(*)')} AS mean_r,
+           {sql_exact_mean6('sum((2*doc_id + 7*x + y) % 256)', 'count(*)')} AS mean_g,
+           {sql_exact_mean6('sum((5*doc_id + x + 11*y) % 256)', 'count(*)')} AS mean_b
     FROM px GROUP BY doc_id
     """,
 )
@@ -661,7 +679,7 @@ def f17c_bmp_decode_features(spark, sf_dir):
 
 @register(
     "f17d_jpeg_decode_features",
-    oracle="""
+    oracle=f"""
     -- Baseline JPEG at quality 90 (IJG scale 20): DC quant steps are
     -- floor((16*20+50)/100) = 3 (luma) and floor((17*20+50)/100) = 3
     -- (chroma). Images are grids of CONSTANT 8x8 tiles, so each tile
@@ -702,9 +720,9 @@ def f17c_bmp_decode_features(spark, sf_dir):
     SELECT doc_id,
            CAST(8 * max(wt) AS BIGINT) AS width,
            CAST(8 * max(ht) AS BIGINT) AS height,
-           round(avg(rr), 6) AS mean_r,
-           round(avg(gg), 6) AS mean_g,
-           round(avg(bb), 6) AS mean_b
+           {sql_exact_mean6('CAST(sum(rr) AS BIGINT)', 'count(*)')} AS mean_r,
+           {sql_exact_mean6('CAST(sum(gg) AS BIGINT)', 'count(*)')} AS mean_g,
+           {sql_exact_mean6('CAST(sum(bb) AS BIGINT)', 'count(*)')} AS mean_b
     FROM px GROUP BY doc_id
     """,
 )
@@ -724,7 +742,7 @@ def f17d_jpeg_decode_features(spark, sf_dir):
 
 @register(
     "f17e_png_decode_features",
-    oracle="""
+    oracle=f"""
     WITH params AS (
       SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 6 AS h
       FROM documents),
@@ -736,9 +754,9 @@ def f17d_jpeg_decode_features(spark, sf_dir):
     SELECT doc_id,
            CAST(max(w) AS BIGINT) AS width,
            CAST(max(h) AS BIGINT) AS height,
-           round(avg((7*doc_id + 2*x + 13*y) % 256), 6) AS mean_r,
-           round(avg((doc_id + 9*x + 4*y) % 256), 6) AS mean_g,
-           round(avg((4*doc_id + 5*x + 3*y) % 256), 6) AS mean_b
+           {sql_exact_mean6('sum((7*doc_id + 2*x + 13*y) % 256)', 'count(*)')} AS mean_r,
+           {sql_exact_mean6('sum((doc_id + 9*x + 4*y) % 256)', 'count(*)')} AS mean_g,
+           {sql_exact_mean6('sum((4*doc_id + 5*x + 3*y) % 256)', 'count(*)')} AS mean_b
     FROM px GROUP BY doc_id
     """,
 )
@@ -758,7 +776,7 @@ def f17e_png_decode_features(spark, sf_dir):
 
 @register(
     "f17f_video_frame_sample",
-    oracle="""
+    oracle=f"""
     -- Frames sampled every 2nd (fi = 0, 2, ...); each frame is two
     -- constant 8x8 tiles, so decoded pixels follow the same exact DC
     -- chain as f17d (q=3 at quality 90, half-up rounding).
@@ -801,9 +819,9 @@ def f17e_png_decode_features(spark, sf_dir):
            CAST(count(*) / 2 AS BIGINT) AS n_sampled,
            CAST(16 AS BIGINT) AS width,
            CAST(8 AS BIGINT) AS height,
-           round(avg(rr), 6) AS mean_r,
-           round(avg(gg), 6) AS mean_g,
-           round(avg(bb), 6) AS mean_b
+           {sql_exact_mean6('CAST(sum(rr) AS BIGINT)', 'count(*)')} AS mean_r,
+           {sql_exact_mean6('CAST(sum(gg) AS BIGINT)', 'count(*)')} AS mean_g,
+           {sql_exact_mean6('CAST(sum(bb) AS BIGINT)', 'count(*)')} AS mean_b
     FROM px GROUP BY doc_id
     """,
 )
@@ -2337,7 +2355,7 @@ def f45_domain_pagerank(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "f17g_image_resize_features",
-    oracle="""
+    oracle=f"""
     WITH params AS (
       SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
       FROM documents),
@@ -2354,9 +2372,9 @@ def f45_domain_pagerank(spark, sf_dir):
     SELECT doc_id,
            CAST(max(rw) AS BIGINT) AS width,
            CAST(max(rh) AS BIGINT) AS height,
-           round(avg((doc_id + 3*sx + 5*sy) % 256), 6) AS mean_r,
-           round(avg((2*doc_id + 7*sx + sy) % 256), 6) AS mean_g,
-           round(avg((5*doc_id + sx + 11*sy) % 256), 6) AS mean_b
+           {sql_exact_mean6('sum((doc_id + 3*sx + 5*sy) % 256)', 'count(*)')} AS mean_r,
+           {sql_exact_mean6('sum((2*doc_id + 7*sx + sy) % 256)', 'count(*)')} AS mean_g,
+           {sql_exact_mean6('sum((5*doc_id + sx + 11*sy) % 256)', 'count(*)')} AS mean_b
     FROM px GROUP BY doc_id
     """,
 )
@@ -2675,7 +2693,7 @@ def f42b_semantic_dedup_kmeans(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "f51_ngram_novelty",
-    oracle="""
+    oracle=f"""
     WITH raw AS (SELECT doc_id, string_split(text, ' ') AS w
                  FROM documents WHERE len(string_split(text, ' ')) >= 3),
     d AS (SELECT doc_id,
@@ -2689,8 +2707,8 @@ def f42b_semantic_dedup_kmeans(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_shingles,
            CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_unique,
-           round(CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS novelty
+           {sql_exact_mean6('sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)',
+                            'count(*)')} AS novelty
     FROM sh s JOIN df f ON s.tk = f.tk
     GROUP BY s.doc_id
     """,
@@ -2725,16 +2743,14 @@ def f51_ngram_novelty(spark, sf_dir):
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum((F.col("df") == 1).cast("bigint")).alias("n_unique"),
         )
-        .withColumn(
-            "novelty", F.round(F.col("n_unique") / F.col("n_shingles"), 6)
-        )
+        .withColumn("novelty", exact_mean6("n_unique", "n_shingles"))
     )
 
 
 # --------------------------------------------------------------------------
 @register(
     "f52_dataset_card",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT doc_id, source, text, n_chars,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
@@ -2750,7 +2766,7 @@ def f51_ngram_novelty(spark, sf_dir):
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-           round(avg(n_chars), 6) AS avg_chars,
+           {sql_exact_mean6('sum(n_chars)', 'count(*)')} AS avg_chars,
            CAST(sum(CASE WHEN dup_c > 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_exact_dup_docs,
            CAST(sum(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT)
@@ -2787,14 +2803,23 @@ def f52_dataset_card(spark, sf_dir):
         F.size(F.split("text", " ")).alias("n_tok"),
         F.md5("text").alias("h"),
     ).join(hx, "h")
-    return d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").cast("bigint").alias("n_tokens"),
-        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
-        F.sum((F.col("dup_c") > 1).cast("bigint")).alias("n_exact_dup_docs"),
-        F.sum((F.col("bucket") < 80).cast("bigint")).alias("n_train"),
-        F.sum(((F.col("bucket") >= 80) & (F.col("bucket") < 90)).cast("bigint")).alias("n_val"),
-        F.sum((F.col("bucket") >= 90).cast("bigint")).alias("n_test"),
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            # mean of integers → exact integer form (functions/rounding)
+            F.sum("n_chars").alias("__sc"),
+            F.sum((F.col("dup_c") > 1).cast("bigint")).alias("n_exact_dup_docs"),
+            F.sum((F.col("bucket") < 80).cast("bigint")).alias("n_train"),
+            F.sum(((F.col("bucket") >= 80) & (F.col("bucket") < 90)).cast("bigint")).alias("n_val"),
+            F.sum((F.col("bucket") >= 90).cast("bigint")).alias("n_test"),
+        )
+        .withColumn("avg_chars", exact_mean6("__sc", "n_docs"))
+        .select(
+            "source", "n_docs", "n_tokens", "avg_chars",
+            "n_exact_dup_docs", "n_train", "n_val", "n_test",
+        )
     )
 
 

@@ -148,7 +148,7 @@ _DRIVER_GREEN = frozenset({
 # ("rewrites first, then oldest-row rotation"), pre-flighted 50/50 by
 # tools/window_sim.py before shipping:
 #
-#   rewritten IN round 6 (4): f2_token_jaccard_neardup (its operator
+#   rewritten IN round 6 (16): f2_token_jaccard_neardup (its operator
 #     jaccard_pairs_postings grew the opt-in df_cap branch — the
 #     registered call rides the default path whose plan is unchanged,
 #     but rewritten code re-rides by standing policy);
@@ -160,7 +160,15 @@ _DRIVER_GREEN = frozenset({
 #     half-boundary divergence — re-verified at sf0.001/0.01/0.1);
 #     f41_perplexity_buckets (same hazard class — mean of 6dp-rounded
 #     scores — hardened proactively with the negative-domain form of
-#     the same exact-integer mean; re-verified at all three SFs).
+#     the same exact-integer mean; re-verified at all three SFs);
+#     and the full round(avg(integers),6) class, converted to the
+#     shared exact-integer mean (functions/rounding) after a probe
+#     measured Spark/DuckDB round() disagreeing on 74/5000 exact-half
+#     doubles (numpy/Python round is half-EVEN on the f17 family —
+#     doubly exposed): f10_lang_stats, f12_doc_length_dedup_rate,
+#     f51_ngram_novelty, f52_dataset_card, b36_skew_profile,
+#     e14_session_shape, f17b/c/d/e/f/g. Every conversion re-verified
+#     value-exact at sf0.001 AND sf0.01 AND sf0.1 before riding.
 #     NOT re-ridden for the other r6 diffs: the rank.py materialize
 #     default flip (every call site passes the kwarg explicitly, so no
 #     compiled plan changed) and the util.py fingerprint/lock hygiene
@@ -171,22 +179,26 @@ _DRIVER_GREEN = frozenset({
 #     oldest code-vs-fixture rows standing — a4b/a4c/a4d/a4e, a6, a9,
 #     b11-b13, b15, b15b, b16/b17/b19, b22-b26, c1, c10, c12-c15,
 #     c17-c19.
-#   oldest r2 rows, alphabetical from a10, to the 50 cap (18):
-#     a10-a14(minus a13 which re-rode r5), a4f, b14b, b27-b33,
-#     c20-c24 (c2/d13 displaced by the f41/f47 rewrites; they lead
-#     the r7 rotation).
+#   oldest r2 rows, alphabetical from a10, to the 50 cap (6):
+#     a10, a11, a12, a14, a4f, b14b (b27-b33/c20-c24/c2/d13 displaced
+#     by the 16 rewrites; they lead the r7 rotation).
 #
 # CONCRETE r7 window plan (assemble at r7 start, once CORRECTNESS_r06
 # is green): rewrites during r7 first, then the remaining r2 rows
-# (c2, d13, d14, d15, d16, d17, e11, e12, e13, e15, e17, e18, e19,
-# e20, f25, f26, f27, f28, f30, f31, f32, f35, f37, f38, f39, g9,
-# g10 — 27 names), then the oldest r3 rows (alphabetical: b20, c16, c3, c4,
+# (b27-b33, c20-c24, c2, d13, d14, d15, d16, d17, e11, e12, e13,
+# e15, e17, e18, e19, e20, f25, f26, f27, f28, f30, f31, f32, f35,
+# f37, f38, f39, g9, g10 — 39 names), then the oldest r3 rows (alphabetical: b20, c16, c3, c4,
 # c5, c5b, d1, ...) to the 50 cap. Every subsequent round repeats the
 # same rule: rewrites first, then oldest-row rotation.
 _WINDOW = frozenset({
-    # rewritten in round 6 (4)
+    # rewritten in round 6 (16)
     "f2_token_jaccard_neardup", "f3_minhash_lsh", "f47_cluster_quality",
     "f41_perplexity_buckets",
+    "f10_lang_stats", "f12_doc_length_dedup_rate", "f51_ngram_novelty",
+    "f52_dataset_card", "b36_skew_profile", "e14_session_shape",
+    "f17b_wav_decode_features", "f17c_bmp_decode_features",
+    "f17d_jpeg_decode_features", "f17e_png_decode_features",
+    "f17f_video_frame_sample", "f17g_image_resize_features",
     # r1 greens never re-ridden since round 1 (28)
     "a4b_copy_roundtrip_csv", "a4c_copy_roundtrip_json",
     "a4d_copy_partitioned", "a4e_copy_roundtrip_orc",
@@ -199,14 +211,10 @@ _WINDOW = frozenset({
     "c1_rollup", "c10_row_number", "c12_lag_lead", "c13_frame_rows",
     "c14_frame_range", "c15_running_total", "c17_first_last",
     "c18_forward_fill", "c19_filtered_agg",
-    # oldest r2 rows, alphabetical from a10 (20)
+    # oldest r2 rows, alphabetical from a10 (6)
     "a10_throttled_copy", "a11_snapshot_diff",
     "a12_schema_evolution_copy", "a14_range_checksums",
     "a4f_copy_compacted", "b14b_range_join_banded",
-    "b27_scalar_subquery", "b28_join_disjunctive", "b29_lateral_join",
-    "b30_in_subquery", "b31_limit_offset", "b32_group_by_all",
-    "b33_union_evolved", "c20_unpivot", "c21_date_spine_gapfill",
-    "c22_window_count_distinct", "c23_listagg", "c24_hll_mergeable",
 })
 
 

@@ -1217,3 +1217,46 @@ def test_auto_cosine_topk_dispatches_and_matches_exact(spark):
     )
     assert chosen2["tier"] == "ivf"
     assert out.count() > 0
+
+
+def test_exact_mean6_matches_rational_truth(spark):
+    """functions/rounding.exact_mean6 (Spark), sql_exact_mean6 (DuckDB),
+    and multimodal.exact_mean6 (numpy path) must all equal the true
+    rational mean rounded half-away-from-zero at 6dp — including the
+    dyadic exact-half family (s odd, n = 128) where the engines' own
+    round() implementations disagree (measured 74/5000 on constructed
+    halves: Spark shortest-repr HALF_UP vs DuckDB binary vs Python/
+    numpy half-even)."""
+    import math
+    from fractions import Fraction
+
+    import duckdb
+    import numpy as np
+
+    from cassandra_migrate_keyspace_from_cluster_spark.functions.rounding import (
+        exact_mean6,
+        sql_exact_mean6,
+    )
+    from cassandra_migrate_keyspace_from_cluster_spark.operators.multimodal import (
+        exact_mean6 as np_mean6,
+    )
+
+    cases = [(s, 128) for s in (-257, -3, 1, 5, 321, 999)]  # dyadic halves
+    cases += [(s, n) for s in (-10**9, -12345, 0, 7, 10**9) for n in (3, 7, 100, 640)]
+    df = spark.createDataFrame(cases, "s long, n long")
+    got = {(r.s, r.n): r.m for r in df.select("s", "n", exact_mean6("s", "n").alias("m")).collect()}
+    con = duckdb.connect()
+    sql = f"SELECT {sql_exact_mean6('?::BIGINT', '?::BIGINT')}"
+    for s, n in cases:
+        fr = Fraction(s, n) * 10**6
+        truth = (
+            math.floor(fr + Fraction(1, 2)) if s >= 0
+            else -math.floor(-fr + Fraction(1, 2))
+        ) / 1e6
+        assert got[(s, n)] == truth, (s, n, got[(s, n)], truth)
+        assert con.execute(sql, [s, s, n, n]).fetchone()[0] == truth, (s, n)
+        # numpy-path helper: an integer array with this sum/size
+        arr = np.full(n, s // n, dtype=np.int64)
+        arr[: s - (s // n) * n] += 1
+        assert int(arr.sum()) == s
+        assert np_mean6(arr) == truth, (s, n)
