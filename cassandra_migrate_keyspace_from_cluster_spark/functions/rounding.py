@@ -55,6 +55,34 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def exact_round_ratio(s_name: str, m_name: str, dp: int = 6) -> Column:
+    """Spark column: exact ``round(s/m, dp)`` (half-away) from
+    integer-typed column NAMES / SQL expressions (names, not Columns —
+    the integer division must go through SQL ``div``, which has no
+    Column-API operator). The general form behind exact_mean6; use it
+    directly for means of k-dp-multiple doubles after integerizing
+    (s = sum(round(x*10^k)), m = 10^k * n)."""
+    p = 10 ** dp
+    return (
+        F.expr(
+            f"CAST(CASE WHEN {s_name} < 0 THEN -1 ELSE 1 END"
+            f" * ((2 * abs({s_name}) * {p} + {m_name})"
+            f" div (2 * {m_name})) AS DOUBLE)"
+        )
+        / F.lit(float(p))
+    )
+
+
+def sql_exact_round_ratio(s: str, m: str, dp: int = 6) -> str:
+    """DuckDB SQL text of ``exact_round_ratio`` (for oracle strings)."""
+    p = 10 ** dp
+    return (
+        f"CAST(CASE WHEN ({s}) < 0 THEN -1 ELSE 1 END"
+        f" * ((2 * abs({s}) * {p} + ({m})) // (2 * ({m}))) AS DOUBLE)"
+        f" / {float(p)}"
+    )
+
+
 def exact_mean6(sum_name: str, n_name: str, pre_scaled: bool = False) -> Column:
     """Spark column: exact ``round(s/n, 6)`` from integer-typed column
     NAMES (names, not Columns — the integer division must go through

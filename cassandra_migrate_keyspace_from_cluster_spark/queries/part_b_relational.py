@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_first_later, asof_join_last_earlier
-from ..functions.rounding import exact_mean6, sql_exact_mean6
+from ..functions.rounding import (
+    exact_mean6,
+    exact_round_ratio,
+    sql_exact_mean6,
+    sql_exact_round_ratio,
+)
 from ..registry import register
 from ..sources import register_views
 from .util import r2, r6, t
@@ -108,9 +113,11 @@ def b3_case_when(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "b4_agg_global",
-    oracle="""
+    oracle=f"""
     SELECT round(sum(l_quantity), 2)       AS sum_qty,
-           round(avg(l_extendedprice), 2)  AS avg_price,
+           {sql_exact_round_ratio(
+               'sum(CAST(round(l_extendedprice * 100) AS BIGINT))',
+               '100 * count(*)', dp=2)}      AS avg_price,
            round(min(l_extendedprice), 6)  AS min_price,
            round(max(l_extendedprice), 6)  AS max_price,
            count(*)                        AS n_rows,
@@ -121,31 +128,46 @@ def b3_case_when(spark, sf_dir):
 def b4_agg_global(spark, sf_dir):
     """Global (no-group) aggregate: sum/avg/min/max/count/count-distinct."""
     li = t(spark, sf_dir, "lineitem")
-    return li.agg(
-        r2(F.sum("l_quantity")).alias("sum_qty"),
-        # 2dp: O(4e4) magnitude over a 1e5+-row sum — 6dp sits inside
-        # cross-engine summation-order noise (SURVEY 5.4 coarse law)
-        r2(F.avg("l_extendedprice")).alias("avg_price"),
-        r6(F.min("l_extendedprice")).alias("min_price"),
-        r6(F.max("l_extendedprice")).alias("max_price"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
+    # avg_price: prices are exact 2dp multiples, so the mean is
+    # computed on an exact cents sum (functions/rounding) — a float-sum
+    # mean can land either side of an exact rational half, where the
+    # engines' round() conventions split (the f47 class at 2dp).
+    return (
+        li.agg(
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("__sp"),
+            r6(F.min("l_extendedprice")).alias("min_price"),
+            r6(F.max("l_extendedprice")).alias("max_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .withColumn("avg_price", exact_round_ratio("__sp", "(100 * n_rows)", dp=2))
+        .select(
+            "sum_qty", "avg_price", "min_price", "max_price",
+            "n_rows", "n_orders",
+        )
     )
 
 
 # --------------------------------------------------------------------------
 @register(
     "b5_agg_groupby",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)      AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
                                           AS sum_charge,
-           round(avg(l_quantity), 6)      AS avg_qty,
-           round(avg(l_extendedprice), 2) AS avg_price,
-           round(avg(l_discount), 6)      AS avg_disc,
+           {sql_exact_round_ratio(
+               'sum(CAST(round(l_quantity * 100) AS BIGINT))',
+               '100 * count(*)', dp=6)}    AS avg_qty,
+           {sql_exact_round_ratio(
+               'sum(CAST(round(l_extendedprice * 100) AS BIGINT))',
+               '100 * count(*)', dp=2)}    AS avg_price,
+           {sql_exact_round_ratio(
+               'sum(CAST(round(l_discount * 100) AS BIGINT))',
+               '100 * count(*)', dp=6)}    AS avg_disc,
            count(*)                       AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -169,10 +191,20 @@ def b5_agg_groupby(spark, sf_dir):
             r2(F.sum("l_extendedprice")).alias("sum_base_price"),
             r2(F.sum(disc_price)).alias("sum_disc_price"),
             r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            r6(F.avg("l_quantity")).alias("avg_qty"),
-            r2(F.avg("l_extendedprice")).alias("avg_price"),  # 2dp: 5.4 coarse law
-            r6(F.avg("l_discount")).alias("avg_disc"),
+            # the three avgs average exact 2dp multiples -> exact cents
+            # sums + integer rounding (functions/rounding; see b4)
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("__sq"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("__sp"),
+            F.sum(F.round(F.col("l_discount") * 100).cast("bigint")).alias("__sd"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", exact_round_ratio("__sq", "(100 * count_order)", dp=6))
+        .withColumn("avg_price", exact_round_ratio("__sp", "(100 * count_order)", dp=2))
+        .withColumn("avg_disc", exact_round_ratio("__sd", "(100 * count_order)", dp=6))
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+            "avg_disc", "count_order",
         )
     )
 

@@ -19,6 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import text as tx
+from ..functions.rounding import exact_round_ratio, sql_exact_round_ratio
 from ..registry import register
 from ..sources import register_views
 from .util import r2, r6, t
@@ -549,12 +550,14 @@ def c19_filtered_agg(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "c20_unpivot",
-    oracle="""
+    oracle=f"""
     WITH w AS (
       SELECT l_returnflag,
              round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_base_price,
-             round(avg(l_discount), 6) AS avg_disc
+             {sql_exact_round_ratio(
+                 'sum(CAST(round(l_discount * 100) AS BIGINT))',
+                 '100 * count(*)', dp=6)} AS avg_disc
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
     UNION ALL
@@ -570,10 +573,18 @@ def c20_unpivot(spark, sf_dir):
     in-place, no shuffle beyond the upstream agg); the oracle is the
     equivalent UNION ALL since melt is syntactic sugar over it."""
     li = t(spark, sf_dir, "lineitem")
-    wide = li.groupBy("l_returnflag").agg(
-        r2(F.sum("l_quantity")).alias("sum_qty"),
-        r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-        r6(F.avg("l_discount")).alias("avg_disc"),
+    # avg_disc averages exact 2dp multiples -> exact cents sum +
+    # integer rounding (functions/rounding; see b4's rationale)
+    wide = (
+        li.groupBy("l_returnflag")
+        .agg(
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            F.sum(F.round(F.col("l_discount") * 100).cast("bigint")).alias("__sd"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .withColumn("avg_disc", exact_round_ratio("__sd", "(100 * __n)", dp=6))
+        .select("l_returnflag", "sum_qty", "sum_base_price", "avg_disc")
     )
     return wide.unpivot(
         ["l_returnflag"],

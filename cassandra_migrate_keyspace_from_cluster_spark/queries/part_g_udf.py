@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf, udtf
 
+from ..functions.rounding import sql_exact_round_ratio
 from ..registry import register
 from .util import r6, t
 
@@ -94,9 +95,13 @@ def g2_pandas_udf_scalar(spark, sf_dir):
 
 @register(
     "g3_grouped_agg_udaf",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           round(sum(l_extendedprice * l_discount) / sum(l_discount), 2)
+           {sql_exact_round_ratio(
+               'sum(CAST(round(l_extendedprice * 100) AS BIGINT)'
+               '    * CAST(round(l_discount * 100) AS BIGINT))',
+               '100 * sum(CAST(round(l_discount * 100) AS BIGINT))',
+               dp=2)}
              AS discount_weighted_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -104,11 +109,23 @@ def g2_pandas_udf_scalar(spark, sf_dir):
 )
 def g3_grouped_agg_udaf(spark, sf_dir):
     """Grouped-agg pandas UDAF: discount-weighted mean price per
-    returnflag, computed in pandas, checked against the SQL formula."""
+    returnflag, computed in pandas, checked against the SQL formula.
+    The UDAF does its arithmetic in exact integers (prices/discounts
+    are exact 2dp multiples, so the 4dp-unit product sum is an exact
+    int) and rounds half-away by integer division — the same
+    functions/rounding form the oracle uses, so a weighted mean
+    landing on an exact rational half cannot split the engines. The
+    pandas-UDAF SURFACE (Arrow series in, scalar out per group) is
+    unchanged — that surface is what g3 exists to prove."""
 
     @pandas_udf("double")
     def wmean(p: pd.Series, w: pd.Series) -> float:
-        return float((p * w).sum() / w.sum())
+        pi = (p * 100).round().astype("int64")
+        wi = (w * 100).round().astype("int64")
+        s4 = int((pi * wi).sum())
+        m = 100 * int(wi.sum())
+        q = (2 * abs(s4) * 100 + m) // (2 * m)
+        return (q if s4 >= 0 else -q) / 100.0
 
     return (
         t(spark, sf_dir, "lineitem")

@@ -129,6 +129,8 @@ _DRIVER_GREEN = frozenset({
     "f17b_wav_decode_features", "f17c_bmp_decode_features",
     "f17d_jpeg_decode_features", "f17e_png_decode_features",
     "f17f_video_frame_sample", "f17g_image_resize_features",
+    "b4_agg_global", "b5_agg_groupby", "c20_unpivot",
+    "g3_grouped_agg_udaf",
     "f29_train_split", "f34_hybrid_rrf_search", "f40_incremental_dedup",
     "f41_perplexity_buckets", "f43_chunk_dedup_rewrite", "f44_token_packing",
     "f45_domain_pagerank", "f46_embedding_outliers", "f48_split_leakage",
@@ -148,7 +150,7 @@ _DRIVER_GREEN = frozenset({
 # ("rewrites first, then oldest-row rotation"), pre-flighted 50/50 by
 # tools/window_sim.py before shipping:
 #
-#   rewritten IN round 6 (16): f2_token_jaccard_neardup (its operator
+#   rewritten IN round 6 (20): f2_token_jaccard_neardup (its operator
 #     jaccard_pairs_postings grew the opt-in df_cap branch — the
 #     registered call rides the default path whose plan is unchanged,
 #     but rewritten code re-rides by standing policy);
@@ -167,8 +169,14 @@ _DRIVER_GREEN = frozenset({
 #     doubles (numpy/Python round is half-EVEN on the f17 family —
 #     doubly exposed): f10_lang_stats, f12_doc_length_dedup_rate,
 #     f51_ngram_novelty, f52_dataset_card, b36_skew_profile,
-#     e14_session_shape, f17b/c/d/e/f/g. Every conversion re-verified
-#     value-exact at sf0.001 AND sf0.01 AND sf0.1 before riding.
+#     e14_session_shape, f17b/c/d/e/f/g; plus the 2dp-multiple
+#     float-sum means (prices/discounts are exact 2dp multiples, so
+#     their means integerize to exact cents sums): b4_agg_global,
+#     b5_agg_groupby, c20_unpivot, and g3_grouped_agg_udaf (the
+#     weighted mean goes exact-integer INSIDE the pandas UDAF — the
+#     Arrow-UDAF surface g3 exists to prove is unchanged). Every
+#     conversion re-verified value-exact at sf0.001 AND sf0.01 AND
+#     sf0.1 before riding.
 #     NOT re-ridden for the other r6 diffs: the rank.py materialize
 #     default flip (every call site passes the kwarg explicitly, so no
 #     compiled plan changed) and the util.py fingerprint/lock hygiene
@@ -179,15 +187,16 @@ _DRIVER_GREEN = frozenset({
 #     oldest code-vs-fixture rows standing — a4b/a4c/a4d/a4e, a6, a9,
 #     b11-b13, b15, b15b, b16/b17/b19, b22-b26, c1, c10, c12-c15,
 #     c17-c19.
-#   oldest r2 rows, alphabetical from a10, to the 50 cap (6):
-#     a10, a11, a12, a14, a4f, b14b (b27-b33/c20-c24/c2/d13 displaced
-#     by the 16 rewrites; they lead the r7 rotation).
+#   oldest r2 rows, alphabetical from a10, to the 50 cap (2):
+#     a10, a11 (a12/a14/a4f/b14b/b27-b33/c21-c24/c2/d13 displaced
+#     by the 20 rewrites; they lead the r7 rotation).
 #
 # CONCRETE r7 window plan (assemble at r7 start, once CORRECTNESS_r06
 # is green): rewrites during r7 first, then the remaining r2 rows
-# (b27-b33, c20-c24, c2, d13, d14, d15, d16, d17, e11, e12, e13,
-# e15, e17, e18, e19, e20, f25, f26, f27, f28, f30, f31, f32, f35,
-# f37, f38, f39, g9, g10 — 39 names), then the oldest r3 rows (alphabetical: b20, c16, c3, c4,
+# (a12, a14, a4f, b14b, b27-b33, c21-c24, c2, d13, d14, d15, d16,
+# d17, e11, e12, e13, e15, e17, e18, e19, e20, f25, f26, f27, f28,
+# f30, f31, f32, f35, f37, f38, f39, g9, g10 — 42 names), then the
+# oldest r3 rows (alphabetical: b20, c16, c3, c4,
 # c5, c5b, d1, ...) to the 50 cap. Every subsequent round repeats the
 # same rule: rewrites first, then oldest-row rotation.
 _WINDOW = frozenset({
@@ -199,6 +208,8 @@ _WINDOW = frozenset({
     "f17b_wav_decode_features", "f17c_bmp_decode_features",
     "f17d_jpeg_decode_features", "f17e_png_decode_features",
     "f17f_video_frame_sample", "f17g_image_resize_features",
+    "b4_agg_global", "b5_agg_groupby", "c20_unpivot",
+    "g3_grouped_agg_udaf",
     # r1 greens never re-ridden since round 1 (28)
     "a4b_copy_roundtrip_csv", "a4c_copy_roundtrip_json",
     "a4d_copy_partitioned", "a4e_copy_roundtrip_orc",
@@ -211,10 +222,8 @@ _WINDOW = frozenset({
     "c1_rollup", "c10_row_number", "c12_lag_lead", "c13_frame_rows",
     "c14_frame_range", "c15_running_total", "c17_first_last",
     "c18_forward_fill", "c19_filtered_agg",
-    # oldest r2 rows, alphabetical from a10 (6)
+    # oldest r2 rows, alphabetical from a10 (2)
     "a10_throttled_copy", "a11_snapshot_diff",
-    "a12_schema_evolution_copy", "a14_range_checksums",
-    "a4f_copy_compacted", "b14b_range_join_banded",
 })
 
 
