@@ -132,10 +132,14 @@ def b4_agg_global(spark, sf_dir):
     # computed on an exact cents sum (functions/rounding) — a float-sum
     # mean can land either side of an exact rational half, where the
     # engines' round() conventions split (the f47 class at 2dp).
+    # Integerization is (x*100 + 0.5) cast bigint, valid because the
+    # values are NON-NEGATIVE and x*100 sits within 1e-9 of its
+    # integer — cheaper per row than Round-on-double, which goes
+    # through BigDecimal (measured ~0.2 s over this scan at sf0.1).
     return (
         li.agg(
             r2(F.sum("l_quantity")).alias("sum_qty"),
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("__sp"),
+            F.sum((F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")).alias("__sp"),
             r6(F.min("l_extendedprice")).alias("min_price"),
             r6(F.max("l_extendedprice")).alias("max_price"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -193,9 +197,9 @@ def b5_agg_groupby(spark, sf_dir):
             r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
             # the three avgs average exact 2dp multiples -> exact cents
             # sums + integer rounding (functions/rounding; see b4)
-            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("__sq"),
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("__sp"),
-            F.sum(F.round(F.col("l_discount") * 100).cast("bigint")).alias("__sd"),
+            F.sum((F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")).alias("__sq"),
+            F.sum((F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")).alias("__sp"),
+            F.sum((F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")).alias("__sd"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .withColumn("avg_qty", exact_round_ratio("__sq", "(100 * count_order)", dp=6))

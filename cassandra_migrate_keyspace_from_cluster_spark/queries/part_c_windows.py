@@ -580,7 +580,7 @@ def c20_unpivot(spark, sf_dir):
         .agg(
             r2(F.sum("l_quantity")).alias("sum_qty"),
             r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            F.sum(F.round(F.col("l_discount") * 100).cast("bigint")).alias("__sd"),
+            F.sum((F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")).alias("__sd"),
             F.count(F.lit(1)).alias("__n"),
         )
         .withColumn("avg_disc", exact_round_ratio("__sd", "(100 * __n)", dp=6))
