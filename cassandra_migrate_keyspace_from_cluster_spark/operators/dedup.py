@@ -121,10 +121,19 @@ def jaccard_pairs_postings(
       one shared token is light, and light tokens survive the filter
       on BOTH sides (df is block-scoped), so the pair is generated.
 
+    The final filter accepts ``round(jaccard, 6) >= t``, which a pair
+    with true J as low as ``t − 5e-7`` can satisfy (half-away rounding
+    at 6dp), so the guard's t is the EFFECTIVE acceptance threshold
+    ``t − 5e-7`` — the theorem then covers every pair the rounded
+    filter can admit, making the losslessness law literally universal
+    rather than universal-up-to-rounding.
+
     The guard is enforced per block: the filter applies only in blocks
-    where EVERY member doc has ``h < ⌈t·n⌉`` (computed with the same
-    ``ceil(t·n − 1e-9)`` under-approximation as the prefix form, which
-    can only tighten the guard — never admit an unsafe drop). Blocks
+    where EVERY member doc has ``h < ⌈t_eff·n⌉`` (computed with the
+    same ``ceil(x − 1e-9)`` under-approximation as the prefix form,
+    which can only tighten the guard — never admit an unsafe drop;
+    smaller alpha makes ``h < alpha`` HARDER, i.e. fewer blocks
+    capped, which is the safe direction). Blocks
     with any violating doc keep all their postings, so capped and
     uncapped results are identical for ANY (df_cap, threshold) —
     pytest-asserted as a law, alongside a non-vacuity test that the
@@ -194,14 +203,18 @@ def _jaccard_pairs_postings_capped(
         "heavy", F.col("df") > df_cap
     )
     # per-doc guard: h (heavy-token count) vs the minimum overlap any
-    # qualifying pair must share with this doc as its larger side;
-    # under-approximated exactly like the prefix form's ε-guard so a
-    # float representation of threshold can only TIGHTEN the guard.
+    # qualifying pair must share with this doc as its larger side.
+    # alpha derives from the EFFECTIVE acceptance threshold t - 5e-7
+    # (the final filter passes round(J,6) >= t, which true J down to
+    # t - 5e-7 can reach) and is under-approximated like the prefix
+    # form's ε-guard — both can only TIGHTEN the guard, never admit an
+    # unsafe drop.
+    eff = threshold - 5e-7
     doc_guard = enriched.groupBy("id", *blocking).agg(
         F.sum(F.col("heavy").cast("int")).alias("h"),
         F.first("n").alias("n"),
     ).withColumn(
-        "alpha", F.greatest(F.lit(1), F.ceil(F.col("n") * threshold - 1e-9))
+        "alpha", F.greatest(F.lit(1), F.ceil(F.col("n") * eff - 1e-9))
     )
     block_ok = doc_guard.groupBy(*blocking).agg(
         F.min((F.col("h") < F.col("alpha")).cast("int")).alias("blk_capped")
@@ -286,9 +299,13 @@ def jaccard_pairs_prefix(
         group-filter then discards. At 100 TB this is the standard
         exact-similarity-join shape.
 
-    ε-guard: ``⌈t·n⌉`` is computed as ``ceil(t·n − 1e-9)`` so float
-    representation of t can only UNDER-prune (more candidates, never
-    missed pairs)."""
+    ε-guard: the pruning bounds derive from the EFFECTIVE acceptance
+    threshold ``t − 5e-7`` (the final filter passes
+    ``round(J, 6) >= t``, reachable by true J down to that value), and
+    ``⌈t_eff·n⌉`` is computed as ``ceil(t_eff·n − 1e-9)`` — both
+    conventions can only UNDER-prune (more candidates, never missed
+    pairs)."""
+    eff = threshold - 5e-7
     d = docs.select(
         F.col(id_col).alias("id"),
         *[F.col(b) for b in blocking],
@@ -301,7 +318,7 @@ def jaccard_pairs_prefix(
         post.join(dft, [*blocking, "tok"])
         .withColumn("pos", F.row_number().over(w))
         .withColumn(
-            "alpha", F.greatest(F.lit(1), F.ceil(F.col("n") * threshold - 1e-9))
+            "alpha", F.greatest(F.lit(1), F.ceil(F.col("n") * eff - 1e-9))
         )
         .filter(F.col("pos") <= F.col("n") - F.col("alpha") + 1)
     )
@@ -310,8 +327,8 @@ def jaccard_pairs_prefix(
     cond += [F.col(f"a.{k}") == F.col(f"b.{k}") for k in blocking]
     cond += [
         F.col("a.id") < F.col("b.id"),
-        F.col("b.n") >= F.col("a.n") * threshold - 1e-9,
-        F.col("a.n") >= F.col("b.n") * threshold - 1e-9,
+        F.col("b.n") >= F.col("a.n") * eff - 1e-9,
+        F.col("a.n") >= F.col("b.n") * eff - 1e-9,
     ]
     cand = (
         a.join(b, cond)

@@ -1056,10 +1056,33 @@ def choose_similarity_tier(
     return "pq"
 
 
+def parse_spark_mem_bytes(conf: str) -> int:
+    """Parse a ``spark.executor.memory``-style size string to bytes.
+
+    Mirrors Spark's JavaUtils byte-string contract: a SUFFIX-LESS value
+    is MiB (Spark documents "in the same format as JVM memory strings
+    with a size unit suffix"; a bare number is interpreted as mebibytes,
+    NOT bytes — treating it as bytes is a 2^20 underestimate that would
+    silently route a broadcast-fit corpus to an approximate tier), unit
+    suffixes k/m/g/t/p are binary and may carry a trailing 'b'
+    (``512mb``), and fractional magnitudes like ``1.5g`` are accepted
+    leniently (Spark itself rejects them; a tier selector should not
+    crash on them).
+    """
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    s = conf.strip().lower()
+    if len(s) > 1 and s.endswith("b") and s[-2] in units:
+        s = s[:-1]
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(float(s) * (1 << 20))
+
+
 def auto_cosine_topk(
     embeddings: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
+    embedding_col: str = "embedding",
     executor_mem_bytes: int | None = None,
     exact_required: bool = False,
     chosen: dict | None = None,
@@ -1069,23 +1092,25 @@ def auto_cosine_topk(
 
     Corpus stats come from one cheap aggregate (count + first-row
     embedding length — no data-wide scan of the vectors themselves);
-    executor memory defaults to ``spark.executor.memory`` (falling back
-    to the 1g Spark default) times the JVM-to-usable haircut built into
-    the broadcast fraction. ``chosen`` (opt-in) records the decision
+    executor memory defaults to ``spark.executor.memory`` parsed per
+    Spark's byte-string contract (``parse_spark_mem_bytes`` — bare
+    numbers are MiB, 1g Spark default as fallback) times the
+    JVM-to-usable haircut built into the broadcast fraction.
+    ``embedding_col`` names the vector column (the tier operators
+    themselves pin ``embedding``, so other names are aliased before
+    dispatch); ``chosen`` (opt-in) records the decision
     ({"tier": ..., "n_rows": ..., "dim": ...}) for callers that log or
     test the routing; ``tier_kwargs`` pass through to the tier operator
     (e.g. ``n_probe`` for IVF, ``m`` for PQ).
     """
+    if embedding_col != "embedding":
+        embeddings = embeddings.withColumnRenamed(embedding_col, "embedding")
     row = embeddings.select(
         F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("d")
     ).collect()[0]
     if executor_mem_bytes is None:
         conf = embeddings.sparkSession.conf.get("spark.executor.memory", "1g")
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-        s = conf.strip().lower()
-        executor_mem_bytes = (
-            int(s[:-1]) * units[s[-1]] if s[-1] in units else int(s)
-        )
+        executor_mem_bytes = parse_spark_mem_bytes(conf)
     tier = choose_similarity_tier(
         row.n, row.d, executor_mem_bytes, exact_required=exact_required
     )

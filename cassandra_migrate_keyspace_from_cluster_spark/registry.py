@@ -58,9 +58,12 @@ def load_all() -> None:
     from .queries import ALL_MODULES  # noqa: F401  (import side effect)
 
 
-# Queries already driver-verified green (CORRECTNESS_r01 ∪ … ∪ r05 —
-# all 207 names have now ridden a driver window; zero driver failures
-# ever recorded against current code).
+# Queries already driver-verified green (CORRECTNESS_r01 ∪ … ∪ r06 —
+# all 207 names have ridden a driver window at least once; zero driver
+# failures ever recorded against current code. Round 6 re-rode its
+# 50-name staleness window 49/49 hash + 1/1 rows-only (f3) — every r6
+# name was already green in an earlier round, so the set below is
+# unchanged by r6).
 # The driver's per-round correctness harness caps at the first 50
 # registry entries, so ordering is coverage policy: this round's explicit
 # window FIRST, then the remaining never-driver-checked queries,
@@ -145,85 +148,62 @@ _DRIVER_GREEN = frozenset({
 })
 
 
-# Round-6 driver window (exactly 50 names) — the staleness rotation
-# pre-planned at the end of r5 and directed by the r5 verdict
-# ("rewrites first, then oldest-row rotation"), pre-flighted 50/50 by
-# tools/window_sim.py before shipping:
+# Round-7 driver window (exactly 50 names) — the staleness rotation
+# pre-planned at the end of r6 ("rewrites first, then the remaining r2
+# rows, then oldest r3 rows to the 50 cap"), pre-flighted 50/50 by
+# tools/window_sim.py before shipping. For the record, the r6 window
+# (which CORRECTNESS_r06 verified 49 hash + 1 rows-only) was: the 20
+# queries rewritten in r6 (f2, f3, f47, f41, the round(avg(integers),6)
+# class f10/f12/f51/f52/b36/e14/f17b-g, and the 2dp-multiple means
+# b4/b5/c20/g3), the 28 r1 greens never re-ridden since round 1, and
+# a10/a11 as the oldest r2 rows.
 #
-#   rewritten IN round 6 (20): f2_token_jaccard_neardup (its operator
-#     jaccard_pairs_postings grew the opt-in df_cap branch — the
-#     registered call rides the default path whose plan is unchanged,
-#     but rewritten code re-rides by standing policy);
-#     f3_minhash_lsh (minhash_lsh_pairs now widens an under-
-#     partitioned input before the MLlib transforms — 2x warm
-#     speedup, identical pairs; rows-only);
-#     f47_cluster_quality (avg_sim moved to exact integer micro-unit
-#     mean on BOTH sides after an sf0.001 parity probe caught a 1-ulp
-#     half-boundary divergence — re-verified at sf0.001/0.01/0.1);
-#     f41_perplexity_buckets (same hazard class — mean of 6dp-rounded
-#     scores — hardened proactively with the negative-domain form of
-#     the same exact-integer mean; re-verified at all three SFs);
-#     and the full round(avg(integers),6) class, converted to the
-#     shared exact-integer mean (functions/rounding) after a probe
-#     measured Spark/DuckDB round() disagreeing on 74/5000 exact-half
-#     doubles (numpy/Python round is half-EVEN on the f17 family —
-#     doubly exposed): f10_lang_stats, f12_doc_length_dedup_rate,
-#     f51_ngram_novelty, f52_dataset_card, b36_skew_profile,
-#     e14_session_shape, f17b/c/d/e/f/g; plus the 2dp-multiple
-#     float-sum means (prices/discounts are exact 2dp multiples, so
-#     their means integerize to exact cents sums): b4_agg_global,
-#     b5_agg_groupby, c20_unpivot, and g3_grouped_agg_udaf (the
-#     weighted mean goes exact-integer INSIDE the pandas UDAF — the
-#     Arrow-UDAF surface g3 exists to prove is unchanged). Every
-#     conversion re-verified value-exact at sf0.001 AND sf0.01 AND
-#     sf0.1 before riding.
-#     NOT re-ridden for the other r6 diffs: the rank.py materialize
-#     default flip (every call site passes the kwarg explicitly, so no
-#     compiled plan changed) and the util.py fingerprint/lock hygiene
-#     (no plan surface at all) — same byte-identical-plan rule r5
-#     applied to its kwarg-only diffs.
-#   r1 greens never re-ridden since round 1 (28): fixtures were
-#     regenerated in place three times across r3-r4, so these are the
-#     oldest code-vs-fixture rows standing — a4b/a4c/a4d/a4e, a6, a9,
-#     b11-b13, b15, b15b, b16/b17/b19, b22-b26, c1, c10, c12-c15,
-#     c17-c19.
-#   oldest r2 rows, alphabetical from a10, to the 50 cap (2):
-#     a10, a11 (a12/a14/a4f/b14b/b27-b33/c21-c24/c2/d13 displaced
-#     by the 20 rewrites; they lead the r7 rotation).
+#   rewritten IN round 7 (1): f2_token_jaccard_neardup — its operator
+#     file changed again (the df_cap/prefix pruning bounds now derive
+#     from the EFFECTIVE acceptance threshold t − 5e-7, closing the
+#     r6-advice rounding caveat; the registered call rides the default
+#     postings path whose compiled plan is unchanged, but rewritten
+#     operator code re-rides by standing policy).
+#   remaining r2 rows never re-ridden since round 2 (42): every r2
+#     green except a10/a11/c20 (rode r6) and a13/a1/f24/f33/f36
+#     (rode r5).
+#   oldest r3 rows, alphabetical, to the 50 cap (7): b20, c16, c3,
+#     c4, c5, c5b, d1.
 #
-# CONCRETE r7 window plan (assemble at r7 start, once CORRECTNESS_r06
-# is green): rewrites during r7 first, then the remaining r2 rows
-# (a12, a14, a4f, b14b, b27-b33, c21-c24, c2, d13, d14, d15, d16,
-# d17, e11, e12, e13, e15, e17, e18, e19, e20, f25, f26, f27, f28,
-# f30, f31, f32, f35, f37, f38, f39, g9, g10 — 42 names), then the
-# oldest r3 rows (alphabetical: b20, c16, c3, c4,
-# c5, c5b, d1, ...) to the 50 cap. Every subsequent round repeats the
-# same rule: rewrites first, then oldest-row rotation.
+# CONCRETE r8 window plan (assemble at r8 start, once CORRECTNESS_r07
+# is green): rewrites during r8 first, then the remaining r3 rows
+# (alphabetical from d2: d2, d3, d4, d5, d6, d7, d8, e1, e2, e3, e4,
+# e5, e6, e7, e8, e9, e10, f1, f13, f14, f15, f16, f18, f19, f20,
+# f21, f21b, f22, f23, f4, f4b, f4c, f7, f8, g1, g2, g4, g5, g6, g7,
+# g8 — 41 names), then oldest r4 rows (alphabetical: a15, a16, a17,
+# a18, ...) to the 50 cap. Every subsequent round repeats the same
+# rule: rewrites first, then oldest-row rotation.
 _WINDOW = frozenset({
-    # rewritten in round 6 (16)
-    "f2_token_jaccard_neardup", "f3_minhash_lsh", "f47_cluster_quality",
-    "f41_perplexity_buckets",
-    "f10_lang_stats", "f12_doc_length_dedup_rate", "f51_ngram_novelty",
-    "f52_dataset_card", "b36_skew_profile", "e14_session_shape",
-    "f17b_wav_decode_features", "f17c_bmp_decode_features",
-    "f17d_jpeg_decode_features", "f17e_png_decode_features",
-    "f17f_video_frame_sample", "f17g_image_resize_features",
-    "b4_agg_global", "b5_agg_groupby", "c20_unpivot",
-    "g3_grouped_agg_udaf",
-    # r1 greens never re-ridden since round 1 (28)
-    "a4b_copy_roundtrip_csv", "a4c_copy_roundtrip_json",
-    "a4d_copy_partitioned", "a4e_copy_roundtrip_orc",
-    "a6_writetime_copy", "a9_resumable_copy",
-    "b11_join_semi", "b12_join_anti", "b13_join_cross",
-    "b15_join_asof", "b15b_asof_pandas_api",
-    "b16_union_all", "b17_union_distinct", "b19_except",
-    "b22_distinct_rows", "b23_exists_subquery", "b24_salted_agg",
-    "b25_tpch_q3_shaped", "b26_tpch_q10_shaped",
-    "c1_rollup", "c10_row_number", "c12_lag_lead", "c13_frame_rows",
-    "c14_frame_range", "c15_running_total", "c17_first_last",
-    "c18_forward_fill", "c19_filtered_agg",
-    # oldest r2 rows, alphabetical from a10 (2)
-    "a10_throttled_copy", "a11_snapshot_diff",
+    # rewritten in round 7 (1)
+    "f2_token_jaccard_neardup",
+    # r2 greens never re-ridden since round 2 (42)
+    "a12_schema_evolution_copy", "a14_range_checksums",
+    "a4f_copy_compacted", "b14b_range_join_banded",
+    "b27_scalar_subquery", "b28_join_disjunctive", "b29_lateral_join",
+    "b30_in_subquery", "b31_limit_offset", "b32_group_by_all",
+    "b33_union_evolved",
+    "c2_cube", "c21_date_spine_gapfill", "c22_window_count_distinct",
+    "c23_listagg", "c24_hll_mergeable",
+    "d13_regex_array", "d14_timestamp_arith", "d15_conditional",
+    "d16_encoding", "d17_trig",
+    "e11_anomaly_zscore", "e12_out_of_order_profile",
+    "e13_windowed_topn", "e15_interarrival_histogram",
+    "e17_transition_matrix", "e18_bounded_funnel",
+    "e19_watermark_whatif", "e20_rolling_wau",
+    "f25_contamination", "f26_repetition", "f27_rule_filters",
+    "f28_source_mix_sample", "f30_pipeline_yield",
+    "f31_unigram_logprob", "f32_quality_aware_dedup",
+    "f35_token_spectrum", "f37_url_domain_stats", "f38_chunk_dedup",
+    "f39_source_kl_divergence",
+    "g9_cogrouped_map", "g10_arrow_python_udf",
+    # oldest r3 rows, alphabetical, to the 50 cap (7)
+    "b20_sort_multikey", "c16_ntile_pctrank", "c3_grouping_sets",
+    "c4_stats_agg", "c5_percentiles", "c5b_mode", "d1_string_basic",
 })
 
 

@@ -74,4 +74,38 @@ def _apply() -> None:
     rv.ValidateProtobufRuntimeVersion = lenient
 
 
+def _chain_next_sitecustomize() -> None:
+    """Run the sitecustomize this shim shadows, if any.
+
+    Python auto-imports only the FIRST ``sitecustomize`` found on
+    sys.path; conftest prepends this directory to PYTHONPATH, so a
+    pre-existing environment sitecustomize further down the path would
+    otherwise be silently skipped in every worker process. Locate the
+    next one and execute it so the shim is additive, not a replacement.
+    Only runs when THIS module was the auto-imported ``sitecustomize``
+    (conftest also loads the file explicitly under another name — in
+    that process the real sitecustomize already ran at startup, and
+    chaining would execute it twice)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for entry in sys.path:
+        if not isinstance(entry, str) or not entry:
+            continue
+        if os.path.abspath(entry) == here:
+            continue
+        cand = os.path.join(entry, "sitecustomize.py")
+        if not os.path.isfile(cand):
+            continue
+        spec = importlib.util.spec_from_file_location(
+            "_shadowed_sitecustomize", cand
+        )
+        try:
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+        except Exception:  # a broken downstream hook must not kill workers
+            pass
+        return
+
+
 _apply()
+if __name__ == "sitecustomize":
+    _chain_next_sitecustomize()

@@ -1194,6 +1194,40 @@ def test_similarity_tier_choice_table():
         sim.choose_similarity_tier(0, 128, 4 * GB)
 
 
+def test_parse_spark_mem_bytes_contract():
+    """Spark's byte-string contract for spark.executor.memory: bare
+    numbers are MiB (not bytes — the bytes reading is a 2^20
+    underestimate that would misroute a broadcast-fit corpus to an
+    approximate tier), unit suffixes are binary with an optional
+    trailing 'b', and fractional magnitudes parse leniently."""
+    GB = 1 << 30
+    assert sim.parse_spark_mem_bytes("1g") == GB
+    assert sim.parse_spark_mem_bytes("4G") == 4 * GB
+    assert sim.parse_spark_mem_bytes("512m") == 512 << 20
+    assert sim.parse_spark_mem_bytes("512mb") == 512 << 20
+    assert sim.parse_spark_mem_bytes("  2T ") == 2 << 40
+    # suffix-less = MiB, the Spark reading (NOT bytes)
+    assert sim.parse_spark_mem_bytes("1024") == 1 << 30
+    assert sim.parse_spark_mem_bytes("1.5g") == int(1.5 * GB)
+    assert sim.parse_spark_mem_bytes("0.5k") == 512
+
+
+def test_auto_cosine_topk_embedding_col_param(spark):
+    """A corpus whose vector column is not named 'embedding' must route
+    and answer identically once embedding_col names it."""
+    emb = sim.with_double_embedding(
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    )
+    renamed = emb.withColumnRenamed("embedding", "vec")
+    chosen: dict = {}
+    got = sim.auto_cosine_topk(
+        renamed, k=3, embedding_col="vec", chosen=chosen
+    ).collect()
+    assert chosen["tier"] == "exact_broadcast"
+    want = sim.auto_cosine_topk(emb, k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_auto_cosine_topk_dispatches_and_matches_exact(spark):
     """The dispatcher must (a) route the fixture corpus (tiny) to the
     exact broadcast tier and reproduce cosine_topk's rows exactly, and
