@@ -138,6 +138,30 @@ def test_transform_with_state_twin_matches_batch(spark, events_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_protoshim_chains_shadowed_sitecustomize(tmp_path):
+    """Python auto-imports only the FIRST sitecustomize on sys.path, so
+    conftest's PYTHONPATH prepend would otherwise silently disable any
+    pre-existing environment sitecustomize in every spawned worker. The
+    shim must locate and execute the one it shadows (additive, not a
+    replacement)."""
+    import os
+    import subprocess
+    import sys
+
+    shim_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_protoshim")
+    marker = tmp_path / "shadowed_ran.txt"
+    (tmp_path / "sitecustomize.py").write_text(
+        f"open({str(marker)!r}, 'w').write('ran')\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = shim_dir + os.pathsep + str(tmp_path)
+    proc = subprocess.run(
+        [sys.executable, "-c", "pass"], env=env, capture_output=True, text=True
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert marker.exists(), "shadowed sitecustomize was not chained"
+
+
 def test_windowed_topn_twin_via_foreach_batch(spark, events_dir, tmp_path):
     """e13's streaming form: windowed counts stream in complete mode,
     and the top-N rank is applied INSIDE foreachBatch — streaming
