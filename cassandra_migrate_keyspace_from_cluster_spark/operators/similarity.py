@@ -1065,14 +1065,18 @@ def parse_spark_mem_bytes(conf: str) -> int:
     NOT bytes — treating it as bytes is a 2^20 underestimate that would
     silently route a broadcast-fit corpus to an approximate tier), unit
     suffixes k/m/g/t/p are binary and may carry a trailing 'b'
-    (``512mb``), and fractional magnitudes like ``1.5g`` are accepted
-    leniently (Spark itself rejects them; a tier selector should not
-    crash on them).
+    (``512mb``), a bare 'b' after digits is the bytes suffix
+    (``1048576b`` = 1 MiB, per JavaUtils' byteStringAs), and
+    fractional magnitudes like ``1.5g`` are accepted leniently
+    (Spark itself rejects them; a tier selector should not crash on
+    them).
     """
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
     s = conf.strip().lower()
     if len(s) > 1 and s.endswith("b") and s[-2] in units:
         s = s[:-1]
+    elif len(s) > 1 and s.endswith("b") and (s[-2].isdigit() or s[-2] == "."):
+        return int(float(s[:-1]))
     if s and s[-1] in units:
         return int(float(s[:-1]) * units[s[-1]])
     return int(float(s) * (1 << 20))
@@ -1104,6 +1108,11 @@ def auto_cosine_topk(
     (e.g. ``n_probe`` for IVF, ``m`` for PQ).
     """
     if embedding_col != "embedding":
+        # A pre-existing unrelated "embedding" column would make the
+        # rename produce a duplicate name and every downstream
+        # F.col("embedding") ambiguous — drop it before aliasing.
+        if "embedding" in embeddings.columns:
+            embeddings = embeddings.drop("embedding")
         embeddings = embeddings.withColumnRenamed(embedding_col, "embedding")
     row = embeddings.select(
         F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("d")

@@ -58,12 +58,12 @@ def load_all() -> None:
     from .queries import ALL_MODULES  # noqa: F401  (import side effect)
 
 
-# Queries already driver-verified green (CORRECTNESS_r01 ∪ … ∪ r06 —
+# Queries already driver-verified green (CORRECTNESS_r01 ∪ … ∪ r07 —
 # all 207 names have ridden a driver window at least once; zero driver
-# failures ever recorded against current code. Round 6 re-rode its
-# 50-name staleness window 49/49 hash + 1/1 rows-only (f3) — every r6
-# name was already green in an earlier round, so the set below is
-# unchanged by r6).
+# failures ever recorded against current code. Rounds 6 and 7 re-rode
+# their 50-name staleness windows 49/49 hash + 1/1 rows-only each —
+# every r6/r7 name was already green in an earlier round, so the set
+# below is unchanged by them).
 # The driver's per-round correctness harness caps at the first 50
 # registry entries, so ordering is coverage policy: this round's explicit
 # window FIRST, then the remaining never-driver-checked queries,
@@ -148,62 +148,56 @@ _DRIVER_GREEN = frozenset({
 })
 
 
-# Round-7 driver window (exactly 50 names) — the staleness rotation
-# pre-planned at the end of r6 ("rewrites first, then the remaining r2
-# rows, then oldest r3 rows to the 50 cap"), pre-flighted 50/50 by
-# tools/window_sim.py before shipping. For the record, the r6 window
-# (which CORRECTNESS_r06 verified 49 hash + 1 rows-only) was: the 20
-# queries rewritten in r6 (f2, f3, f47, f41, the round(avg(integers),6)
-# class f10/f12/f51/f52/b36/e14/f17b-g, and the 2dp-multiple means
-# b4/b5/c20/g3), the 28 r1 greens never re-ridden since round 1, and
-# a10/a11 as the oldest r2 rows.
+# Round-8 driver window (exactly 50 names) — the staleness rotation
+# pre-planned at the end of r7 ("rewrites first, then the remaining r3
+# rows, then oldest r4 rows to the 50 cap"), pre-flighted by
+# tools/window_sim.py before shipping. For the record, the r7 window
+# (which CORRECTNESS_r07 verified 49 hash + 1 rows-only, zero fails)
+# was: f2 (rewritten in r7), the 42 r2 greens never re-ridden since
+# round 2, and the 7 oldest r3 rows (b20, c16, c3, c4, c5, c5b, d1).
 #
-#   rewritten IN round 7 (1): f2_token_jaccard_neardup — its operator
-#     file changed again (the df_cap/prefix pruning bounds now derive
-#     from the EFFECTIVE acceptance threshold t − 5e-7, closing the
-#     r6-advice rounding caveat; the registered call rides the default
-#     postings path whose compiled plan is unchanged, but rewritten
-#     operator code re-rides by standing policy).
-#   remaining r2 rows never re-ridden since round 2 (42): every r2
-#     green except a10/a11/c20 (rode r6) and a13/a1/f24/f33/f36
-#     (rode r5).
-#   oldest r3 rows, alphabetical, to the 50 cap (7): b20, c16, c3,
-#     c4, c5, c5b, d1.
+#   rewritten IN round 8: none with a registered query path — the r8
+#     similarity.py edits (advice closures: JavaUtils bare-'b' bytes
+#     suffix in parse_spark_mem_bytes; duplicate-column guard in
+#     auto_cosine_topk) touch only the application-layer auto-tier
+#     helper, which no registered query calls; the similarity-family
+#     queries f4/f4b/f4c/f19 ride this window anyway as r3 rows.
+#   remaining r3 rows never re-ridden since round 3 (41):
+#     alphabetical from d2 — every r3 green except f2 (rode r7 as a
+#     rewrite), b20/c16/c3/c4/c5/c5b/d1 (rode r7), g3 (rode r5), and
+#     the e-family streaming twins keep their r3 slots here.
+#   oldest r4 rows, alphabetical, to the 50 cap (9): a15, a16, a17,
+#     a18, a19, a20, a21, b34, b35.
 #
-# CONCRETE r8 window plan (assemble at r8 start, once CORRECTNESS_r07
-# is green): rewrites during r8 first, then the remaining r3 rows
-# (alphabetical from d2: d2, d3, d4, d5, d6, d7, d8, e1, e2, e3, e4,
-# e5, e6, e7, e8, e9, e10, f1, f13, f14, f15, f16, f18, f19, f20,
-# f21, f21b, f22, f23, f4, f4b, f4c, f7, f8, g1, g2, g4, g5, g6, g7,
-# g8 — 41 names), then oldest r4 rows (alphabetical: a15, a16, a17,
-# a18, ...) to the 50 cap. Every subsequent round repeats the same
-# rule: rewrites first, then oldest-row rotation.
+# CONCRETE r9 window plan (assemble at r9 start, once CORRECTNESS_r08
+# is green): rewrites during r9 first, then the remaining r4 rows
+# (alphabetical from b36: b36, b37, c25, c8, c9, d9, d10, d11, d12,
+# d18, e14, e16, e21, e22, e23, f6, f9, f10, f11, f12, f17,
+# f17b–f17g, f29, f34, f40, f41, f43, f44, f45, f46, f48, f49, f50,
+# f51, f52, g11), then oldest r5 rows to the 50 cap. Every subsequent
+# round repeats the same rule: rewrites first, then oldest-row
+# rotation.
 _WINDOW = frozenset({
-    # rewritten in round 7 (1)
-    "f2_token_jaccard_neardup",
-    # r2 greens never re-ridden since round 2 (42)
-    "a12_schema_evolution_copy", "a14_range_checksums",
-    "a4f_copy_compacted", "b14b_range_join_banded",
-    "b27_scalar_subquery", "b28_join_disjunctive", "b29_lateral_join",
-    "b30_in_subquery", "b31_limit_offset", "b32_group_by_all",
-    "b33_union_evolved",
-    "c2_cube", "c21_date_spine_gapfill", "c22_window_count_distinct",
-    "c23_listagg", "c24_hll_mergeable",
-    "d13_regex_array", "d14_timestamp_arith", "d15_conditional",
-    "d16_encoding", "d17_trig",
-    "e11_anomaly_zscore", "e12_out_of_order_profile",
-    "e13_windowed_topn", "e15_interarrival_histogram",
-    "e17_transition_matrix", "e18_bounded_funnel",
-    "e19_watermark_whatif", "e20_rolling_wau",
-    "f25_contamination", "f26_repetition", "f27_rule_filters",
-    "f28_source_mix_sample", "f30_pipeline_yield",
-    "f31_unigram_logprob", "f32_quality_aware_dedup",
-    "f35_token_spectrum", "f37_url_domain_stats", "f38_chunk_dedup",
-    "f39_source_kl_divergence",
-    "g9_cogrouped_map", "g10_arrow_python_udf",
-    # oldest r3 rows, alphabetical, to the 50 cap (7)
-    "b20_sort_multikey", "c16_ntile_pctrank", "c3_grouping_sets",
-    "c4_stats_agg", "c5_percentiles", "c5b_mode", "d1_string_basic",
+    # r3 greens never re-ridden since round 3 (41)
+    "d2_string_regex", "d3_string_distance", "d4_datetime", "d5_math",
+    "d6_array", "d7_map_json", "d8_hash",
+    "e1_tumbling", "e2_sliding", "e3_session", "e4_watermark_late",
+    "e5_stream_dedup", "e6_stateful_runagg", "e7_event_funnel",
+    "e8_rate_histogram", "e9_retention_cohort", "e10_stream_stream_join",
+    "f1_exact_dedup", "f13_langid", "f14_quality", "f15_token_count",
+    "f16_fingerprint", "f18_pipeline_report", "f19_quantize_int8",
+    "f20_stratified_sample", "f21_neardup_clusters",
+    "f21b_neardup_clusters_star", "f22_redact_pii",
+    "f23_dedup_suppression", "f4_cosine_topk", "f4b_cosine_neardup",
+    "f4c_cosine_topk_chunked", "f7_tokenize_wordcount", "f8_tfidf",
+    "g1_python_udf", "g2_pandas_udf_scalar", "g4_grouped_map",
+    "g5_map_in_pandas", "g6_python_udtf", "g7_map_in_arrow",
+    "g8_pandas_udf_iter",
+    # oldest r4 rows, alphabetical, to the 50 cap (9)
+    "a15_repair_apply", "a16_clustered_copy_scan", "a17_scd2_history",
+    "a18_referential_check", "a19_migration_plan_estimate",
+    "a20_schema_drift_report", "a21_data_expectations",
+    "b34_bloom_semi_reduction", "b35_salted_join",
 })
 
 

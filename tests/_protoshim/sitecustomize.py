@@ -85,7 +85,15 @@ def _chain_next_sitecustomize() -> None:
     Only runs when THIS module was the auto-imported ``sitecustomize``
     (conftest also loads the file explicitly under another name — in
     that process the real sitecustomize already ran at startup, and
-    chaining would execute it twice)."""
+    chaining would execute it twice).
+
+    The shadowed module executes under ``__name__ == "sitecustomize"``
+    (it IS the environment's sitecustomize; a hook gating on that name
+    — exactly as this shim itself does — must still fire). It is NOT
+    re-registered in sys.modules, where this shim keeps the name. A
+    broken downstream hook must not kill workers, so exceptions are
+    contained — but reported to stderr the way CPython's site.py
+    reports sitecustomize import errors, never swallowed silently."""
     here = os.path.dirname(os.path.abspath(__file__))
     for entry in sys.path:
         if not isinstance(entry, str) or not entry:
@@ -95,14 +103,16 @@ def _chain_next_sitecustomize() -> None:
         cand = os.path.join(entry, "sitecustomize.py")
         if not os.path.isfile(cand):
             continue
-        spec = importlib.util.spec_from_file_location(
-            "_shadowed_sitecustomize", cand
-        )
+        spec = importlib.util.spec_from_file_location("sitecustomize", cand)
         try:
             mod = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(mod)
-        except Exception:  # a broken downstream hook must not kill workers
-            pass
+        except Exception as exc:
+            print(
+                "Error in shadowed sitecustomize (%s); continuing anyway:\n"
+                "%s: %s" % (cand, type(exc).__name__, exc),
+                file=sys.stderr,
+            )
         return
 
 

@@ -1210,6 +1210,10 @@ def test_parse_spark_mem_bytes_contract():
     assert sim.parse_spark_mem_bytes("1024") == 1 << 30
     assert sim.parse_spark_mem_bytes("1.5g") == int(1.5 * GB)
     assert sim.parse_spark_mem_bytes("0.5k") == 512
+    # a bare 'b' after digits is JavaUtils' bytes suffix, not a crash
+    assert sim.parse_spark_mem_bytes("1048576b") == 1 << 20
+    assert sim.parse_spark_mem_bytes("0b") == 0
+    assert sim.parse_spark_mem_bytes(" 2.5B ") == 2
 
 
 def test_auto_cosine_topk_embedding_col_param(spark):
@@ -1226,6 +1230,11 @@ def test_auto_cosine_topk_embedding_col_param(spark):
     assert chosen["tier"] == "exact_broadcast"
     want = sim.auto_cosine_topk(emb, k=3).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # an unrelated pre-existing 'embedding' column must not collide
+    # with the rename (duplicate names → ambiguous downstream F.col)
+    decoy = renamed.withColumn("embedding", F.lit("decoy"))
+    got2 = sim.auto_cosine_topk(decoy, k=3, embedding_col="vec").collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, want))
 
 
 def test_auto_cosine_topk_dispatches_and_matches_exact(spark):

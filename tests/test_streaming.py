@@ -150,8 +150,11 @@ def test_protoshim_chains_shadowed_sitecustomize(tmp_path):
 
     shim_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_protoshim")
     marker = tmp_path / "shadowed_ran.txt"
+    # record __name__ too: a downstream hook that gates on
+    # __name__ == "sitecustomize" (exactly as the shim itself does)
+    # must still see the real name, not a synthetic one.
     (tmp_path / "sitecustomize.py").write_text(
-        f"open({str(marker)!r}, 'w').write('ran')\n"
+        f"open({str(marker)!r}, 'w').write(__name__)\n"
     )
     env = dict(os.environ)
     env["PYTHONPATH"] = shim_dir + os.pathsep + str(tmp_path)
@@ -160,6 +163,31 @@ def test_protoshim_chains_shadowed_sitecustomize(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr
     assert marker.exists(), "shadowed sitecustomize was not chained"
+    assert marker.read_text() == "sitecustomize"
+
+
+def test_protoshim_reports_broken_shadowed_hook(tmp_path):
+    """A broken downstream sitecustomize must not kill the process, but
+    its failure must reach stderr (mirroring CPython's site.py
+    behavior) instead of being swallowed with zero diagnostics."""
+    import os
+    import subprocess
+    import sys
+
+    shim_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_protoshim")
+    (tmp_path / "sitecustomize.py").write_text(
+        "raise RuntimeError('hook exploded')\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = shim_dir + os.pathsep + str(tmp_path)
+    proc = subprocess.run(
+        [sys.executable, "-c", "print('alive')"],
+        env=env, capture_output=True, text=True,
+    )
+    assert proc.returncode == 0
+    assert proc.stdout.strip() == "alive"
+    assert "Error in shadowed sitecustomize" in proc.stderr
+    assert "RuntimeError: hook exploded" in proc.stderr
 
 
 def test_windowed_topn_twin_via_foreach_batch(spark, events_dir, tmp_path):
