@@ -210,9 +210,16 @@ def copy_table_with_writetime(
     metadata columns attach at read, flow through the shuffle-free copy
     untouched, and verify on the target."""
     src = load_table(spark, src_dir, name)
-    # cast NTZ→TZ is a no-op under the UTC session invariant, and
-    # matches DuckDB's epoch_us on the same naive timestamps
-    wt = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # writetime = epoch micros OF THE NAIVE WALL-CLOCK (DuckDB's
+    # epoch_us of the same naive timestamps). unix_micros alone reads
+    # the raw internal epoch, which follows spark.sql.session.timeZone;
+    # from_utc_timestamp(col, session_tz) shifts it so the result is
+    # the naive micros under ANY session zone (identity under the
+    # engine's pinned UTC — same value, same plan shape).
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+    wt = F.unix_micros(
+        F.from_utc_timestamp(F.col(ts_col).cast("timestamp"), tz)
+    )
     with_meta = src.select(
         "*", *[wt.alias(f"{c}_writetime") for c in value_cols]
     )

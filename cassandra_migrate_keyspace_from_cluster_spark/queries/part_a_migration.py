@@ -564,10 +564,19 @@ def a16_clustered_copy_scan(spark, sf_dir):
     where parquet row-group min/max stats skip the files/row-groups
     outside the range — the read-side payoff of the layout.
 
-    The clustered copy is content-addressed by ``sf_dir`` and reused
-    across invocations in the same process (repeated bench/parity runs
-    re-scan instead of re-writing the layout each call)."""
-    dst = scratch_dir("a16_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    The clustered copy is content-addressed by ``sf_dir`` plus the
+    session timezone and reused across invocations in the same process
+    (repeated bench/parity runs re-scan instead of re-writing the
+    layout each call). The timezone is part of the tag because the
+    copy stores o_orderdate as parquet epoch micros FIXED under the
+    writer's session zone: a copy written under UTC and re-read under
+    another zone would render shifted wall-clocks (the engine pins
+    UTC, where the tag reduces to the old one; the fold only matters
+    when that pin is bypassed, e.g. tools/conf_invariance.py)."""
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+    dst = scratch_dir(
+        "a16_" + hashlib.md5(f"{sf_dir}|tz={tz}".encode()).hexdigest()[:10]
+    )
     done = os.path.join(dst, "orders_clustered.parquet", "_SUCCESS")
     if os.path.exists(done):
         clustered = spark.read.parquet(

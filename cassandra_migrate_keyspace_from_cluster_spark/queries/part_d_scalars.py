@@ -156,9 +156,25 @@ def d3_string_distance(spark, sf_dir):
 def d4_datetime(spark, sf_dir):
     """Date/time family. ISO day-of-week derived explicitly on the Spark
     side (Spark dayofweek is 1=Sunday, DuckDB's 0=Sunday — never compare
-    raw); date-typed results emitted as timestamps (dtype stability)."""
+    raw); date-typed results emitted as timestamps (dtype stability).
+
+    epoch_s is the epoch of the NAIVE wall-clock (DuckDB's epoch() of a
+    naive timestamp) built from naive components — days-since-1970 ×
+    86400 + seconds-into-day — not unix_timestamp, whose raw internal
+    epoch is the one timestamp reading that shifts with
+    spark.sql.session.timeZone (every other column here is rendered
+    through the session zone symmetrically). The engine pins UTC, where
+    both forms agree; this form stays correct even when that pin is
+    bypassed (tools/conf_invariance.py tz_utc_plus8)."""
     o = t(spark, sf_dir, "orders")
     od = F.col("o_orderdate")
+    naive_epoch_s = (
+        F.datediff(F.to_date(od), F.lit("1970-01-01").cast("date")).cast("long")
+        * 86400
+        + F.hour(od).cast("long") * 3600
+        + F.minute(od).cast("long") * 60
+        + F.second(od).cast("long")
+    )
     return o.select(
         "o_orderkey",
         F.year(od).cast("int").alias("y"),
@@ -173,7 +189,7 @@ def d4_datetime(spark, sf_dir):
         F.months_between(F.date_trunc("month", od), F.lit("1995-01-01").cast("date"))
         .cast("int")
         .alias("months_since_95"),
-        F.unix_timestamp(od).alias("epoch_s"),
+        naive_epoch_s.alias("epoch_s"),
         F.make_date(F.lit(2024), F.month(od), F.lit(1))
         .cast("timestamp")
         .alias("md"),

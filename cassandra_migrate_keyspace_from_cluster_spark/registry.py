@@ -156,7 +156,20 @@ _DRIVER_GREEN = frozenset({
 # was: f2 (rewritten in r7), the 42 r2 greens never re-ridden since
 # round 2, and the 7 oldest r3 rows (b20, c16, c3, c4, c5, c5b, d1).
 #
-#   rewritten IN round 8: none with a registered query path — the r8
+#   rewritten IN round 8 (3): d4_datetime (epoch_s from naive
+#     components — a raw-epoch output that shifted with session
+#     timezone) and a16_clustered_copy_scan (staging tag folds the
+#     session timezone) are r3/r4 rows already riding this window;
+#     a6_writetime_copy (writetime = naive micros via
+#     from_utc_timestamp — identity value and plan under pinned UTC)
+#     joins it, displacing b35_salted_join from the oldest-r4 padding
+#     (b35 moves to the r9 rotation); the session-timezone wall-clock
+#     stabilization added to the loaders (sources/parquet_keyspace.
+#     stabilize_wallclock + the twins/cluster/commitlog readers) is a
+#     NO-OP branch under the engine's pinned-UTC sessions — pytest
+#     asserts identity (same object), the plan suite asserts pushdown
+#     is untouched, and the full parity suite re-validates all 207 —
+#     so the remaining inventory does not re-ride for it. The r8
 #     similarity.py edits (advice closures: JavaUtils bare-'b' bytes
 #     suffix in parse_spark_mem_bytes; duplicate-column guard in
 #     auto_cosine_topk) touch only the application-layer auto-tier
@@ -166,8 +179,8 @@ _DRIVER_GREEN = frozenset({
 #     alphabetical from d2 — every r3 green except f2 (rode r7 as a
 #     rewrite), b20/c16/c3/c4/c5/c5b/d1 (rode r7), g3 (rode r5), and
 #     the e-family streaming twins keep their r3 slots here.
-#   oldest r4 rows, alphabetical, to the 50 cap (9): a15, a16, a17,
-#     a18, a19, a20, a21, b34, b35.
+#   oldest r4 rows, alphabetical, to the 50 cap (8): a15, a16, a17,
+#     a18, a19, a20, a21, b34.
 #
 # CONCRETE r9 window plan (assemble at r9 start, once CORRECTNESS_r08
 # is green): rewrites during r9 first, then the remaining r4 rows
@@ -178,6 +191,8 @@ _DRIVER_GREEN = frozenset({
 # round repeats the same rule: rewrites first, then oldest-row
 # rotation.
 _WINDOW = frozenset({
+    # rewritten in round 8 (1 not already below)
+    "a6_writetime_copy",
     # r3 greens never re-ridden since round 3 (41)
     "d2_string_regex", "d3_string_distance", "d4_datetime", "d5_math",
     "d6_array", "d7_map_json", "d8_hash",
@@ -193,11 +208,11 @@ _WINDOW = frozenset({
     "g1_python_udf", "g2_pandas_udf_scalar", "g4_grouped_map",
     "g5_map_in_pandas", "g6_python_udtf", "g7_map_in_arrow",
     "g8_pandas_udf_iter",
-    # oldest r4 rows, alphabetical, to the 50 cap (9)
+    # oldest r4 rows, alphabetical, to the 50 cap (8)
     "a15_repair_apply", "a16_clustered_copy_scan", "a17_scd2_history",
     "a18_referential_check", "a19_migration_plan_estimate",
     "a20_schema_drift_report", "a21_data_expectations",
-    "b34_bloom_semi_reduction", "b35_salted_join",
+    "b34_bloom_semi_reduction",
 })
 
 

@@ -166,7 +166,12 @@ def register(spark) -> None:
 
 def read_keyspace_table(spark, path: str, key: str, n_ranges: int = 8):
     register(spark)
-    return (
+    from .parquet_keyspace import stabilize_wallclock
+
+    # _arrow_batches pins the naive micros as UTC instants, so the same
+    # wall-clock stabilization as the batch loader applies (no-op in
+    # the engine's pinned-UTC sessions).
+    return stabilize_wallclock(
         spark.read.format("keyspace_cluster")
         .option("path", path)
         .option("key", key)

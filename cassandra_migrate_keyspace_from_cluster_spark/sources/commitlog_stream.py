@@ -138,7 +138,12 @@ def read_commitlog_stream(
     spark, path: str, n_slices: int = 4, batch_rows: int = 0
 ):
     register(spark)
-    return (
+    from .parquet_keyspace import stabilize_wallclock
+
+    # The replay reader emits naive micros pinned as UTC instants, so
+    # the same wall-clock stabilization as the batch loader applies
+    # (no-op in the engine's pinned-UTC sessions).
+    return stabilize_wallclock(
         spark.readStream.format("keyspace_commitlog")
         .option("path", path)
         .option("n_slices", str(n_slices))

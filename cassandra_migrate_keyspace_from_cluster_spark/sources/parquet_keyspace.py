@@ -88,6 +88,56 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dt in dtypes.items():
         if dt == "timestamp_ntz":
             df = df.withColumn(col, df[col].cast("timestamp"))
+    return stabilize_wallclock(df)
+
+
+# Zone ids whose offset is permanently 00:00 — rendering under these
+# already equals the declared UTC wall-clock, so no wrap is needed.
+# An unknown-but-UTC alias merely falls through to the wrap, which is
+# then an identity on every value (only pushdown is lost) — the safe
+# direction.
+_UTC_EQUIVALENT = frozenset({
+    "UTC", "Etc/UTC", "Etc/Universal", "Etc/Zulu", "Etc/GMT", "Etc/GMT0",
+    "Etc/GMT+0", "Etc/GMT-0", "Etc/Greenwich", "GMT", "GMT0", "Greenwich",
+    "Universal", "Zulu", "Z", "+00:00", "UTC+00:00", "GMT+00:00",
+})
+
+
+def stabilize_wallclock(df: DataFrame) -> DataFrame:
+    """Render epoch-pinned TimestampType columns as the same naive
+    wall-clock under ANY session timezone.
+
+    The fixtures' timestamps are parquet INT64 micros whose value IS
+    the intended naive wall-clock, read with inferTimestampNTZ disabled
+    (see session.py — LTZ-only expressions reject NTZ), so Spark sees
+    plain TimestampType whose internal epoch equals that wall-clock.
+    Under a UTC session — which both engine session paths pin
+    (build_session / configure_existing) — rendering already equals the
+    declared wall-clock and this is a NO-OP branch: columns are
+    returned untouched and parquet pushdown of timestamp predicates is
+    preserved.
+
+    Under any other session timezone (a plain session on a non-UTC box
+    with configure_existing bypassed), Spark would render those
+    instants shifted by the session offset — silently changing filter
+    membership, date_trunc/window bucketing, and every rendered value
+    (measured: 24 of 207 queries drift under Etc/GMT-8 without this —
+    tools/conf_invariance.py's tz_utc_plus8 probe).
+    ``to_utc_timestamp(col, session_tz)`` shifts the epoch so the
+    session rendering equals the declared wall-clock: exact for
+    fixed-offset zones; DST zones are exact except inside a transition
+    hour, where naive wall-clock semantics are inherently ill-defined.
+    The wrap sits above the scan, so timestamp-predicate pushdown is
+    traded for correctness in this off-contract mode.
+    """
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+    if tz in _UTC_EQUIVALENT:
+        return df
+    from pyspark.sql import functions as F
+
+    for col, dt in df.dtypes:
+        if dt == "timestamp":
+            df = df.withColumn(col, F.to_utc_timestamp(F.col(col), tz))
     return df
 
 

@@ -33,7 +33,9 @@ def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     for col, dt in stream.dtypes:
         if dt == "timestamp_ntz":
             stream = stream.withColumn(col, F.col(col).cast("timestamp"))
-    return stream
+    from ..sources.parquet_keyspace import stabilize_wallclock
+
+    return stabilize_wallclock(stream)
 
 
 def tumbling_stream(events: DataFrame) -> DataFrame:

