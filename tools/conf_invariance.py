@@ -71,6 +71,12 @@ PERTURBATIONS = {
     # and sliding window boundaries aligned. Etc/GMT-8 = UTC+8 (POSIX
     # sign inversion), no DST anywhere in its history.
     "tz_utc_plus8": {"spark.sql.session.timeZone": "Etc/GMT-8"},
+    # Whole-stage codegen off: every expression evaluates through the
+    # interpreted/fallback path instead of generated Java. Codegen vs
+    # interpreted divergence is a classic engine-bug class (rounding,
+    # overflow, null-handling inconsistencies between the two
+    # evaluators); results must be identical either way.
+    "codegen_off": {"spark.sql.codegen.wholeStage": "false"},
 }
 
 
