@@ -77,6 +77,35 @@ PERTURBATIONS = {
     # overflow, null-handling inconsistencies between the two
     # evaluators); results must be identical either way.
     "codegen_off": {"spark.sql.codegen.wholeStage": "false"},
+    # ANSI mode off (Spark 4 defaults it ON): overflow and invalid
+    # casts return NULL instead of raising. No query may RELY on
+    # either behavior — every cast in the inventory is
+    # domain-validated, so flipping the mode must not change a cell
+    # (a query whose answer depends on error-vs-null semantics is a
+    # portability bug against engines without ANSI mode).
+    "ansi_off": {"spark.sql.ansi.enabled": "false"},
+    # Auto-broadcast off: every non-hinted equi-join falls back to
+    # sort-merge/shuffled-hash. Join STRATEGY must never be
+    # semantic — a query whose answer depends on broadcast-vs-shuffle
+    # placement (e.g. partition-local state in a Python-crossing op
+    # fed by the join) is broken on any cluster where the small side
+    # outgrows the threshold. Explicit F.broadcast() hints still
+    # apply (they are part of the declared plan, not an accident).
+    "broadcast_off": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    # Vectorized parquet reader off: scans decode row-at-a-time
+    # through parquet-mr instead of the columnar batch reader. A
+    # classic engine-divergence class (timestamp/decimal/null decode
+    # differences between the two readers); also removes the
+    # columnar-to-row boundary AQE sees, shifting stage shapes.
+    "parquet_rowwise": {"spark.sql.parquet.enableVectorizedReader": "false"},
+    # Tiny input splits: 64 KiB maxPartitionBytes re-splits every
+    # file scan into many input partitions (the sandbox default is
+    # 128 MiB = one partition per fixture file). On a 100-TB cluster
+    # every scan IS multi-split — any per-input-partition logic
+    # (first-row-of-file assumptions, per-partition accumulators in
+    # mapInPandas sources) diverges the moment splits multiply.
+    "tiny_splits": {"spark.sql.files.maxPartitionBytes": "65536",
+                    "spark.sql.files.openCostInBytes": "0"},
 }
 
 
