@@ -63,11 +63,15 @@ def exact_round_ratio(s_name: str, m_name: str, dp: int = 6) -> Column:
     directly for means of k-dp-multiple doubles after integerizing
     (s = sum(round(x*10^k)), m = 10^k * n)."""
     p = 10 ** dp
+    # m = 0 (empty input / empty group) → NULL, not an ANSI
+    # DIVIDE_BY_ZERO: CASE short-circuits, so the div never evaluates.
     return (
         F.expr(
-            f"CAST(CASE WHEN {s_name} < 0 THEN -1 ELSE 1 END"
-            f" * ((2 * abs({s_name}) * {p} + {m_name})"
-            f" div (2 * {m_name})) AS DOUBLE)"
+            f"CAST(CASE WHEN {m_name} = 0 THEN NULL"
+            f" WHEN {s_name} < 0 THEN"
+            f" -((2 * abs({s_name}) * {p} + {m_name}) div (2 * {m_name}))"
+            f" ELSE ((2 * abs({s_name}) * {p} + {m_name})"
+            f" div (2 * {m_name})) END AS DOUBLE)"
         )
         / F.lit(float(p))
     )
@@ -77,8 +81,11 @@ def sql_exact_round_ratio(s: str, m: str, dp: int = 6) -> str:
     """DuckDB SQL text of ``exact_round_ratio`` (for oracle strings)."""
     p = 10 ** dp
     return (
-        f"CAST(CASE WHEN ({s}) < 0 THEN -1 ELSE 1 END"
-        f" * ((2 * abs({s}) * {p} + ({m})) // (2 * ({m}))) AS DOUBLE)"
+        f"CAST(CASE WHEN ({m}) = 0 THEN NULL"
+        f" WHEN ({s}) < 0 THEN"
+        f" -((2 * abs({s}) * {p} + ({m})) // (2 * ({m})))"
+        f" ELSE ((2 * abs({s}) * {p} + ({m})) // (2 * ({m})))"
+        f" END AS DOUBLE)"
         f" / {float(p)}"
     )
 
@@ -88,11 +95,14 @@ def exact_mean6(sum_name: str, n_name: str, pre_scaled: bool = False) -> Column:
     NAMES (names, not Columns — the integer division must go through
     SQL ``div``, which has no Column-API operator)."""
     mult = "" if pre_scaled else " * 1000000"
+    # n = 0 → NULL (see exact_round_ratio).
     return (
         F.expr(
-            f"CAST(CASE WHEN {sum_name} < 0 THEN -1 ELSE 1 END"
-            f" * ((2 * abs({sum_name}){mult} + {n_name})"
-            f" div (2 * {n_name})) AS DOUBLE)"
+            f"CAST(CASE WHEN {n_name} = 0 THEN NULL"
+            f" WHEN {sum_name} < 0 THEN"
+            f" -((2 * abs({sum_name}){mult} + {n_name}) div (2 * {n_name}))"
+            f" ELSE ((2 * abs({sum_name}){mult} + {n_name})"
+            f" div (2 * {n_name})) END AS DOUBLE)"
         )
         / F.lit(1e6)
     )
@@ -102,7 +112,10 @@ def sql_exact_mean6(s: str, n: str, pre_scaled: bool = False) -> str:
     """DuckDB SQL text of the same exact mean (for oracle strings)."""
     mult = "" if pre_scaled else " * 1000000"
     return (
-        f"CAST(CASE WHEN ({s}) < 0 THEN -1 ELSE 1 END"
-        f" * ((2 * abs({s}){mult} + ({n})) // (2 * ({n}))) AS DOUBLE)"
+        f"CAST(CASE WHEN ({n}) = 0 THEN NULL"
+        f" WHEN ({s}) < 0 THEN"
+        f" -((2 * abs({s}){mult} + ({n})) // (2 * ({n})))"
+        f" ELSE ((2 * abs({s}){mult} + ({n})) // (2 * ({n})))"
+        f" END AS DOUBLE)"
         f" / 1e6"
     )

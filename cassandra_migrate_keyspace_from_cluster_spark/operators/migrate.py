@@ -139,13 +139,15 @@ def copy_table_partitioned(
     checks."""
     src = load_table(spark, src_dir, name)
     dst = os.path.join(dst_dir, f"{name}_part.parquet")
-    (
-        src.withColumn(partition_name, partition_expr)
-        .write.mode("overwrite")
-        .partitionBy(partition_name)
-        .parquet(dst)
+    with_part = src.withColumn(partition_name, partition_expr)
+    with_part.write.mode("overwrite").partitionBy(partition_name).parquet(dst)
+    # Explicit schema (source schema + derived partition column): the
+    # source schema is the read-back contract anyway, and it keeps an
+    # EMPTY copy readable — a 0-row partitionBy write emits no files at
+    # all, so schema inference would fail on the quiet-day case.
+    return (
+        spark.read.schema(with_part.schema).parquet(dst).select(*src.columns)
     )
-    return spark.read.parquet(dst).select(*src.columns)
 
 
 def range_split_counts(df: DataFrame, key: str, n_splits: int = 16) -> DataFrame:
@@ -242,6 +244,23 @@ def plan_key_ranges(df: DataFrame, key: str, n_splits: int) -> list[tuple]:
     return [(r.min_key, r.max_key) for r in rows]
 
 
+def _read_ranged_target(
+    spark: SparkSession, table_dir: str, src: DataFrame
+) -> DataFrame:
+    """Read back a ``range=i``-partitioned copy target with the source
+    schema enforced (plus the ``range`` partition column, projected away).
+
+    The explicit schema is what keeps an EMPTY copy readable: a 0-row
+    table plans 0 ranges, so the target directory holds no parquet files
+    and schema inference would fail — while a migrator's contract is the
+    source schema regardless of row count (the quiet-day incremental
+    run)."""
+    schema = T.StructType(
+        list(src.schema.fields) + [T.StructField("range", T.IntegerType())]
+    )
+    return spark.read.schema(schema).parquet(table_dir).select(*src.columns)
+
+
 class SimulatedFailure(RuntimeError):
     """Raised by copy_table_resumable(fail_after=k) to test resume."""
 
@@ -302,7 +321,7 @@ def copy_table_resumable(
         with open(marker, "w") as fh:
             fh.write(f"{lo}..{hi}\n")
         done += 1
-    return spark.read.parquet(table_dir).select(*src.columns)
+    return _read_ranged_target(spark, table_dir, src)
 
 
 class WallClock:
@@ -375,7 +394,7 @@ def copy_table_throttled(
             os.path.join(table_dir, f"range={i}")
         )
         copied += row.n_rows
-    return spark.read.parquet(table_dir).select(*src.columns)
+    return _read_ranged_target(spark, table_dir, src)
 
 
 def table_counts(spark: SparkSession, sf_dir: str, tables=TABLES) -> DataFrame:

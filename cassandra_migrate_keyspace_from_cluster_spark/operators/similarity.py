@@ -56,6 +56,8 @@ def _load_normalized_corpus(path: str):
     def build(p):
         t = pq.read_table(p, columns=["id", "embedding"])
         ids = t.column("id").to_numpy().astype(np.int64)
+        if len(ids) == 0:  # empty corpus staging (vstack needs >=1 row)
+            return ids, np.zeros((0, 1), dtype=np.float64)
         mat = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False))
         mat = mat.astype(np.float64)
         return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -139,6 +141,8 @@ def cosine_topk(
 
     def topk(batches):
         ids_c, nmat_c = _load_normalized_corpus(corpus_path)
+        if len(ids_c) == 0:  # empty corpus → no neighbors for anyone
+            return
         # composite int64 sort key: 6dp-rounded sims are exact integers
         # after *1e6 (|.| <= 1e6 < 2^21) and ids fit 32 bits, so
         # key = -sim_int * 2^32 + id orders by (sim DESC, id ASC) with
@@ -147,6 +151,8 @@ def cosine_topk(
         # instead of a python loop of per-query lexsorts.
         assert ids_c.max() < (1 << 32) and ids_c.min() >= 0
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             q_ids = pdf["id"].to_numpy(dtype=np.int64)
             q_mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -167,6 +173,19 @@ def cosine_topk(
 
     return embeddings.select(F.col(id_col).alias("id"), "embedding").mapInPandas(
         topk, "query_id bigint, neighbor_id bigint, cos_sim double, rank bigint"
+    )
+
+
+def _rank_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Shared merge tail of the candidate-generating tiers: global top-k
+    per query from a (query_id, neighbor_id, cos_sim) candidate set —
+    6dp-score DESC, neighbor-id ASC (SURVEY.md §5.4 ranking law)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
     )
 
 
@@ -304,14 +323,13 @@ def cosine_topk_chunked(
         first = False
 
     src.unpersist()  # every pass is materialized; the result reads cand_path
-    cand = embeddings.sparkSession.read.parquet(cand_path)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    if chunk_dirs:
+        cand = embeddings.sparkSession.read.parquet(cand_path)
+    else:
+        # empty corpus: the partitionBy write emitted no chunk dirs, so
+        # no pass ever wrote cand_path — same contract, zero candidates
+        cand = embeddings.sparkSession.createDataFrame([], out_schema)
+    return _rank_topk(cand, k)
 
 
 def ivf_cosine_topk(
@@ -369,6 +387,12 @@ def ivf_cosine_topk(
         F.col("embedding"),
         array_to_vector("emb").alias("features"),
     )
+    cand_schema = "query_id bigint, neighbor_id bigint, cos_sim double"
+    if d.isEmpty():
+        # KMeans cannot fit 0 rows; an empty corpus has no neighbors —
+        # feed the shared merge tail an empty candidate set (identical
+        # result schema to the populated path)
+        return _rank_topk(spark.createDataFrame([], cand_schema), k)
     model = KMeans(k=n_cells, seed=42, maxIter=20, featuresCol="features").fit(d)
 
     root = work_dir or tempfile.mkdtemp(prefix="spark_graft_f5b_")
@@ -449,17 +473,9 @@ def ivf_cosine_topk(
     cand = (
         probes.groupBy("cell")
         .cogroup(corpus_cells.groupBy("cell"))
-        .applyInPandas(
-            score_cell, "query_id bigint, neighbor_id bigint, cos_sim double"
-        )
+        .applyInPandas(score_cell, cand_schema)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(cand, k)
 
 
 def srp_candidate_pairs(
@@ -614,6 +630,13 @@ def brp_lsh_neighbors(
             F.col(id_col).alias("id"), array_to_vector("emb").alias("features")
         )
     )
+    if d.isEmpty():
+        # LSH fit reads the first row for the vector dim; an empty
+        # corpus has no pairs — same result schema, no fit
+        idt = dict(d.dtypes)["id"]
+        return d.sparkSession.createDataFrame(
+            [], f"vec_a {idt}, vec_b {idt}, eucl_dist double"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="buckets",
@@ -771,6 +794,14 @@ def semantic_dedup_kmeans(
 
     e = with_double_embedding(embeddings).select(F.col(id_col).alias("vec_id"), "emb")
     d = e.withColumn("features", array_to_vector("emb"))
+    if d.isEmpty():
+        # KMeans cannot fit 0 rows; the dup-flag stage is closed over an
+        # empty assignment (literal cluster id keeps the schema) — 0 rows
+        # out, populated-identical columns
+        assigned = e.select(
+            "vec_id", "emb", F.lit(0).cast("bigint").alias("cluster_id")
+        )
+        return _dup_flags_within(assigned, threshold)
     model = KMeans(
         k=k, seed=seed, maxIter=10, featuresCol="features"
     ).fit(d)
@@ -871,6 +902,12 @@ def pq_topk(
         .sort_values("id")  # scan-order independent Lloyd init
         .reset_index(drop=True)
     )
+    if len(sample_pdf) == 0:
+        # empty corpus: nothing to train on, nothing to search — same
+        # result schema as the ADC scan, zero rows (no staging written)
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, approx_dist double"
+        )
     mat = np.vstack(sample_pdf["embedding"].to_numpy()).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     n_s, d = mat.shape

@@ -2328,10 +2328,14 @@ def f45_domain_pagerank(spark, sf_dir):
     )
     nodes = bounded_persist(edges.select(F.col("src").alias("domain")).distinct())
     n_nodes = float(nodes.count())  # O(domains), bounded; warms both caches
+    # Empty corpus → empty graph: every frame below has 0 rows, so the
+    # rank values never materialize — any finite denominator keeps the
+    # plan (and schema) identical without an ANSI DIVIDE_BY_ZERO.
+    safe_n = n_nodes or 1.0
     deg = bounded_persist(
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     )
-    pr = nodes.select("domain", F.round(F.lit(1.0) / n_nodes, 12).alias("pr"))
+    pr = nodes.select("domain", F.round(F.lit(1.0) / safe_n, 12).alias("pr"))
     for _ in range(3):
         contrib = (
             edges.join(pr.withColumnRenamed("domain", "src"), "src")
@@ -2342,7 +2346,7 @@ def f45_domain_pagerank(spark, sf_dir):
         pr = nodes.join(contrib, "domain", "left").select(
             "domain",
             F.round(
-                F.lit(0.15) / n_nodes + F.lit(0.85) * F.coalesce("s", F.lit(0.0)),
+                F.lit(0.15) / safe_n + F.lit(0.85) * F.coalesce("s", F.lit(0.0)),
                 12,
             ).alias("pr"),
         )

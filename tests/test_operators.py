@@ -1289,7 +1289,10 @@ def test_exact_mean6_matches_rational_truth(spark):
     df = spark.createDataFrame(cases, "s long, n long")
     got = {(r.s, r.n): r.m for r in df.select("s", "n", exact_mean6("s", "n").alias("m")).collect()}
     con = duckdb.connect()
-    sql = f"SELECT {sql_exact_mean6('?::BIGINT', '?::BIGINT')}"
+    # named params: the SQL references each of s/n several times (the
+    # n=0 guard and both sign branches), so positional ? would demand
+    # one bind per textual occurrence
+    sql = f"SELECT {sql_exact_mean6('$s::BIGINT', '$n::BIGINT')}"
     for s, n in cases:
         fr = Fraction(s, n) * 10**6
         truth = (
@@ -1297,9 +1300,14 @@ def test_exact_mean6_matches_rational_truth(spark):
             else -math.floor(-fr + Fraction(1, 2))
         ) / 1e6
         assert got[(s, n)] == truth, (s, n, got[(s, n)], truth)
-        assert con.execute(sql, [s, s, n, n]).fetchone()[0] == truth, (s, n)
+        assert con.execute(sql, {"s": s, "n": n}).fetchone()[0] == truth, (s, n)
         # numpy-path helper: an integer array with this sum/size
         arr = np.full(n, s // n, dtype=np.int64)
         arr[: s - (s // n) * n] += 1
         assert int(arr.sum()) == s
         assert np_mean6(arr) == truth, (s, n)
+    # n = 0 (empty group / empty input) -> NULL in both engines, not a
+    # division error: the CASE guard must short-circuit the div
+    df0 = spark.createDataFrame([(5, 0)], "s long, n long")
+    assert df0.select(exact_mean6("s", "n").alias("m")).collect()[0].m is None
+    assert con.execute(sql, {"s": 5, "n": 0}).fetchone()[0] is None
