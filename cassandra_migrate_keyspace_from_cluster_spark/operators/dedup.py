@@ -59,12 +59,19 @@ def jaccard_pairs(
     Scale: the self-join is equi on ``blocking`` → pairs are generated
     per block only. At 100 TB blocking would be an LSH band (see
     minhash_lsh_pairs); here (lang, source) keeps blocks ~50 docs.
+
+    Replay law (SURVEY.md §5.4): exact-duplicate doc rows (at-least-once
+    delivery, replayed batches) collapse at ingress — a pair means two
+    distinct document IDENTITIES, and replicated rows must not multiply
+    pair multiplicity (or corrupt intersection counts in the postings
+    form). One row-distinct on the tokenized docs; a no-op shuffle-wise
+    when ids are unique upstream (the gate fixtures).
     """
     d = docs.select(
         F.col(id_col).alias("id"),
         *[F.col(b) for b in blocking],
         F.array_distinct(tokens(text_col)).alias("toks"),
-    )
+    ).distinct()  # replay law: exact-duplicate rows collapse at ingress
     a = d.alias("a")
     b = d.alias("b")
     cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in blocking]
@@ -144,11 +151,16 @@ def jaccard_pairs_postings(
     ``stats`` (opt-in, runs two small eager counts): records
     ``postings_total``, ``postings_dropped``, ``blocks_capped``.
     """
+    # replay law (see jaccard_pairs): duplicate rows collapse at
+    # ingress — in THIS form they are not just a multiplicity wart but
+    # a correctness one: replicated (id, tok) postings multiply the
+    # per-pair intersection count while n_a/n_b stay per-row, so
+    # |A∪B| = n_a + n_b - inter can reach 0 (division by zero).
     d = docs.select(
         F.col(id_col).alias("id"),
         *[F.col(b) for b in blocking],
         F.array_distinct(tokens(text_col)).alias("toks"),
-    ).withColumn("n", F.size("toks"))
+    ).distinct().withColumn("n", F.size("toks"))
     if df_cap is not None:
         return _jaccard_pairs_postings_capped(
             d, blocking, threshold, df_cap, stats
@@ -306,11 +318,12 @@ def jaccard_pairs_prefix(
     conventions can only UNDER-prune (more candidates, never missed
     pairs)."""
     eff = threshold - 5e-7
+    # replay law (see jaccard_pairs): duplicate rows collapse at ingress
     d = docs.select(
         F.col(id_col).alias("id"),
         *[F.col(b) for b in blocking],
         F.array_distinct(tokens(text_col)).alias("toks"),
-    ).withColumn("n", F.size("toks"))
+    ).distinct().withColumn("n", F.size("toks"))
     post = d.select("id", "n", *blocking, F.explode("toks").alias("tok"))
     dft = post.groupBy(*blocking, "tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "tok")
@@ -450,7 +463,7 @@ def neardup_clusters(
     ).localCheckpoint()
     labels = docs.select(
         F.col(id_col).alias("doc"), F.col(id_col).alias("lbl")
-    ).localCheckpoint()
+    ).distinct().localCheckpoint()  # replay law: one node per identity
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc)

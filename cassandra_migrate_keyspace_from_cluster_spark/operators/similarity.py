@@ -131,11 +131,24 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
+    # Replay law (SURVEY.md §5.4): retrieval is keyed by vector
+    # identity — replicated corpus rows would pollute every top-k with
+    # duplicate neighbors and replicated query rows would emit
+    # duplicate result sets, so exact-duplicate rows collapse at
+    # ingress. The distinct rides the staging write (paid once per
+    # content key); the query side then READS THE STAGED LAYOUT, so it
+    # inherits the dedup without a second exchange and the search
+    # stage itself stays shuffle-free. ("kdist1" in the content key
+    # versions the staged semantics — a pre-law staging can never be
+    # reused for the post-law operator.)
+    sel = embeddings.select(F.col(id_col).alias("id"), "embedding").distinct()
     corpus_path = _stage(
-        embeddings.select(F.col(id_col).alias("id"), "embedding"),
+        sel,
         "f4_corpus",
         content_key=(
-            content_fingerprint(corpus_key) if corpus_key is not None else None
+            "kdist1:" + content_fingerprint(corpus_key)
+            if corpus_key is not None
+            else None
         ),
     )
 
@@ -150,6 +163,13 @@ def cosine_topk(
         # but selected with one vectorized argpartition per batch
         # instead of a python loop of per-query lexsorts.
         assert ids_c.max() < (1 << 32) and ids_c.min() >= 0
+        # kk: a corpus smaller than k has fewer than k neighbors to
+        # give (argpartition's kth must stay in bounds); the self
+        # sentinel (int64 max — strictly above every real composite
+        # key) then sorts LAST, so prefix-masking it after the sort
+        # drops self matches without disturbing rank numbering.
+        kk = min(k, len(ids_c))
+        sentinel = np.iinfo(np.int64).max
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -158,20 +178,25 @@ def cosine_topk(
             q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
             sims = np.round(q_norm @ nmat_c.T, 6)
             key = (-np.rint(sims * 1e6).astype(np.int64)) * (1 << 32) + ids_c
-            key[ids_c[None, :] == q_ids[:, None]] = np.iinfo(np.int64).max
-            part = np.argpartition(key, k - 1, axis=1)[:, :k]
-            srt = np.argsort(np.take_along_axis(key, part, axis=1), axis=1)
+            key[ids_c[None, :] == q_ids[:, None]] = sentinel
+            part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            sel = np.take_along_axis(key, part, axis=1)
+            srt = np.argsort(sel, axis=1)
             cols = np.take_along_axis(part, srt, axis=1)
+            keep = (np.take_along_axis(sel, srt, axis=1) != sentinel).reshape(-1)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(q_ids, k),
+                    "query_id": np.repeat(q_ids, kk),
                     "neighbor_id": ids_c[cols].reshape(-1),
                     "cos_sim": np.take_along_axis(sims, cols, axis=1).reshape(-1),
-                    "rank": np.tile(np.arange(1, k + 1, dtype=np.int64), len(q_ids)),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64), len(q_ids)),
                 }
-            )
+            )[keep]
 
-    return embeddings.select(F.col(id_col).alias("id"), "embedding").mapInPandas(
+    # explicit schema: keeps a 0-row staging readable (no files to
+    # infer from) and pins the exact staged column types
+    queries = embeddings.sparkSession.read.schema(sel.schema).parquet(corpus_path)
+    return queries.mapInPandas(
         topk, "query_id bigint, neighbor_id bigint, cos_sim double, rank bigint"
     )
 
@@ -238,8 +263,14 @@ def cosine_topk_chunked(
 
     # The query side is scanned once per pass; cache it (MEMORY_AND_DISK
     # — degrades to local-disk reads when the corpus outgrows memory, so
-    # the cache is an optimization, never a memory contract).
-    src = embeddings.select(F.col(id_col).alias("id"), "embedding").persist()
+    # the cache is an optimization, never a memory contract). distinct:
+    # the replay law (see cosine_topk) — one exchange paid once before
+    # the persist, covering the corpus AND query sides together.
+    src = (
+        embeddings.select(F.col(id_col).alias("id"), "embedding")
+        .distinct()
+        .persist()
+    )
     n = src.count()
     n_chunks = max(1, math.ceil(n / chunk_size))
     staged = False
@@ -249,7 +280,9 @@ def cosine_topk_chunked(
         # the tag — in-place fixture regeneration with an unchanged row
         # count can no longer alias a stale _SUCCESS-marked staging
         tag = hashlib.md5(
-            f"{content_fingerprint(corpus_key)}|n={n}|chunks={n_chunks}".encode()
+            # "kdist1" versions the staged semantics (replay-law
+            # distinct) — a pre-law staging can never be reused
+            f"kdist1:{content_fingerprint(corpus_key)}|n={n}|chunks={n_chunks}".encode()
         ).hexdigest()[:12]
         corpus_path = os.path.join(base, tag)
         evict_stale_tags(base, keep=corpus_path)
@@ -570,7 +603,13 @@ def cosine_neardup_pairs(
     cand = srp_candidate_pairs(
         embeddings, n_bands=n_bands, band_bits=band_bits, id_col=id_col
     )
-    e = with_double_embedding(embeddings).select(F.col(id_col).alias("id"), "emb")
+    # replay law (see cosine_topk): the rescore side joins per id —
+    # replicated rows would multiply pair multiplicity 4x
+    e = (
+        with_double_embedding(embeddings)
+        .select(F.col(id_col).alias("id"), "emb")
+        .distinct()
+    )
     return (
         cand.join(e.select(F.col("id").alias("id_a"), F.col("emb").alias("ea")), "id_a")
         .join(e.select(F.col("id").alias("id_b"), F.col("emb").alias("eb")), "id_b")
@@ -752,8 +791,16 @@ def semantic_dedup(
     Returns (vec_id, cluster_id, n_dup_partners, is_dup) — survivors
     are the is_dup = 0 rows; keeping the count (not just the flag)
     makes the redundancy distribution itself auditable.
+
+    Replay law (SURVEY.md §5.4): dedup is keyed by vector identity —
+    replicated rows collapse at ingress (else they double partner
+    counts and pollute the seed window); no-op on unique-id fixtures.
     """
-    e = with_double_embedding(embeddings).select(F.col(id_col).alias("vec_id"), "emb")
+    e = (
+        with_double_embedding(embeddings)
+        .select(F.col(id_col).alias("vec_id"), "emb")
+        .distinct()
+    )
     seeds = (
         e.orderBy("vec_id")
         .limit(n_seeds)

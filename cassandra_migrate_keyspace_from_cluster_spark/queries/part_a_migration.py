@@ -468,7 +468,7 @@ def a14_range_checksums(spark, sf_dir):
 @register(
     "a15_repair_apply",
     oracle="""
-    WITH base AS (SELECT o_orderkey FROM orders),
+    WITH base AS (SELECT DISTINCT o_orderkey FROM orders),
     stats AS (
       SELECT
         count(*) FILTER (WHERE o_orderkey % 101 = 0) AS n_copy,
@@ -502,10 +502,15 @@ def a15_repair_apply(spark, sf_dir):
     semi-join the copy+recopy rows from the source) — each shuffles on
     the key only, and the verification diff is the same key-partitioned
     join a11 already costs. Nothing is collected; the report is a union
-    of 1-row aggregates."""
+    of 1-row aggregates.
+
+    Replay law (SURVEY.md §5.4): a migration source is keyed by its
+    PRIMARY KEY — replicated source rows (a replayed extract) collapse
+    at ingress, so plan counts and the post-repair diff stay keyed, not
+    row-multiplied (no-op on unique-key fixtures)."""
     base = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority"
-    )
+    ).distinct()
     k = F.col("o_orderkey")
     kept = base.filter(k % 101 != 0).withColumn(
         "o_orderstatus",

@@ -419,6 +419,18 @@ def c16_ntile_pctrank(spark, sf_dir):
     single-reducer unpartitioned window this uses the two-phase
     distributed rank (``operators/rank.py``) and derives all three
     functions arithmetically — identical values, every stage parallel.
+
+    Tie-awareness: the fixtures' (o_totalprice, o_orderkey) ordering is
+    total, but replicated rows (at-least-once replay — the data_shift
+    dup2 probe) introduce ties, where SQL's percent_rank/cume_dist are
+    TIE-AWARE ((rank-1)/(N-1) with rank = min rn of the tie group;
+    cume_dist = max rn of the group / N) while the raw rn closed form
+    is positional. min/max rn over a window PARTITIONED BY the full
+    sort key (parallel — key groups, not a global window) restores the
+    SQL semantics; on unique keys both equal rn and the values are
+    unchanged. ntile is positional BY DEFINITION in the standard, so it
+    keeps the raw rn (identical rows swap bucket labels
+    interchangeably — the output multiset is still deterministic).
     """
     from ..operators.rank import (
         cume_dist_from_rn,
@@ -438,11 +450,14 @@ def c16_ntile_pctrank(spark, sf_dir):
         materialize="local_checkpoint",
     )
     rn, n = F.col("rn"), F.col("n_total")
+    w_tie = Window.partitionBy("o_totalprice", "o_orderkey")
+    rank_min = F.min(rn).over(w_tie)
+    rn_max = F.max(rn).over(w_tie)
     return ranked.select(
         "o_orderkey",
         ntile_from_rn(rn, n, 4).alias("quartile"),
-        r6(percent_rank_from_rn(rn, n)).alias("pct_rank"),
-        r6(cume_dist_from_rn(rn, n)).alias("cume_d"),
+        r6(percent_rank_from_rn(rank_min, n)).alias("pct_rank"),
+        r6(cume_dist_from_rn(rn_max, n)).alias("cume_d"),
     )
 
 

@@ -44,7 +44,9 @@ def f1_exact_dedup(spark, sf_dir):
 @register(
     "f2_token_jaccard_neardup",
     oracle="""
-    WITH d AS (SELECT doc_id, lang, source,
+    -- DISTINCT = the replay law (SURVEY.md §5.4): pairs are keyed by
+    -- document identity; replicated rows collapse at ingress
+    WITH d AS (SELECT DISTINCT doc_id, lang, source,
                       list_distinct(string_split(text, ' ')) AS toks
                FROM documents)
     SELECT * FROM (
@@ -141,6 +143,8 @@ def f18_pipeline_report(spark, sf_dir):
 @register(
     "f19_quantize_int8",
     oracle="""
+    -- no DISTINCT: quantization is a per-row MAP (replay law —
+    -- duplicate rows in, duplicate rows out)
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
     s AS (SELECT vec_id, emb,
@@ -200,7 +204,9 @@ def f3b_simhash(spark, sf_dir):
 @register(
     "f4_cosine_topk",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    -- DISTINCT = the replay law (SURVEY.md §5.4): retrieval is keyed
+    -- by vector identity; replicated rows collapse at ingress
+    WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings)
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -225,7 +231,9 @@ def f4_cosine_topk(spark, sf_dir):
 @register(
     "f4c_cosine_topk_chunked",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    -- DISTINCT = the replay law (SURVEY.md §5.4): retrieval is keyed
+    -- by vector identity; replicated rows collapse at ingress
+    WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings)
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -260,7 +268,9 @@ def f4c_cosine_topk_chunked(spark, sf_dir):
 @register(
     "f4b_cosine_neardup",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    -- DISTINCT = the replay law (SURVEY.md §5.4): retrieval is keyed
+    -- by vector identity; replicated rows collapse at ingress
+    WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings)
     SELECT * FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -618,19 +628,26 @@ def f17_multimodal_features(spark, sf_dir):
 @register(
     "f17b_wav_decode_features",
     oracle=f"""
-    WITH params AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+    -- params DISTINCT + final join-back: decode is a per-row MAP
+    -- (replay law — duplicate payload rows in, duplicate feature rows
+    -- out), so features compute once per distinct doc and re-expand to
+    -- input multiplicity; 1:1 no-op on unique-id fixtures
+    WITH params AS (SELECT DISTINCT doc_id, 64 + doc_id % 64 AS n
+                    FROM documents),
     samples AS (
       SELECT p.doc_id, ((p.doc_id*31 + g.i*17) % 2003) - 1001 AS s
       FROM params p,
            LATERAL (SELECT unnest(generate_series(0, p.n - 1)) AS i) g
-    )
-    SELECT doc_id,
-           CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
-           count(*) AS n_samples,
-           {sql_exact_mean6('sum(s)', 'count(*)')} AS mean_amp,
-           round(sqrt(avg(s*s)), 6) AS rms,
-           max(abs(s)) AS peak
-    FROM samples GROUP BY doc_id
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+             count(*) AS n_samples,
+             {sql_exact_mean6('sum(s)', 'count(*)')} AS mean_amp,
+             round(sqrt(avg(s*s)), 6) AS rms,
+             max(abs(s)) AS peak
+      FROM samples GROUP BY doc_id)
+    SELECT f.* FROM documents d JOIN feats f ON f.doc_id = d.doc_id
     """,
 )
 def f17b_wav_decode_features(spark, sf_dir):
@@ -648,21 +665,25 @@ def f17b_wav_decode_features(spark, sf_dir):
 @register(
     "f17c_bmp_decode_features",
     oracle=f"""
+    -- params DISTINCT + final join-back: per-row MAP replay law (see
+    -- f17b)
     WITH params AS (
-      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+      SELECT DISTINCT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
       FROM documents),
     px AS (
       SELECT p.doc_id, p.w, p.h, gx.x, gy.y
       FROM params p,
            LATERAL (SELECT unnest(generate_series(0, p.w - 1)) AS x) gx,
-           LATERAL (SELECT unnest(generate_series(0, p.h - 1)) AS y) gy)
-    SELECT doc_id,
-           CAST(max(w) AS BIGINT) AS width,
-           CAST(max(h) AS BIGINT) AS height,
-           {sql_exact_mean6('sum((doc_id + 3*x + 5*y) % 256)', 'count(*)')} AS mean_r,
-           {sql_exact_mean6('sum((2*doc_id + 7*x + y) % 256)', 'count(*)')} AS mean_g,
-           {sql_exact_mean6('sum((5*doc_id + x + 11*y) % 256)', 'count(*)')} AS mean_b
-    FROM px GROUP BY doc_id
+           LATERAL (SELECT unnest(generate_series(0, p.h - 1)) AS y) gy),
+    feats AS (
+      SELECT doc_id,
+             CAST(max(w) AS BIGINT) AS width,
+             CAST(max(h) AS BIGINT) AS height,
+             {sql_exact_mean6('sum((doc_id + 3*x + 5*y) % 256)', 'count(*)')} AS mean_r,
+             {sql_exact_mean6('sum((2*doc_id + 7*x + y) % 256)', 'count(*)')} AS mean_g,
+             {sql_exact_mean6('sum((5*doc_id + x + 11*y) % 256)', 'count(*)')} AS mean_b
+      FROM px GROUP BY doc_id)
+    SELECT f.* FROM documents d JOIN feats f ON f.doc_id = d.doc_id
     """,
 )
 def f17c_bmp_decode_features(spark, sf_dir):
@@ -685,8 +706,10 @@ def f17c_bmp_decode_features(spark, sf_dir):
     -- (chroma). Images are grids of CONSTANT 8x8 tiles, so each tile
     -- reconstructs from its lone DC coefficient: the exact half-up
     -- quantize/dequantize chain below (matching the codec's contract).
+    -- params DISTINCT + final join-back: per-row MAP replay law (see
+    -- f17b)
     WITH params AS (
-      SELECT doc_id, 2 + doc_id % 3 AS wt, 1 + doc_id % 2 AS ht
+      SELECT DISTINCT doc_id, 2 + doc_id % 3 AS wt, 1 + doc_id % 2 AS ht
       FROM documents),
     tiles AS (
       SELECT p.doc_id, p.wt, p.ht, gx.tx, gy.ty,
@@ -716,14 +739,16 @@ def f17c_bmp_decode_features(spark, sf_dir):
                floor(y2 - 0.344136*(cb2 - 128.0) - 0.714136*(cr2 - 128.0) + 0.5))) AS gg,
              least(255.0, greatest(0.0,
                floor(y2 + 1.772*(cb2 - 128.0) + 0.5))) AS bb
-      FROM rec)
-    SELECT doc_id,
-           CAST(8 * max(wt) AS BIGINT) AS width,
-           CAST(8 * max(ht) AS BIGINT) AS height,
-           {sql_exact_mean6('CAST(sum(rr) AS BIGINT)', 'count(*)')} AS mean_r,
-           {sql_exact_mean6('CAST(sum(gg) AS BIGINT)', 'count(*)')} AS mean_g,
-           {sql_exact_mean6('CAST(sum(bb) AS BIGINT)', 'count(*)')} AS mean_b
-    FROM px GROUP BY doc_id
+      FROM rec),
+    feats AS (
+      SELECT doc_id,
+             CAST(8 * max(wt) AS BIGINT) AS width,
+             CAST(8 * max(ht) AS BIGINT) AS height,
+             {sql_exact_mean6('CAST(sum(rr) AS BIGINT)', 'count(*)')} AS mean_r,
+             {sql_exact_mean6('CAST(sum(gg) AS BIGINT)', 'count(*)')} AS mean_g,
+             {sql_exact_mean6('CAST(sum(bb) AS BIGINT)', 'count(*)')} AS mean_b
+      FROM px GROUP BY doc_id)
+    SELECT f.* FROM documents d JOIN feats f ON f.doc_id = d.doc_id
     """,
 )
 def f17d_jpeg_decode_features(spark, sf_dir):
@@ -743,21 +768,25 @@ def f17d_jpeg_decode_features(spark, sf_dir):
 @register(
     "f17e_png_decode_features",
     oracle=f"""
+    -- params DISTINCT + final join-back: per-row MAP replay law (see
+    -- f17b)
     WITH params AS (
-      SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 6 AS h
+      SELECT DISTINCT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 6 AS h
       FROM documents),
     px AS (
       SELECT p.doc_id, p.w, p.h, gx.x, gy.y
       FROM params p,
            LATERAL (SELECT unnest(generate_series(0, p.w - 1)) AS x) gx,
-           LATERAL (SELECT unnest(generate_series(0, p.h - 1)) AS y) gy)
-    SELECT doc_id,
-           CAST(max(w) AS BIGINT) AS width,
-           CAST(max(h) AS BIGINT) AS height,
-           {sql_exact_mean6('sum((7*doc_id + 2*x + 13*y) % 256)', 'count(*)')} AS mean_r,
-           {sql_exact_mean6('sum((doc_id + 9*x + 4*y) % 256)', 'count(*)')} AS mean_g,
-           {sql_exact_mean6('sum((4*doc_id + 5*x + 3*y) % 256)', 'count(*)')} AS mean_b
-    FROM px GROUP BY doc_id
+           LATERAL (SELECT unnest(generate_series(0, p.h - 1)) AS y) gy),
+    feats AS (
+      SELECT doc_id,
+             CAST(max(w) AS BIGINT) AS width,
+             CAST(max(h) AS BIGINT) AS height,
+             {sql_exact_mean6('sum((7*doc_id + 2*x + 13*y) % 256)', 'count(*)')} AS mean_r,
+             {sql_exact_mean6('sum((doc_id + 9*x + 4*y) % 256)', 'count(*)')} AS mean_g,
+             {sql_exact_mean6('sum((4*doc_id + 5*x + 3*y) % 256)', 'count(*)')} AS mean_b
+      FROM px GROUP BY doc_id)
+    SELECT f.* FROM documents d JOIN feats f ON f.doc_id = d.doc_id
     """,
 )
 def f17e_png_decode_features(spark, sf_dir):
@@ -780,8 +809,10 @@ def f17e_png_decode_features(spark, sf_dir):
     -- Frames sampled every 2nd (fi = 0, 2, ...); each frame is two
     -- constant 8x8 tiles, so decoded pixels follow the same exact DC
     -- chain as f17d (q=3 at quality 90, half-up rounding).
+    -- params DISTINCT + final join-back: per-row MAP replay law (see
+    -- f17b)
     WITH params AS (
-      SELECT doc_id, 2 + doc_id % 3 AS n_frames FROM documents),
+      SELECT DISTINCT doc_id, 2 + doc_id % 3 AS n_frames FROM documents),
     sampled AS (
       SELECT p.doc_id, p.n_frames, g.fi
       FROM params p,
@@ -813,16 +844,18 @@ def f17e_png_decode_features(spark, sf_dir):
                floor(y2 - 0.344136*(cb2 - 128.0) - 0.714136*(cr2 - 128.0) + 0.5))) AS gg,
              least(255.0, greatest(0.0,
                floor(y2 + 1.772*(cb2 - 128.0) + 0.5))) AS bb
-      FROM rec)
-    SELECT doc_id,
-           CAST(max(n_frames) AS BIGINT) AS n_frames,
-           CAST(count(*) / 2 AS BIGINT) AS n_sampled,
-           CAST(16 AS BIGINT) AS width,
-           CAST(8 AS BIGINT) AS height,
-           {sql_exact_mean6('CAST(sum(rr) AS BIGINT)', 'count(*)')} AS mean_r,
-           {sql_exact_mean6('CAST(sum(gg) AS BIGINT)', 'count(*)')} AS mean_g,
-           {sql_exact_mean6('CAST(sum(bb) AS BIGINT)', 'count(*)')} AS mean_b
-    FROM px GROUP BY doc_id
+      FROM rec),
+    feats AS (
+      SELECT doc_id,
+             CAST(max(n_frames) AS BIGINT) AS n_frames,
+             CAST(count(*) / 2 AS BIGINT) AS n_sampled,
+             CAST(16 AS BIGINT) AS width,
+             CAST(8 AS BIGINT) AS height,
+             {sql_exact_mean6('CAST(sum(rr) AS BIGINT)', 'count(*)')} AS mean_r,
+             {sql_exact_mean6('CAST(sum(gg) AS BIGINT)', 'count(*)')} AS mean_g,
+             {sql_exact_mean6('CAST(sum(bb) AS BIGINT)', 'count(*)')} AS mean_b
+      FROM px GROUP BY doc_id)
+    SELECT f.* FROM documents d JOIN feats f ON f.doc_id = d.doc_id
     """,
 )
 def f17f_video_frame_sample(spark, sf_dir):
@@ -872,8 +905,11 @@ def f20_stratified_sample(spark, sf_dir):
 @register(
     "f21_neardup_clusters",
     oracle="""
+    -- DISTINCT = the replay law (SURVEY.md §5.4): near-dup pairs are
+    -- keyed by document identity; replicated rows collapse at ingress
     WITH RECURSIVE d AS (
-      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      SELECT DISTINCT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
       FROM documents),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -907,8 +943,11 @@ def f21_neardup_clusters(spark, sf_dir):
 @register(
     "f21b_neardup_clusters_star",
     oracle="""
+    -- DISTINCT = the replay law (SURVEY.md §5.4): near-dup pairs are
+    -- keyed by document identity; replicated rows collapse at ingress
     WITH RECURSIVE d AS (
-      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      SELECT DISTINCT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
       FROM documents),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -999,8 +1038,11 @@ def f22_redact_pii(spark, sf_dir):
 @register(
     "f23_dedup_suppression",
     oracle="""
+    -- DISTINCT = the replay law (SURVEY.md §5.4): near-dup pairs are
+    -- keyed by document identity; replicated rows collapse at ingress
     WITH RECURSIVE d AS (
-      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      SELECT DISTINCT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
       FROM documents),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1022,7 +1064,9 @@ def f22_redact_pii(spark, sf_dir):
            count(*) - 1 AS n_suppressed,
            CAST(sum(CASE WHEN c.doc_id != c.cluster_id THEN length(doc.text)
                          ELSE 0 END) AS BIGINT) AS bytes_suppressed
-    FROM clusters c JOIN documents doc ON doc.doc_id = c.doc_id
+    FROM clusters c
+    JOIN (SELECT DISTINCT doc_id, text FROM documents) doc
+      ON doc.doc_id = c.doc_id
     GROUP BY c.cluster_id
     HAVING count(*) > 1
     """,
@@ -1038,8 +1082,14 @@ def f23_dedup_suppression(spark, sf_dir):
         docs, blocking=["lang", "source"], threshold=0.6
     )
     clusters = dd.neardup_clusters_star(docs, pairs)
+    # replay-law distinct on the byte-size side: clusters are keyed
+    # (one row per doc identity), so a per-row join would multiply
+    # n_members/bytes under replicated input rows
+    sizes = docs.select(
+        "doc_id", F.length("text").alias("n_bytes")
+    ).distinct()
     return (
-        clusters.join(docs.select("doc_id", F.length("text").alias("n_bytes")), "doc_id")
+        clusters.join(sizes, "doc_id")
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -1490,12 +1540,17 @@ def f32_quality_aware_dedup(spark, sf_dir):
     group, keep the HIGHEST-quality copy (f14's pinned score, tie-break
     doc_id) instead of f1's lowest-id — what a production pipeline does
     when duplicates differ in extraction quality. Same single-shuffle
-    window shape as f1; only the survivor ordering changes."""
+    window shape as f1; only the survivor ordering changes. Quality and
+    hash are both per-row expressions, so they are computed in ONE scan
+    (quality_scores(keep=("text",))) — a doc_id equi-join between the
+    two would not only cost a shuffle, it would MULTIPLY rows when
+    doc_id is replicated (at-least-once replay), inflating n_copies
+    quadratically; fused per-row scoring keeps n_copies = the physical
+    copy count, which is exactly what a dedup report must count."""
     docs = t(spark, sf_dir, "documents")
-    q = tx.quality_scores(docs).select("doc_id", "quality")
-    d = docs.select(
-        "doc_id", dd.normalized_text_hash("text").alias("text_hash")
-    ).join(q, "doc_id")
+    d = tx.quality_scores(docs, keep=("text",)).select(
+        "doc_id", dd.normalized_text_hash("text").alias("text_hash"), "quality"
+    )
     from pyspark.sql import Window
 
     wq = Window.partitionBy("text_hash").orderBy(
@@ -2176,7 +2231,9 @@ def f29_train_split(spark, sf_dir):
 @register(
     "f42_semantic_dedup",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    -- DISTINCT = the replay law (SURVEY.md §5.4): retrieval is keyed
+    -- by vector identity; replicated rows collapse at ingress
+    WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
     seeds AS (SELECT vec_id AS seed_id, emb AS semb
               FROM e ORDER BY vec_id LIMIT 32),
@@ -2360,8 +2417,10 @@ def f45_domain_pagerank(spark, sf_dir):
 @register(
     "f17g_image_resize_features",
     oracle=f"""
+    -- params DISTINCT + final join-back: per-row MAP replay law (see
+    -- f17b)
     WITH params AS (
-      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+      SELECT DISTINCT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
       FROM documents),
     rp AS (
       SELECT doc_id,
@@ -2372,14 +2431,16 @@ def f45_domain_pagerank(spark, sf_dir):
       SELECT p.doc_id, p.rw, p.rh, 2 * gx.x AS sx, 2 * gy.y AS sy
       FROM rp p,
            LATERAL (SELECT unnest(generate_series(0, p.rw - 1)) AS x) gx,
-           LATERAL (SELECT unnest(generate_series(0, p.rh - 1)) AS y) gy)
-    SELECT doc_id,
-           CAST(max(rw) AS BIGINT) AS width,
-           CAST(max(rh) AS BIGINT) AS height,
-           {sql_exact_mean6('sum((doc_id + 3*sx + 5*sy) % 256)', 'count(*)')} AS mean_r,
-           {sql_exact_mean6('sum((2*doc_id + 7*sx + sy) % 256)', 'count(*)')} AS mean_g,
-           {sql_exact_mean6('sum((5*doc_id + sx + 11*sy) % 256)', 'count(*)')} AS mean_b
-    FROM px GROUP BY doc_id
+           LATERAL (SELECT unnest(generate_series(0, p.rh - 1)) AS y) gy),
+    feats AS (
+      SELECT doc_id,
+             CAST(max(rw) AS BIGINT) AS width,
+             CAST(max(rh) AS BIGINT) AS height,
+             {sql_exact_mean6('sum((doc_id + 3*sx + 5*sy) % 256)', 'count(*)')} AS mean_r,
+             {sql_exact_mean6('sum((2*doc_id + 7*sx + sy) % 256)', 'count(*)')} AS mean_g,
+             {sql_exact_mean6('sum((5*doc_id + sx + 11*sy) % 256)', 'count(*)')} AS mean_b
+      FROM px GROUP BY doc_id)
+    SELECT f.* FROM documents d JOIN feats f ON f.doc_id = d.doc_id
     """,
 )
 def f17g_image_resize_features(spark, sf_dir):
@@ -2492,8 +2553,11 @@ def f48_split_leakage(spark, sf_dir):
 @register(
     "f47_cluster_quality",
     oracle="""
+    -- DISTINCT = the replay law (SURVEY.md §5.4): near-dup pairs are
+    -- keyed by document identity; replicated rows collapse at ingress
     WITH RECURSIVE d AS (
-      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      SELECT DISTINCT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
       FROM documents),
     pairs AS (
       SELECT * FROM (
@@ -2586,8 +2650,10 @@ def f47_cluster_quality(spark, sf_dir):
 @register(
     "f49_threshold_calibration",
     oracle="""
+    -- DISTINCT = the replay law (SURVEY.md §5.4, see f2)
     WITH d AS (
-      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      SELECT DISTINCT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
       FROM documents),
     pairs AS (
       SELECT * FROM (
@@ -2698,7 +2764,7 @@ def f42b_semantic_dedup_kmeans(spark, sf_dir):
 @register(
     "f51_ngram_novelty",
     oracle=f"""
-    WITH raw AS (SELECT doc_id, string_split(text, ' ') AS w
+    WITH raw AS (SELECT DISTINCT doc_id, string_split(text, ' ') AS w
                  FROM documents WHERE len(string_split(text, ' ')) >= 3),
     d AS (SELECT doc_id,
                  list_distinct(list_transform(
@@ -2729,16 +2795,24 @@ def f51_ngram_novelty(spark, sf_dir):
     f2's postings, partial-aggregated throughout."""
     from pyspark.sql import Window
 
-    docs = t(spark, sf_dir, "documents").filter(
-        F.size(F.split("text", " ")) >= 3
+    # replay law (SURVEY.md §5.4): novelty is keyed by document
+    # identity — a replicated row must not double every df (which would
+    # zero n_unique corpus-wide); exact-duplicate rows collapse at
+    # ingress (no-op on unique-id fixtures)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", "text")
+        .distinct()
     )
     sh = docs.select(
         "doc_id", F.explode(dd.shingles("text", 3)).alias("tk")
     )
-    # shingles are distinct per doc, so count(*) over the shingle key IS
-    # the document frequency — one pass, one shuffle (vs the groupBy +
-    # re-join form, which recomputes the shingle explode; same
-    # single-pass window device as f48, measured ~2x faster at sf0.1)
+    # shingles are distinct per doc AND docs are distinct per id, so
+    # count(*) over the shingle key IS the document frequency — one
+    # pass, one shuffle (vs the groupBy + re-join form, which
+    # recomputes the shingle explode; same single-pass window device
+    # as f48, measured ~2x faster at sf0.1)
     dfw = F.count(F.lit(1)).over(Window.partitionBy("tk"))
     return (
         sh.withColumn("df", dfw)

@@ -185,7 +185,20 @@ def test_global_ranks_use_partitioned_windows(spark):
             assert len(unpart) <= 1, f"{name}: extra unpartitioned windows: {unpart}"
             continue
         for s in specs_:
-            assert "__gr_pid" in s, f"{name}: unpartitioned window: {s}"
+            # two acceptable shapes: the two-phase rank's local window
+            # (partitioned by the range-partition id), or c16's
+            # tie-group min/max window — partitioned by the FULL sort
+            # key with no ORDER BY (key groups, fully parallel). An
+            # unpartitioned window either orders (ASC/DESC present) or
+            # frames the whole input (spec starts with the frame).
+            tie_group = (
+                "ASC" not in s
+                and "DESC" not in s
+                and not s.startswith("windowspecdefinition(specifiedwindowframe")
+            )
+            assert "__gr_pid" in s or tie_group, (
+                f"{name}: unpartitioned window: {s}"
+            )
 
 
 def test_f7_topk_plans_take_ordered(spark):

@@ -1,0 +1,215 @@
+"""Data-shift parity probe: every oracle-paired query must stay
+CELL-EXACT vs its DuckDB twin when the DATA's shape shifts in ways the
+fixtures never exercise — both engines read the SAME perturbed tables,
+so this is parity under distribution shift, not invariance.
+
+Why this exists (SURVEY.md §5.3 posture — probe off-gate axes the
+per-round driver cannot see): every parity gate runs the same
+generator's fixtures, whose shape is benign — no NULLs anywhere, all
+ids unique, every table comfortably populated. Real 100-TB corpora
+have none of those guarantees, and the engine-divergence classes that
+benignity hides are exactly the ones that survive every gate:
+
+  - NULL semantics: Spark and DuckDB differ by DEFAULT on null sort
+    placement (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST) and on
+    several scalar functions' null-in/null-out contracts — any query
+    whose oracle twin silently leans on the shared no-NULL fixture
+    diverges the day a null arrives;
+  - duplicate rows: at-least-once delivery and replayed batches make
+    exact duplicates routine; survivor picks, "unique"-id tie-breaks,
+    and rank cuts must stay well-defined as multisets when uniqueness
+    breaks (exact duplicates keep every deterministic query's OUTPUT
+    multiset well-defined — identical rows are interchangeable);
+  - tiny inputs: 1-2-row groups flip sample statistics (stddev_samp,
+    corr) to NULL and put every percentile at a boundary — the
+    head-slice mode holds both engines to the same answer there.
+
+Perturbation modes (each writes a full perturbed fixture set with
+pyarrow — logical types, incl. the NTZ timestamp encoding, preserved
+byte-exact — then runs Spark AND DuckDB against it):
+
+  dup2   every table concatenated with itself (every row exactly
+         twice), multi-row-group layout so the copies interleave
+         across splits;
+  nulls  deterministic seeded NULL injection (p = 0.07) into non-key
+         columns — ids/join keys/tie-breaks stay non-null (they are
+         the declared total-order contract; nullable tie-breaks are a
+         schema-design error, not an engine property), and events.ts
+         stays non-null (event-time nullability is an ingress
+         contract: watermark semantics are undefined on null event
+         time, so production pipelines filter them at the source);
+  head3  every table truncated to its first 3 rows (referentially
+         ragged by construction — both engines see the same rags).
+
+Rows-only queries (seeded sketches — same set conf_invariance names)
+only have to RUN without error: their values are engine-specific by
+declaration and their semantic floors are the recall/containment
+pytest laws.
+
+Usage: python tools/data_shift.py [sf_dir] [mode ...]
+       (defaults: /root/testdata/sf0.001, all modes)
+       DS_ONLY=f2,f4 restricts to a comma-list of query-name prefixes
+       (iteration aid; the shipped gate is the unfiltered run).
+Prints one line per divergence and a final summary; exit 1 on FAIL.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# nulls mode: per-table columns eligible for NULL injection. Excluded
+# by policy: *key/*id columns (join keys and the unique tie-breaks the
+# determinism laws rely on), events.ts (ingress contract, see module
+# docstring).
+NULLABLE_COLS = {
+    "region": ["r_name"],
+    "nation": ["n_name"],
+    "customer": ["c_name", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_name", "s_acctbal"],
+    "part": ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": ["o_orderstatus", "o_totalprice", "o_orderdate",
+               "o_orderpriority"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "events": ["event_type", "value", "props"],
+    "documents": ["text", "lang", "source", "n_chars"],
+    "embeddings": ["embedding", "label"],
+}
+
+NULL_P = 0.07
+SEED = 8
+
+
+def _write(tbl, path: str) -> None:
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        tbl, path, row_group_size=max(1, (tbl.num_rows + 2) // 3)
+    )
+
+
+def perturb_dup2(sf_dir: str, out_dir: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for name in TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+        _write(
+            pa.concat_tables([tbl, tbl]),
+            os.path.join(out_dir, f"{name}.parquet"),
+        )
+
+
+def perturb_head3(sf_dir: str, out_dir: str) -> None:
+    import pyarrow.parquet as pq
+
+    for name in TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+        _write(tbl.slice(0, 3), os.path.join(out_dir, f"{name}.parquet"))
+
+
+def perturb_nulls(sf_dir: str, out_dir: str) -> None:
+    """Seeded deterministic NULL mask per (table, column): the same
+    rows go null on every run, so findings reproduce exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for name in TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+        n = tbl.num_rows
+        for ci, col in enumerate(NULLABLE_COLS.get(name, [])):
+            rng = np.random.default_rng(
+                SEED + 1000 * ci + abs(hash(name)) % 997
+            )
+            mask = rng.random(n) < NULL_P
+            idx = tbl.schema.get_field_index(col)
+            field = tbl.schema.field(idx)
+            vals = tbl.column(idx).to_pylist()
+            vals = [None if m else v for v, m in zip(vals, mask)]
+            tbl = tbl.set_column(
+                idx, field, pa.array(vals, type=field.type)
+            )
+        _write(tbl, os.path.join(out_dir, f"{name}.parquet"))
+
+
+MODES = {"dup2": perturb_dup2, "nulls": perturb_nulls, "head3": perturb_head3}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    wanted = sys.argv[2:] or list(MODES)
+    unknown = [w for w in wanted if w not in MODES]
+    if unknown:
+        sys.exit(f"unknown mode(s): {unknown}; have {list(MODES)}")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import duckdb
+
+    from cassandra_migrate_keyspace_from_cluster_spark.registry import specs
+    from cassandra_migrate_keyspace_from_cluster_spark.session import build_session
+    from tests.parity import compare_frames
+
+    spark = build_session(app_name="data_shift")
+    spark.sparkContext.setLogLevel("ERROR")
+    all_specs = specs()
+    only = [p for p in os.environ.get("DS_ONLY", "").split(",") if p]
+    if only:
+        all_specs = {
+            n: s for n, s in all_specs.items()
+            if any(n.startswith(p) for p in only)
+        }
+
+    t_all = time.time()
+    fails: list[str] = []
+    for mode in wanted:
+        out_dir = tempfile.mkdtemp(prefix=f"data_shift_{mode}_")
+        try:
+            MODES[mode](sf_dir, out_dir)
+            con = duckdb.connect()
+            for name in TABLES:
+                con.execute(
+                    f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{out_dir}/{name}.parquet')"
+                )
+            t_m = time.time()
+            n_ok = 0
+            for name, spec in all_specs.items():
+                try:
+                    spark_pdf = spec.fn(spark, out_dir).toPandas()
+                    if spec.oracle is None:
+                        n_ok += 1  # rows-only: graceful run is the bar
+                        continue
+                    duck_pdf = con.execute(spec.oracle).df()
+                    compare_frames(spark_pdf, duck_pdf, f"{mode}/{name}")
+                    n_ok += 1
+                except AssertionError as diff:
+                    fails.append(f"{mode}/{name}")
+                    print(f"FAIL {mode}/{name}: "
+                          f"{str(diff).splitlines()[0][:220]}", flush=True)
+                except Exception as ex:  # noqa: BLE001
+                    fails.append(f"{mode}/{name}")
+                    print(f"FAIL {mode}/{name}: {type(ex).__name__}: "
+                          f"{str(ex)[:200]}", flush=True)
+            con.close()
+            print(f"{mode}: {n_ok}/{len(all_specs)} parity-exact "
+                  f"({time.time() - t_m:.0f}s)", flush=True)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    print(
+        f"DATA-SHIFT RESULT: modes={wanted} fails={fails or 'none'} "
+        f"({time.time() - t_all:.0f}s)"
+    )
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
