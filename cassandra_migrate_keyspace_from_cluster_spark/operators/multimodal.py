@@ -84,18 +84,25 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf["payload"]
-            blen = payloads.map(len)
+            # NULL payload (missing modality) → a row with NULL
+            # features: decode is a per-row map, and the oracle's
+            # per-row expressions null-propagate the same way
+            vals = [
+                len(b) if b is not None else None for b in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "mime": pdf["mime"],
-                    "byte_len": blen.astype("int64"),
-                    "head_hex": payloads.map(lambda b: bytes(b[:8]).hex()),
-                    "f0": (blen % 7).astype("float64"),
-                    "f1": (blen % 11).astype("float64"),
-                    "f2": (blen % 13).astype("float64"),
-                    "f3": (blen % 17).astype("float64"),
+                    "byte_len": pd.array(vals, dtype="Int64"),
+                    "head_hex": [
+                        bytes(b[:8]).hex() if b is not None else None
+                        for b in pdf["payload"]
+                    ],
+                    "f0": [float(v % 7) if v is not None else None for v in vals],
+                    "f1": [float(v % 11) if v is not None else None for v in vals],
+                    "f2": [float(v % 13) if v is not None else None for v in vals],
+                    "f3": [float(v % 17) if v is not None else None for v in vals],
                 }
             )
 

@@ -27,8 +27,24 @@ from ..util import bounded_persist, content_fingerprint, evict_stale_tags, scrat
 
 
 def with_double_embedding(df: DataFrame, col: str = "embedding") -> DataFrame:
-    """float32 list → array<double> (accumulate in f64 on both engines)."""
-    return df.withColumn("emb", to_double_array(col))
+    """float32 list → array<double> (accumulate in f64 on both engines).
+
+    Drops NULL vectors first: a null embedding is an undecodable input
+    (failed encoder, missing modality) with no geometric meaning — every
+    vector operator's declared ingress contract is "non-null vectors
+    only", mirrored as ``WHERE embedding IS NOT NULL`` in the oracles
+    (the nulls data-shift probe holds both engines to it). A no-op
+    filter on fully-populated fixtures."""
+    return df.filter(F.col(col).isNotNull()).withColumn(
+        "emb", to_double_array(col)
+    )
+
+
+def drop_null_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """The same ingress contract for paths that keep the raw float32
+    column (staged corpora, MLlib vector assembly) instead of going
+    through ``with_double_embedding``."""
+    return df.filter(F.col(col).isNotNull())
 
 
 # Per-PYTHON-WORKER single-entry cache for lazily loaded index structures
@@ -138,15 +154,17 @@ def cosine_topk(
     # ingress. The distinct rides the staging write (paid once per
     # content key); the query side then READS THE STAGED LAYOUT, so it
     # inherits the dedup without a second exchange and the search
-    # stage itself stays shuffle-free. ("kdist1" in the content key
+    # stage itself stays shuffle-free. ("kdist2" in the content key
     # versions the staged semantics — a pre-law staging can never be
     # reused for the post-law operator.)
-    sel = embeddings.select(F.col(id_col).alias("id"), "embedding").distinct()
+    sel = drop_null_vectors(embeddings).select(
+        F.col(id_col).alias("id"), "embedding"
+    ).distinct()
     corpus_path = _stage(
         sel,
         "f4_corpus",
         content_key=(
-            "kdist1:" + content_fingerprint(corpus_key)
+            "kdist2:" + content_fingerprint(corpus_key)
             if corpus_key is not None
             else None
         ),
@@ -267,7 +285,8 @@ def cosine_topk_chunked(
     # the replay law (see cosine_topk) — one exchange paid once before
     # the persist, covering the corpus AND query sides together.
     src = (
-        embeddings.select(F.col(id_col).alias("id"), "embedding")
+        drop_null_vectors(embeddings)
+        .select(F.col(id_col).alias("id"), "embedding")
         .distinct()
         .persist()
     )
@@ -280,9 +299,9 @@ def cosine_topk_chunked(
         # the tag — in-place fixture regeneration with an unchanged row
         # count can no longer alias a stale _SUCCESS-marked staging
         tag = hashlib.md5(
-            # "kdist1" versions the staged semantics (replay-law
+            # "kdist2" versions the staged semantics (replay-law
             # distinct) — a pre-law staging can never be reused
-            f"kdist1:{content_fingerprint(corpus_key)}|n={n}|chunks={n_chunks}".encode()
+            f"kdist2:{content_fingerprint(corpus_key)}|n={n}|chunks={n_chunks}".encode()
         ).hexdigest()[:12]
         corpus_path = os.path.join(base, tag)
         evict_stale_tags(base, keep=corpus_path)
@@ -421,11 +440,17 @@ def ivf_cosine_topk(
         array_to_vector("emb").alias("features"),
     )
     cand_schema = "query_id bigint, neighbor_id bigint, cos_sim double"
-    if d.isEmpty():
+    n_corpus = d.count()  # O(1) agg over the (cached-on-read) corpus
+    if n_corpus == 0:
         # KMeans cannot fit 0 rows; an empty corpus has no neighbors —
         # feed the shared merge tail an empty candidate set (identical
         # result schema to the populated path)
         return _rank_topk(spark.createDataFrame([], cand_schema), k)
+    # a corpus smaller than the cell count cannot seed n_cells distinct
+    # centroids (MLlib fit throws) — the tiny-shard boundary collapses
+    # toward one-cell exact search; n_probe is clamped with it
+    n_cells = min(n_cells, n_corpus)
+    n_probe = min(n_probe, n_cells)
     model = KMeans(k=n_cells, seed=42, maxIter=20, featuresCol="features").fit(d)
 
     root = work_dir or tempfile.mkdtemp(prefix="spark_graft_f5b_")
@@ -465,7 +490,8 @@ def ivf_cosine_topk(
             )
 
     probes = bounded_persist(
-        embeddings.select(F.col(id_col).alias("id"), "embedding")
+        drop_null_vectors(embeddings)
+        .select(F.col(id_col).alias("id"), "embedding")
         .mapInPandas(probe, "cell int, qid bigint, qemb array<float>")
     )
     probed_cells = [r.cell for r in probes.select("cell").distinct().collect()]
@@ -565,9 +591,9 @@ def srp_candidate_pairs(
     # persisted: the self-join references the band table on BOTH sides
     # — without persist the Python/Arrow projection pass runs twice
     bands = bounded_persist(
-        embeddings.select(F.col(id_col).alias("id"), "embedding").mapInPandas(
-            hash_bands, "id bigint, band int, key bigint"
-        )
+        drop_null_vectors(embeddings)
+        .select(F.col(id_col).alias("id"), "embedding")
+        .mapInPandas(hash_bands, "id bigint, band int, key bigint")
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -841,7 +867,8 @@ def semantic_dedup_kmeans(
 
     e = with_double_embedding(embeddings).select(F.col(id_col).alias("vec_id"), "emb")
     d = e.withColumn("features", array_to_vector("emb"))
-    if d.isEmpty():
+    n_corpus = d.count()
+    if n_corpus == 0:
         # KMeans cannot fit 0 rows; the dup-flag stage is closed over an
         # empty assignment (literal cluster id keeps the schema) — 0 rows
         # out, populated-identical columns
@@ -850,7 +877,9 @@ def semantic_dedup_kmeans(
         )
         return _dup_flags_within(assigned, threshold)
     model = KMeans(
-        k=k, seed=seed, maxIter=10, featuresCol="features"
+        # k > n cannot seed k distinct centroids (MLlib fit throws);
+        # the tiny-corpus boundary degrades toward one exact cluster
+        k=min(k, n_corpus), seed=seed, maxIter=10, featuresCol="features"
     ).fit(d)
     assigned = model.transform(d).select(
         "vec_id", "emb", F.col("prediction").cast("bigint").alias("cluster_id")
@@ -940,7 +969,9 @@ def pq_topk(
     import pandas as pd
 
     spark = embeddings.sparkSession
-    queries = embeddings.select(F.col(id_col).alias("id"), "embedding")
+    queries = drop_null_vectors(embeddings).select(
+        F.col(id_col).alias("id"), "embedding"
+    )
 
     sample_pdf = (
         queries.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
@@ -961,6 +992,11 @@ def pq_topk(
     assert d % m == 0, (d, m)
     sub_d = d // m
 
+    # a corpus smaller than the codebook cannot seed n_codes distinct
+    # centers — shrink to the sample size (the ADC scan is then exact
+    # over the tiny corpus; same head3/tiny-shard boundary as IVF's
+    # k=min(k, n) guard)
+    n_codes = min(n_codes, n_s)
     rng = np.random.RandomState(7)
     codebooks = np.empty((m, n_codes, sub_d))
     for j in range(m):
@@ -1006,7 +1042,7 @@ def pq_topk(
         # codebook training is deterministic given (data, params), so a
         # completed encode for the same corpus identity can be reused
         content_key=(
-            f"{content_fingerprint(corpus_key)}|m={m}|codes={n_codes}|sample={sample_n}"
+            f"kdist2:{content_fingerprint(corpus_key)}|m={m}|codes={n_codes}|sample={sample_n}"
             if corpus_key is not None
             else None
         ),

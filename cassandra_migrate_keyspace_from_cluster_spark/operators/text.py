@@ -89,10 +89,16 @@ def bigrams(docs: DataFrame) -> DataFrame:
 
 def lang_profiles(docs: DataFrame, top_n: int = 10) -> DataFrame:
     """Top-N most frequent tokens per language (the corpus-derived
-    'fingerprint' used by classify_language)."""
+    'fingerprint' used by classify_language).
+
+    Docs with NULL lang are excluded: a profile is keyed by language
+    IDENTITY, and an unlabeled doc can train no profile (a NULL
+    candidate would also sort OPPOSITELY through the two engines'
+    ASC-null defaults in the argmax tie-break)."""
     counts = (
         doc_tokens(docs.select("doc_id", "text"))
         .join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang").isNotNull())
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -132,7 +138,8 @@ def classify_language(docs: DataFrame, top_n: int = 10) -> DataFrame:
             "lang",
             F.col("cand_lang").alias("pred_lang"),
             F.col("overlap").cast("bigint").alias("overlap"),
-            (F.col("cand_lang") == F.col("lang")).alias("is_correct"),
+            # BIGINT: nullable-boolean pandas carrier differs per engine
+            (F.col("cand_lang") == F.col("lang")).cast("bigint").alias("is_correct"),
         )
     )
 

@@ -532,8 +532,23 @@ def a15_repair_apply(spark, sf_dir):
     )
     post = mig.snapshot_diff(base, repaired, "o_orderkey", cols)
 
-    applied = plan.groupBy("action").agg(F.count(F.lit(1)).alias("n")).select(
-        F.concat(F.lit("applied_"), F.col("action")).alias("metric"), "n"
+    # fixed-shape report: an action class with nothing to do is a 0
+    # row, not an absent row (the oracle — and any consumer of a repair
+    # report — keys on the metric name; head3/quiet-day inputs have
+    # empty classes)
+    action_spine = spark.createDataFrame(
+        [("copy",), ("recopy",), ("delete",)], "action string"
+    )
+    applied = (
+        action_spine.join(
+            plan.groupBy("action").agg(F.count(F.lit(1)).alias("n")),
+            "action",
+            "left",
+        )
+        .select(
+            F.concat(F.lit("applied_"), F.col("action")).alias("metric"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
     )
     post_n = post.agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("post_repair_diffs").alias("metric"), "n"

@@ -108,7 +108,9 @@ def c3_grouping_sets(spark, sf_dir):
                  / pow(avg(pow(e.value - mu.m, 2)), 1.5), 6)       AS skew,
            round(avg(pow(e.value - mu.m, 4))
                  / pow(avg(pow(e.value - mu.m, 2)), 2) - 3, 6)     AS kurt
-    FROM events e JOIN mu USING (event_type)
+    -- null-safe join: groupBy keeps a NULL event_type group, so the
+    -- centered-moment helper join must not drop it (NULL != NULL)
+    FROM events e JOIN mu ON e.event_type IS NOT DISTINCT FROM mu.event_type
     GROUP BY e.event_type
     """,
 )
@@ -150,13 +152,33 @@ def c5_percentiles(spark, sf_dir):
 
 @register(
     "c5b_mode",
-    oracle="SELECT mode(event_type) AS modal_type, count(*) AS n FROM events",
+    oracle="""
+    SELECT (SELECT event_type
+            FROM (SELECT event_type, count(*) AS c
+                  FROM events GROUP BY event_type)
+            ORDER BY c DESC, event_type LIMIT 1) AS modal_type,
+           count(*) AS n
+    FROM events
+    """,
 )
 def c5b_mode(spark, sf_dir):
-    """Global modal event_type (unique max count in the data → both
-    engines deterministic)."""
+    """Global modal event_type. Computed as an explicit count + top-1
+    with a VALUE tie-break rather than the engines' mode() aggregate:
+    both Spark's and DuckDB's mode() document ARBITRARY tie choice, so
+    the moment two types tie (the head3 data-shift probe: 3 rows, all
+    counts 1) the native function is unportable. count+top-1 is the
+    same two-phase partial-agg shape mode() plans anyway; the returned
+    row keeps mode()'s NULL-on-empty contract via the left anchor."""
     ev = t(spark, sf_dir, "events")
-    return ev.agg(F.mode("event_type").alias("modal_type"), F.count(F.lit(1)).alias("n"))
+    best = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("event_type"))
+        .limit(1)
+        .select(F.col("event_type").alias("modal_type"))
+    )
+    n = ev.agg(F.count(F.lit(1)).alias("n"))
+    return n.join(best, F.lit(True), "left").select("modal_type", "n")
 
 
 @register("c6_approx_quantile", oracle=None)  # sketch values are engine-specific
@@ -380,7 +402,11 @@ def c14_frame_range(spark, sf_dir):
     oracle="""
     SELECT o_orderkey, o_custkey,
            round(sum(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             -- NULLS FIRST pins the engines' opposite ASC defaults
+             -- (Spark: nulls first, DuckDB: nulls last) when the sort
+             -- column is nullable
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
     FROM orders
     """,
@@ -408,7 +434,8 @@ def c15_running_total(spark, sf_dir):
            round(percent_rank() OVER w, 6) AS pct_rank,
            round(cume_dist() OVER w, 6) AS cume_d
     FROM orders
-    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    -- NULLS FIRST: see c15 (nullable sort column, opposite defaults)
+    WINDOW w AS (ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
 )
 def c16_ntile_pctrank(spark, sf_dir):

@@ -31,13 +31,17 @@ from .util import r6, t
     "d1_string_basic",
     oracle="""
     SELECT c_custkey,
-           concat(c_name, '|', c_mktsegment)           AS joined,
+           -- || not concat(): DuckDB's concat() SKIPS null arguments
+           -- while Spark's concat() is null-propagating; || propagates
+           -- NULL in both engines (identical on non-null data — the
+           -- nulls data-shift probe pins the agreement)
+           c_name || '|' || c_mktsegment               AS joined,
            concat_ws('-', c_name, c_mktsegment)        AS joined_ws,
            upper(c_name)                               AS up,
            lower(c_name)                               AS lo,
-           trim(concat('  ', c_name, '  '))            AS trimmed,
-           ltrim(concat('  ', c_name))                 AS ltrimmed,
-           rtrim(concat(c_name, '  '))                 AS rtrimmed,
+           trim('  ' || c_name || '  ')                AS trimmed,
+           ltrim('  ' || c_name)                       AS ltrimmed,
+           rtrim(c_name || '  ')                       AS rtrimmed,
            substring(c_name, 10, 5)                    AS sub,
            CAST(length(c_name) AS BIGINT)              AS name_len,
            lpad(CAST(c_custkey AS VARCHAR), 10, '0')   AS key_pad,
@@ -83,7 +87,7 @@ def d1_string_basic(spark, sf_dir):
            regexp_extract(c_name, 'Customer#(\\d+)', 1)         AS digits,
            CAST(regexp_extract(c_name, '(\\d+)', 1) AS BIGINT)  AS digits_int,
            regexp_replace(c_name, '0+', '#', 'g')               AS squashed,
-           regexp_matches(c_name, '00[1-9]')                    AS has_pad,
+           CAST(regexp_matches(c_name, '00[1-9]') AS BIGINT)    AS has_pad,
            array_to_string(string_split_regex(c_name, '[#0]+'), ',') AS parts
     FROM customer
     """,
@@ -98,7 +102,10 @@ def d2_string_regex(spark, sf_dir):
         F.regexp_extract("c_name", r"Customer#(\d+)", 1).alias("digits"),
         F.regexp_extract("c_name", r"(\d+)", 1).cast("bigint").alias("digits_int"),
         F.regexp_replace("c_name", "0+", "#").alias("squashed"),
-        F.col("c_name").rlike("00[1-9]").alias("has_pad"),
+        # BIGINT not BOOLEAN: a NULL boolean reaches pandas as None from
+        # Spark but NaN-float from DuckDB — same SQL value, different
+        # carrier; nullable ints normalize identically on both engines
+        F.col("c_name").rlike("00[1-9]").cast("bigint").alias("has_pad"),
         F.array_join(F.split("c_name", "[#0]+"), ",").alias("parts"),
     )
 
@@ -252,7 +259,7 @@ def d5_math(spark, sf_dir):
     SELECT doc_id,
            CAST(len(toks) AS BIGINT)                       AS n_toks,
            array_to_string(list_slice(toks, 1, 5), ' ')    AS first5,
-           list_contains(toks, 'join')                     AS has_join,
+           CAST(list_contains(toks, 'join') AS BIGINT)     AS has_join,
            CAST(len(list_distinct(toks)) AS BIGINT)        AS n_uniq,
            array_to_string(list_sort(list_distinct(toks)), ',') AS uniq_csv,
            array_to_string(list_transform(list_slice(toks, 1, 3),
@@ -276,7 +283,8 @@ def d6_array(spark, sf_dir):
         "doc_id",
         F.size(toks).cast("bigint").alias("n_toks"),
         F.array_join(F.slice(toks, 1, 5), " ").alias("first5"),
-        F.array_contains(toks, "join").alias("has_join"),
+        # BIGINT: nullable-boolean pandas carrier differs per engine
+        F.array_contains(toks, "join").cast("bigint").alias("has_join"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
         F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("uniq_csv"),
         F.array_join(
@@ -415,7 +423,14 @@ def d10_cast_types(spark, sf_dir):
         F.col("o_orderkey").cast("string").cast("int").alias("key_back"),
         F.floor("o_totalprice").cast("bigint").alias("price_floor"),
         F.date_trunc("day", "o_orderdate").alias("order_day"),
-        F.format_string("%.2f", "o_totalprice").alias("price_fmt"),
+        # explicit null guard: format_string is a Java Formatter, which
+        # renders a NULL arg as the STRING "null" (then "%.2f" truncates
+        # it to "nu"!) — the declared semantics are null-propagating,
+        # like DuckDB's printf
+        F.when(
+            F.col("o_totalprice").isNotNull(),
+            F.format_string("%.2f", "o_totalprice"),
+        ).alias("price_fmt"),
         (F.col("o_totalprice") > 250000).cast("string").alias("is_big_str"),
     )
 
@@ -455,8 +470,12 @@ def d11_bitwise(spark, sf_dir):
     "d12_string_parts",
     oracle="""
     SELECT o_orderkey,
-           split_part(o_orderpriority, '-', 1) AS pri_num,
-           split_part(o_orderpriority, '-', 2) AS pri_word,
+           -- CASE guard: DuckDB split_part maps NULL input to ''
+           -- while Spark's is null-propagating
+           CASE WHEN o_orderpriority IS NULL THEN NULL
+                ELSE split_part(o_orderpriority, '-', 1) END AS pri_num,
+           CASE WHEN o_orderpriority IS NULL THEN NULL
+                ELSE split_part(o_orderpriority, '-', 2) END AS pri_word,
            left(o_orderpriority, 3) AS l3,
            right(o_orderpriority, 3) AS r3,
            ascii(o_orderpriority) AS first_code,

@@ -455,7 +455,9 @@ def e12_out_of_order_profile(spark, sf_dir):
            total_value, CAST(rnk AS INT) AS rnk
     FROM (SELECT *, row_number() OVER (
             PARTITION BY window_start
-            ORDER BY n DESC, event_type) AS rnk
+            -- NULLS FIRST pins the engines' opposite ASC defaults when
+            -- event_type is nullable (rank-3 cut flips otherwise)
+            ORDER BY n DESC, event_type NULLS FIRST) AS rnk
           FROM w)
     WHERE rnk <= 3
     """,

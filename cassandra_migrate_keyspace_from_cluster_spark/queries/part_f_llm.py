@@ -146,7 +146,7 @@ def f18_pipeline_report(spark, sf_dir):
     -- no DISTINCT: quantization is a per-row MAP (replay law —
     -- duplicate rows in, duplicate rows out)
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
     s AS (SELECT vec_id, emb,
                  list_reduce(list_transform(emb, x -> abs(x)),
                              (a, b) -> greatest(a, b)) / 127.0 AS raw_scale
@@ -207,7 +207,7 @@ def f3b_simhash(spark, sf_dir):
     -- DISTINCT = the replay law (SURVEY.md §5.4): retrieval is keyed
     -- by vector identity; replicated rows collapse at ingress
     WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings)
+               FROM embeddings WHERE embedding IS NOT NULL)
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim,
@@ -234,7 +234,7 @@ def f4_cosine_topk(spark, sf_dir):
     -- DISTINCT = the replay law (SURVEY.md §5.4): retrieval is keyed
     -- by vector identity; replicated rows collapse at ingress
     WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings)
+               FROM embeddings WHERE embedding IS NOT NULL)
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim,
@@ -271,7 +271,7 @@ def f4c_cosine_topk_chunked(spark, sf_dir):
     -- DISTINCT = the replay law (SURVEY.md §5.4): retrieval is keyed
     -- by vector identity; replicated rows collapse at ingress
     WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings)
+               FROM embeddings WHERE embedding IS NOT NULL)
     SELECT * FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
@@ -314,7 +314,7 @@ def f5_ann_lsh(spark, sf_dir):
     cents AS (SELECT label AS centroid_label, list(v ORDER BY i) AS centroid
               FROM dims GROUP BY 1),
     e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-          FROM embeddings),
+          FROM embeddings WHERE embedding IS NOT NULL),
     scored AS (
         SELECT e.vec_id, e.label, c.centroid_label,
                round(list_cosine_similarity(e.emb, c.centroid), 6) AS cos_sim
@@ -516,7 +516,9 @@ def f12_doc_length_dedup_rate(spark, sf_dir):
     oracle="""
     WITH toks AS (SELECT d.doc_id, d.lang, unnest(string_split(d.text, ' ')) AS token
                   FROM documents d),
-    counts AS (SELECT lang, token, count(*) AS n FROM toks GROUP BY 1, 2),
+    -- NULL lang trains no profile (see operators/text.lang_profiles)
+    counts AS (SELECT lang, token, count(*) AS n FROM toks
+               WHERE lang IS NOT NULL GROUP BY 1, 2),
     prof AS (SELECT lang AS cand_lang, list(token) AS profile FROM (
                SELECT lang, token,
                       row_number() OVER (PARTITION BY lang
@@ -529,7 +531,8 @@ def f12_doc_length_dedup_rate(spark, sf_dir):
                         AS overlap
                FROM d CROSS JOIN prof p)
     SELECT doc_id, lang, cand_lang AS pred_lang, overlap,
-           (cand_lang = lang) AS is_correct
+           -- BIGINT: nullable-boolean pandas carrier differs per engine
+           CAST(cand_lang = lang AS BIGINT) AS is_correct
     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                                        ORDER BY overlap DESC, cand_lang) AS rn
           FROM scored)
@@ -591,10 +594,14 @@ def f15_token_count(spark, sf_dir):
     "f16_fingerprint",
     oracle="""
     SELECT doc_id,
-           list_reduce(
-             [0::BIGINT] || list_transform(string_split(text, ' '),
-                    x -> 7 * length(x)::BIGINT + ascii(x)::BIGINT),
-             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+           -- CASE guard: DuckDB's [0] || NULL list-concat yields [0]
+           -- (fingerprint 0) on NULL text; the declared semantics are
+           -- null-propagating like Spark's aggregate over split(NULL)
+           CASE WHEN text IS NULL THEN NULL ELSE
+             list_reduce(
+               [0::BIGINT] || list_transform(string_split(text, ' '),
+                      x -> 7 * length(x)::BIGINT + ascii(x)::BIGINT),
+               (acc, x) -> (acc * 31 + x) % 1000000007) END AS fingerprint
     FROM documents
     """,
 )
@@ -1311,8 +1318,9 @@ def f26_repetition(spark, sf_dir):
              AS mean_tok_len,
            round(CAST(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))
                       AS DOUBLE) / len(w), 6) AS alpha_frac,
-           len(list_intersect(w, ['the', 'a', 'of', 'to', 'and'])) > 0
-             AS has_stopword,
+           -- BIGINT: nullable-boolean pandas carrier differs per engine
+           CAST(len(list_intersect(w, ['the', 'a', 'of', 'to', 'and'])) > 0
+                AS BIGINT) AS has_stopword,
            (len(w) BETWEEN 10 AND 1000
             AND CAST(list_reduce(list_transform(w, x -> length(x)),
                                  (a, b) -> a + b) AS DOUBLE) / len(w)
@@ -1320,7 +1328,7 @@ def f26_repetition(spark, sf_dir):
             AND CAST(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))
                      AS DOUBLE) / len(w) >= 0.8
             AND len(list_intersect(w, ['the', 'a', 'of', 'to', 'and'])) > 0)
-             AS keep
+             ::BIGINT AS keep
     FROM d
     """,
 )
@@ -1352,8 +1360,9 @@ def f27_rule_filters(spark, sf_dir):
         n.cast("long").alias("n_tokens"),
         r6(mean_len).alias("mean_tok_len"),
         r6(alpha_frac).alias("alpha_frac"),
-        stop.alias("has_stopword"),
-        keep.alias("keep"),
+        # BIGINT: nullable-boolean pandas carrier differs per engine
+        stop.cast("bigint").alias("has_stopword"),
+        keep.cast("bigint").alias("keep"),
     )
 
 
@@ -2234,7 +2243,7 @@ def f29_train_split(spark, sf_dir):
     -- DISTINCT = the replay law (SURVEY.md §5.4): retrieval is keyed
     -- by vector identity; replicated rows collapse at ingress
     WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
     seeds AS (SELECT vec_id AS seed_id, emb AS semb
               FROM e ORDER BY vec_id LIMIT 32),
     assigned AS (
@@ -2471,7 +2480,11 @@ def f17g_image_resize_features(spark, sf_dir):
                   WHEN bucket < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM s),
-    hx AS (SELECT split, doc_id, md5(text) AS h FROM sp),
+    -- NULL text is no leak evidence (absent content matches nothing);
+    -- without the guard Spark's hash window groups NULLs together
+    -- while IN/JOIN semantics drop them — both wrong as an audit
+    hx AS (SELECT split, doc_id, md5(text) AS h FROM sp
+           WHERE text IS NOT NULL),
     train_h AS (SELECT DISTINCT h FROM hx WHERE split = 'train'),
     exact_leaks AS (
       SELECT x.split AS tgt, count(DISTINCT x.doc_id) AS n
@@ -2518,7 +2531,10 @@ def f48_split_leakage(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    sp = docs.select("doc_id", "text", split.alias("split"))
+    # NULL text is no leak evidence — see the oracle's hx guard
+    sp = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "text", split.alias("split")
+    )
 
     def leaked(keyed, key, check_name):
         # one pass: a window over the key marks which key values occur
@@ -2921,7 +2937,8 @@ def f52_dataset_card(spark, sf_dir):
                     CAST(row_number() OVER (ORDER BY lex_score DESC, doc_id)
                          AS BIGINT) AS r_lex
              FROM lex),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings WHERE embedding IS NOT NULL),
     vec AS (
       SELECT b.vec_id AS doc_id,
              round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
@@ -3130,7 +3147,7 @@ def f43_chunk_dedup_rewrite(spark, sf_dir):
     cents AS (SELECT label, list(v ORDER BY i) AS centroid
               FROM dims GROUP BY 1),
     e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-          FROM embeddings),
+          FROM embeddings WHERE embedding IS NOT NULL),
     scored AS (
         SELECT e.vec_id, e.label,
                round(list_cosine_similarity(e.emb, c.centroid), 6) AS cos_to_centroid

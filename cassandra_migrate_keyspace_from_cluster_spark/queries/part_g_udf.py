@@ -39,14 +39,20 @@ from .util import r6, t
 
 # Shared price-tier thresholds (exact comparisons on doubles — identical
 # in both engines).
+# The explicit NULL arm keeps the map null-propagating: without it SQL
+# CASE falls through NULL comparisons to the ELSE branch ('high'), and
+# the Python twin would crash on None — a null price has no tier.
 _TIER_SQL = """
-    CASE WHEN o_totalprice < 50000 THEN 'low'
+    CASE WHEN o_totalprice IS NULL THEN NULL
+         WHEN o_totalprice < 50000 THEN 'low'
          WHEN o_totalprice < 150000 THEN 'mid'
          ELSE 'high' END
 """
 
 
-def _tier(p: float) -> str:
+def _tier(p: float) -> str | None:
+    if p is None:
+        return None
     if p < 50000:
         return "low"
     if p < 150000:
@@ -83,9 +89,10 @@ def g2_pandas_udf_scalar(spark, sf_dir):
 
     @pandas_udf("string")
     def tier_vec(p: pd.Series) -> pd.Series:
-        out = pd.Series("high", index=p.index)
+        out = pd.Series("high", index=p.index, dtype=object)
         out[p < 150000] = "mid"
         out[p < 50000] = "low"
+        out[p.isna()] = None  # null price has no tier (see _TIER_SQL)
         return out
 
     return t(spark, sf_dir, "orders").select(
@@ -100,7 +107,8 @@ def g2_pandas_udf_scalar(spark, sf_dir):
            {sql_exact_round_ratio(
                'sum(CAST(round(l_extendedprice * 100) AS BIGINT)'
                '    * CAST(round(l_discount * 100) AS BIGINT))',
-               '100 * sum(CAST(round(l_discount * 100) AS BIGINT))',
+               '100 * sum(CAST(round(l_discount * 100) AS BIGINT))'
+               ' FILTER (WHERE l_extendedprice IS NOT NULL)',
                dp=2)}
              AS discount_weighted_price
     FROM lineitem
@@ -120,8 +128,15 @@ def g3_grouped_agg_udaf(spark, sf_dir):
 
     @pandas_udf("double")
     def wmean(p: pd.Series, w: pd.Series) -> float:
-        pi = (p * 100).round().astype("int64")
-        wi = (w * 100).round().astype("int64")
+        # pairwise null mask: a weighted mean uses only rows where BOTH
+        # price and weight exist (mirrored by the oracle's FILTER) —
+        # mixing a null price with a live discount would put the weight
+        # in the denominator with nothing in the numerator
+        ok = p.notna() & w.notna()
+        if not ok.any():
+            return None
+        pi = (p[ok] * 100).round().astype("int64")
+        wi = (w[ok] * 100).round().astype("int64")
         s4 = int((pi * wi).sum())
         m = 100 * int(wi.sum())
         q = (2 * abs(s4) * 100 + m) // (2 * m)
@@ -227,6 +242,8 @@ def g6_python_udtf(spark, sf_dir):
     @udtf(returnType="doc_id: bigint, chunk_idx: int, chunk: string")
     class ChunkDoc:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # null text explodes to no chunks
+                return
             toks = text.split(" ")
             for i in range(0, len(toks), 8):
                 yield doc_id, i // 8, " ".join(toks[i : i + 8])
@@ -323,7 +340,9 @@ def g8_pandas_udf_iter(spark, sf_dir):
            CAST(coalesce(o.ordered_cents, 0) AS BIGINT) AS ordered_cents,
            CAST(coalesce(l.n_lines, 0) AS BIGINT) AS n_lines,
            CAST(coalesce(l.shipped_x10k, 0) AS BIGINT) AS shipped_x10k
-    FROM o FULL JOIN l ON l.month = o.month
+    -- null-safe join: cogroup puts NULL-month rows of both sides in
+    -- ONE group; a NULL-unequal full join would emit two half rows
+    FROM o FULL JOIN l ON l.month IS NOT DISTINCT FROM o.month
     """,
 )
 def g9_cogrouped_map(spark, sf_dir):
@@ -344,14 +363,15 @@ def g9_cogrouped_map(spark, sf_dir):
     at sf0.1 before this recast)."""
 
     def reconcile(key, o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
-        ordered = (
-            int((o["o_totalprice"] * 100).round().astype("int64").sum())
-            if len(o)
-            else 0
-        )
-        if len(l):
-            cents = (l["l_extendedprice"] * 100).round().astype("int64")
-            disc = (l["l_discount"] * 100).round().astype("int64")
+        # null masks mirror SQL sum semantics: rows with a NULL money
+        # cell drop out of the sums (pairwise for the product), while
+        # n_orders/n_lines stay count(*) over ALL rows
+        op = o["o_totalprice"].dropna()
+        ordered = int((op * 100).round().astype("int64").sum()) if len(op) else 0
+        lok = l["l_extendedprice"].notna() & l["l_discount"].notna()
+        if lok.any():
+            cents = (l.loc[lok, "l_extendedprice"] * 100).round().astype("int64")
+            disc = (l.loc[lok, "l_discount"] * 100).round().astype("int64")
             shipped = int((cents * (100 - disc)).sum())
         else:
             shipped = 0

@@ -117,7 +117,11 @@ def perturb_head3(sf_dir: str, out_dir: str) -> None:
 
 def perturb_nulls(sf_dir: str, out_dir: str) -> None:
     """Seeded deterministic NULL mask per (table, column): the same
-    rows go null on every run, so findings reproduce exactly."""
+    rows go null on every run, so findings reproduce exactly. (The seed
+    folds a crc32 of the table name — never Python's ``hash()``, which
+    is salted per process and would make findings unreproducible.)"""
+    import zlib
+
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -127,7 +131,7 @@ def perturb_nulls(sf_dir: str, out_dir: str) -> None:
         n = tbl.num_rows
         for ci, col in enumerate(NULLABLE_COLS.get(name, [])):
             rng = np.random.default_rng(
-                SEED + 1000 * ci + abs(hash(name)) % 997
+                SEED + 1000 * ci + zlib.crc32(name.encode()) % 997
             )
             mask = rng.random(n) < NULL_P
             idx = tbl.schema.get_field_index(col)
