@@ -155,8 +155,17 @@ def c5_percentiles(spark, sf_dir):
     oracle="""
     SELECT (SELECT event_type
             FROM (SELECT event_type, count(*) AS c
-                  FROM events GROUP BY event_type)
-            ORDER BY c DESC, event_type LIMIT 1) AS modal_type,
+                  -- NOT NULL: mode() ignores NULLs in both engines;
+                  -- the count+top-1 rewrite must keep that contract
+                  -- (and the tie-break must never see a NULL, whose
+                  -- placement differs per engine under ASC)
+                  FROM events WHERE event_type IS NOT NULL
+                  GROUP BY event_type)
+            -- encode(): DuckDB 1.0.0's string sort-key path misorders
+            -- non-ASCII (signed-byte radix, inconsistent with its own
+            -- '<'); BLOB sort keys are correct and equal Spark's
+            -- UTF-8-bytewise string order (SURVEY.md §5.4 textedge law)
+            ORDER BY c DESC, encode(event_type) LIMIT 1) AS modal_type,
            count(*) AS n
     FROM events
     """,
@@ -168,10 +177,14 @@ def c5b_mode(spark, sf_dir):
     the moment two types tie (the head3 data-shift probe: 3 rows, all
     counts 1) the native function is unportable. count+top-1 is the
     same two-phase partial-agg shape mode() plans anyway; the returned
-    row keeps mode()'s NULL-on-empty contract via the left anchor."""
+    row keeps mode()'s NULL-on-empty contract via the left anchor.
+    The candidate set filters NULLs — mode() ignores them in both
+    engines, and the value tie-break must never see one (engine-
+    opposite ASC placement)."""
     ev = t(spark, sf_dir, "events")
     best = (
-        ev.groupBy("event_type")
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), F.asc("event_type"))
         .limit(1)
@@ -860,7 +873,8 @@ def c24_hll_mergeable(spark, sf_dir):
     top20 AS (
       SELECT token, exact_n FROM (
         SELECT token, exact_n,
-               row_number() OVER (ORDER BY exact_n DESC, token) AS rn
+               -- encode(): see c5b (DuckDB non-ASCII sort-key hazard)
+               row_number() OVER (ORDER BY exact_n DESC, encode(token)) AS rn
         FROM exact) WHERE rn <= 20),
     probe AS (
       SELECT t.token, t.exact_n, r.r,

@@ -85,7 +85,10 @@ def d1_string_basic(spark, sf_dir):
     oracle="""
     SELECT c_custkey,
            regexp_extract(c_name, 'Customer#(\\d+)', 1)         AS digits,
-           CAST(regexp_extract(c_name, '(\\d+)', 1) AS BIGINT)  AS digits_int,
+           -- TRY_CAST: a name with no digits extracts '' and a plain
+           -- CAST('') throws in BOTH engines (ANSI Spark and DuckDB) —
+           -- declared semantics are no-digits -> NULL
+           TRY_CAST(regexp_extract(c_name, '(\\d+)', 1) AS BIGINT) AS digits_int,
            regexp_replace(c_name, '0+', '#', 'g')               AS squashed,
            CAST(regexp_matches(c_name, '00[1-9]') AS BIGINT)    AS has_pad,
            array_to_string(string_split_regex(c_name, '[#0]+'), ',') AS parts
@@ -100,7 +103,10 @@ def d2_string_regex(spark, sf_dir):
     return c.select(
         "c_custkey",
         F.regexp_extract("c_name", r"Customer#(\d+)", 1).alias("digits"),
-        F.regexp_extract("c_name", r"(\d+)", 1).cast("bigint").alias("digits_int"),
+        # try_cast: no-digits extracts '' — plain cast throws under ANSI
+        F.regexp_extract("c_name", r"(\d+)", 1)
+        .try_cast("bigint")
+        .alias("digits_int"),
         F.regexp_replace("c_name", "0+", "#").alias("squashed"),
         # BIGINT not BOOLEAN: a NULL boolean reaches pandas as None from
         # Spark but NaN-float from DuckDB — same SQL value, different
@@ -623,14 +629,19 @@ def d15_conditional(spark, sf_dir):
 def d16_encoding(spark, sf_dir):
     """Binary-encoding family: base64, hex, and the unhex round trip
     (string → bytes → hex → bytes → string). Spark's hex() uppercases
-    and DuckDB's lowercases → normalized to lower on both sides. Pure
-    codegen exprs."""
+    and DuckDB's lowercases → normalized to lower on both sides.
+    Spark's base64 is MIME-chunked (a CRLF every 76 chars — invisible
+    on short fixtures, divergent on any payload over 57 bytes); the
+    declared contract is RFC 4648 unwrapped, so the wraps are stripped.
+    Pure codegen exprs."""
     o = t(spark, sf_dir, "orders")
     pri = F.col("o_orderpriority")
     hexed = F.lower(F.hex(pri.cast("binary")))
     return o.select(
         "o_orderkey",
-        F.base64(pri.cast("binary")).alias("pri_b64"),
+        F.replace(
+            F.base64(pri.cast("binary")), F.lit("\r\n"), F.lit("")
+        ).alias("pri_b64"),
         hexed.alias("pri_hex"),
         F.decode(F.unhex(hexed), "UTF-8").alias("pri_roundtrip"),
     )

@@ -456,8 +456,10 @@ def e12_out_of_order_profile(spark, sf_dir):
     FROM (SELECT *, row_number() OVER (
             PARTITION BY window_start
             -- NULLS FIRST pins the engines' opposite ASC defaults when
-            -- event_type is nullable (rank-3 cut flips otherwise)
-            ORDER BY n DESC, event_type NULLS FIRST) AS rnk
+            -- event_type is nullable (rank-3 cut flips otherwise);
+            -- encode() dodges DuckDB's non-ASCII string sort-key
+            -- hazard (see c5b / SURVEY.md §5.4 textedge law)
+            ORDER BY n DESC, encode(event_type) NULLS FIRST) AS rnk
           FROM w)
     WHERE rnk <= 3
     """,

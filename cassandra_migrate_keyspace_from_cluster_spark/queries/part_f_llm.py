@@ -342,7 +342,9 @@ def f6_centroid_knn(spark, sf_dir):
     oracle="""
     SELECT token, n, rank FROM (
       SELECT token, n,
-             CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+             -- encode(): see c5b (DuckDB non-ASCII sort-key hazard)
+             CAST(row_number() OVER (ORDER BY n DESC, encode(token)) AS BIGINT)
+               AS rank
       FROM (SELECT t AS token, count(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
             GROUP BY 1))
@@ -521,8 +523,9 @@ def f12_doc_length_dedup_rate(spark, sf_dir):
                WHERE lang IS NOT NULL GROUP BY 1, 2),
     prof AS (SELECT lang AS cand_lang, list(token) AS profile FROM (
                SELECT lang, token,
+                      -- encode(): see c5b (non-ASCII sort-key hazard)
                       row_number() OVER (PARTITION BY lang
-                                         ORDER BY n DESC, token) AS rn
+                                         ORDER BY n DESC, encode(token)) AS rn
                FROM counts) WHERE rn <= 10 GROUP BY lang),
     d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
           FROM documents),
@@ -613,13 +616,16 @@ def f16_fingerprint(spark, sf_dir):
 @register(
     "f17_multimodal_features",
     oracle="""
+    -- strlen/encode, not length/substring: the payload is the UTF-8
+    -- BYTES of the text, and byte semantics differ from codepoint
+    -- semantics the moment a document is non-ASCII (textedge probe)
     SELECT doc_id, 'text/plain' AS mime,
-           CAST(length(text) AS BIGINT) AS byte_len,
-           lower(hex(substring(text, 1, 8))) AS head_hex,
-           CAST(length(text) % 7 AS DOUBLE)  AS f0,
-           CAST(length(text) % 11 AS DOUBLE) AS f1,
-           CAST(length(text) % 13 AS DOUBLE) AS f2,
-           CAST(length(text) % 17 AS DOUBLE) AS f3
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           lower(substring(hex(encode(text)), 1, 16)) AS head_hex,
+           CAST(strlen(text) % 7 AS DOUBLE)  AS f0,
+           CAST(strlen(text) % 11 AS DOUBLE) AS f1,
+           CAST(strlen(text) % 13 AS DOUBLE) AS f2,
+           CAST(strlen(text) % 17 AS DOUBLE) AS f3
     FROM documents
     """,
 )

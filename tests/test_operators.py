@@ -1311,3 +1311,112 @@ def test_exact_mean6_matches_rational_truth(spark):
     df0 = spark.createDataFrame([(5, 0)], "s long, n long")
     assert df0.select(exact_mean6("s", "n").alias("m")).collect()[0].m is None
     assert con.execute(sql, {"s": 5, "n": 0}).fetchone()[0] is None
+
+
+def test_textedge_engine_string_laws(spark):
+    """Pin the cross-engine string laws the textedge data-shift mode
+    rests on (SURVEY.md §5.4). Each assertion is an ENGINE property
+    probed 2026-08-15 on Spark 4.1 / DuckDB 1.0.0; if an engine
+    upgrade flips one, the textedge shape policy must be re-derived.
+
+    1. base64: Spark's base64() is MIME-chunked (CRLF every 76 chars);
+       DuckDB's and Python's are RFC 4648 unwrapped. The declared
+       contract is unwrapped — d16 strips the wraps.
+    2. levenshtein: Spark computes over CODEPOINTS, DuckDB over UTF-8
+       BYTES — equal exactly on ASCII. Oracle-checked distance queries
+       must keep non-ASCII out of the distance operands (d3's
+       replace-derived operand pairs are alignment-safe by
+       construction: the multibyte segments are identical).
+    3. case mapping: Spark implements Unicode FULL mapping (Java:
+       'ß'→'SS', 'İ'→'i'+U+0307), DuckDB SIMPLE 1:1 ('ß'→'ẞ',
+       'İ'→'i'). They agree outside SpecialCasing/contextual-Σ, which
+       is where TEXT_EDGE_SHAPES lives.
+    4. string sort: Spark orders strings UTF-8-bytewise (unsigned).
+       DuckDB's '<' comparator agrees, but its 1.0.0 ORDER BY sort-key
+       path can misorder non-ASCII when long strings share the sort
+       (signed-byte radix) — so every value-affecting oracle sort key
+       over a possibly-non-ASCII string rides encode() (BLOB keys
+       sort correctly and identically to Spark).
+    """
+    import base64 as b64mod
+    import os
+    import sys
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), os.pardir, "tools")
+    )
+    from data_shift import TEXT_EDGE_SHAPES
+
+    con = duckdb.connect()
+
+    # 1. base64 wrap/strip
+    long = "z" * 100
+    raw = spark.createDataFrame([(long,)], "s string").select(
+        F.base64(F.col("s").cast("binary")).alias("b")
+    ).collect()[0].b
+    assert "\r\n" in raw  # Spark wraps...
+    want = b64mod.b64encode(long.encode()).decode()
+    assert raw.replace("\r\n", "") == want  # ...and stripping = RFC 4648
+    assert con.execute("SELECT base64(encode(?))", [long]).fetchone()[0] == want
+
+    # 2. levenshtein units
+    a, b = "ΔΣθ", "z"
+    s_lev = spark.createDataFrame([(a, b)], "a string, b string").select(
+        F.levenshtein("a", "b").alias("d")
+    ).collect()[0].d
+    assert s_lev == 3  # codepoints
+    assert con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0] == 6  # bytes
+    # d3's operand construction stays engine-agnostic even on unicode:
+    # replace('0'->'1') only edits ASCII positions, so byte and
+    # codepoint distance both equal the number of '0's
+    u = "naï0ve0🚀"
+    got = spark.createDataFrame([(u,)], "s string").select(
+        F.levenshtein("s", F.replace("s", F.lit("0"), F.lit("1"))).alias("d")
+    ).collect()[0].d
+    assert got == 2
+    assert con.execute(
+        "SELECT levenshtein(?, replace(?, '0', '1'))", [u, u]
+    ).fetchone()[0] == 2
+
+    # 3. case mapping: full-vs-simple divergence pinned...
+    s_up = spark.createDataFrame([("ß", "İ")], "a string, b string").select(
+        F.upper("a").alias("ua"), F.lower("b").alias("lb")
+    ).collect()[0]
+    assert (s_up.ua, s_up.lb) == ("SS", "i̇")
+    d_up = con.execute("SELECT upper('ß'), lower('İ')").fetchone()
+    assert d_up == ("ẞ", "i")
+    # ...and agreement on every textedge shape (the policy boundary)
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(TEXT_EDGE_SHAPES)], "i int, s string"
+    ).select("i", F.upper("s").alias("u"), F.lower("s").alias("l")).collect()
+    for row, shape in zip(sorted(sdf, key=lambda r: r.i), TEXT_EDGE_SHAPES):
+        du, dl = con.execute(
+            "SELECT upper(?), lower(?)", [shape, shape]
+        ).fetchone()
+        assert (row.u, row.l) == (du, dl), shape
+
+    # 4. sort order: Spark == python byte order == DuckDB encode()
+    # order on the misorder trigger set (long string + non-ASCII)
+    vals = ["", "🚀x", "z", "naïve é 12byte", "Δgreek", "a" * 13]
+    want_order = sorted(vals, key=lambda s: s.encode())
+    s_order = [
+        r.s
+        for r in spark.createDataFrame([(v,) for v in vals], "s string")
+        .orderBy("s")
+        .collect()
+    ]
+    assert s_order == want_order
+    con.execute("CREATE TABLE tsort (s VARCHAR)")
+    con.executemany("INSERT INTO tsort VALUES (?)", [(v,) for v in vals])
+    d_order = [
+        r[0]
+        for r in con.execute("SELECT s FROM tsort ORDER BY encode(s)").fetchall()
+    ]
+    assert d_order == want_order
+    # DuckDB's comparator itself agrees too (the bug is only in the
+    # ORDER BY sort-key path, which is why encode() is the law)
+    assert con.execute("SELECT 'z' < 'Δ', '' < '🚀'").fetchone() == (True, True)

@@ -39,7 +39,12 @@ byte-exact — then runs Spark AND DuckDB against it):
          contract: watermark semantics are undefined on null event
          time, so production pipelines filter them at the source);
   head3  every table truncated to its first 3 rows (referentially
-         ragged by construction — both engines see the same rags).
+         ragged by construction — both engines see the same rags);
+  textedge  seeded replacement of ~10% of each text-bearing column
+         with TEXT_EDGE_SHAPES (empty/whitespace/unicode/huge-token/
+         control-char/digit shapes — see TEXT_EDGE_COLS for the
+         ingress-contract exclusions and §5.4 for the unicode laws
+         this mode pinned).
 
 Rows-only queries (seeded sketches — same set conf_invariance names)
 only have to RUN without error: their values are engine-specific by
@@ -85,6 +90,79 @@ NULLABLE_COLS = {
 
 NULL_P = 0.07
 SEED = 8
+
+# textedge mode: per-table STRING columns that receive edge-shaped
+# replacements. Excluded by policy: key/id columns (total-order
+# contract), documents.lang (controlled vocabulary by ingress
+# contract: normalized language codes), events.props (machine-written
+# JSON by ingress contract — the engines' invalid-JSON contracts are
+# irreconcilable: Spark get_json_object -> NULL, DuckDB json_extract
+# -> error).
+TEXT_EDGE_COLS = {
+    "customer": ["c_name"],
+    "part": ["p_name"],
+    "orders": ["o_orderpriority"],
+    "events": ["event_type"],
+    "documents": ["text"],
+}
+
+# The shapes real corpora are full of and the benign generator never
+# emits. Deliberately INSIDE the engines' case-mapping agreement set:
+# Spark implements Unicode FULL case mapping (Java: 'ß'->'SS',
+# 'İ'->'i'+combining dot, final-sigma context rules), DuckDB 1.0.0
+# implements SIMPLE 1:1 mapping ('ß'->'ẞ', 'İ'->'i') — probe-pinned.
+# Outside SpecialCasing.txt codepoints and contextual Σ the two agree,
+# so the shapes use accented latin / lowercase greek / CJK / astral
+# emoji (all 1:1), and the ß/İ/Σ divergence is documented as an engine
+# property (SURVEY.md §5.4) rather than smuggled into a parity gate
+# that could only fail.
+TEXT_EDGE_SHAPES = [
+    "",                                  # empty string
+    "   ",                               # whitespace-only
+    "x",                                 # single char
+    "a  b",                              # double space -> empty token
+    " lead trail ",                      # boundary whitespace
+    "naïve café déjà vu",                # accented latin (1:1 case maps)
+    "δθφ παντα ρει",                     # lowercase greek (no final-Σ)
+    "中文文本没有空格的语料",             # CJK, no spaces at all
+    "🚀 emoji 🌍 astral",                 # astral-plane codepoints
+    "z" * 4096,                          # one huge token (>row-group page)
+    "the the the the the",               # pure repetition
+    "tab\tand\nnewline",                 # control whitespace inside
+    "123 456",                           # digits-only (try_cast paths)
+    "no delimiter here",                 # split_part miss
+]
+TEXT_EDGE_P = 0.10
+
+
+def perturb_textedge(sf_dir: str, out_dir: str) -> None:
+    """Seeded deterministic replacement of ~10% of each text-bearing
+    column with TEXT_EDGE_SHAPES (cycled in pick order, so every shape
+    lands in every column at any table size >= ~1/P·len(shapes))."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for name in TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+        n = tbl.num_rows
+        for ci, col in enumerate(TEXT_EDGE_COLS.get(name, [])):
+            rng = np.random.default_rng(
+                SEED + 7000 * ci + zlib.crc32(col.encode()) % 997
+            )
+            mask = rng.random(n) < TEXT_EDGE_P
+            idx = tbl.schema.get_field_index(col)
+            field = tbl.schema.field(idx)
+            vals = tbl.column(idx).to_pylist()
+            j = 0
+            for r, m in enumerate(mask):
+                if m:
+                    vals[r] = TEXT_EDGE_SHAPES[j % len(TEXT_EDGE_SHAPES)]
+                    j += 1
+            tbl = tbl.set_column(idx, field, pa.array(vals, type=field.type))
+        _write(tbl, os.path.join(out_dir, f"{name}.parquet"))
 
 
 def _write(tbl, path: str) -> None:
@@ -144,7 +222,63 @@ def perturb_nulls(sf_dir: str, out_dir: str) -> None:
         _write(tbl, os.path.join(out_dir, f"{name}.parquet"))
 
 
-MODES = {"dup2": perturb_dup2, "nulls": perturb_nulls, "head3": perturb_head3}
+# skewkey mode: (table, skew key, unique id to re-mint, replication
+# factor). The hot key's rows are replicated K× with FRESH ids so the
+# id-uniqueness/total-order contracts hold while ONE key becomes a
+# heavy hitter — the shape salting/AQE exist for, and the shape that
+# stresses deterministic tie-breaks (31 identical embeddings → a
+# 31-way cos_sim tie at every top-k cut; a 31-clone document → one
+# giant dedup/CC cluster; one user with 100× duplicate-ts events).
+SKEW_SPECS = [
+    ("orders", "o_custkey", "o_orderkey", 40),
+    ("lineitem", "l_orderkey", "l_linenumber", 60),
+    ("events", "user_id", "event_id", 100),
+    ("documents", "doc_id", "doc_id", 30),
+    ("embeddings", "vec_id", "vec_id", 30),
+]
+
+
+def perturb_skewkey(sf_dir: str, out_dir: str) -> None:
+    """Replicate the hottest key's rows K× with freshly minted unique
+    ids (hot key = max count, then min key — deterministic). For
+    documents/embeddings the 'key' IS the id: one row is cloned into
+    K new ids, making an exact-duplicate content cluster."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    specs = {t: (k, i, f) for t, k, i, f in SKEW_SPECS}
+    for name in TABLES:
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        tbl = pq.read_table(src)
+        if name not in specs:
+            _write(tbl, os.path.join(out_dir, f"{name}.parquet"))
+            continue
+        key_col, id_col, k = specs[name]
+        pdf = tbl.to_pandas()
+        counts = pdf[key_col].value_counts()
+        top = counts[counts == counts.max()].index.min()
+        hot = pdf[pdf[key_col] == top]
+        clones = pa.concat_tables([pa.Table.from_pandas(hot, schema=tbl.schema)] * k)
+        cdf = clones.to_pandas()
+        # fresh ids: sequential past the current max (stays unique and
+        # keeps the id's total-order contract; for documents/embeddings
+        # this also RE-KEYS the clones so content, not id, collides)
+        import numpy as np
+
+        cdf[id_col] = np.arange(len(cdf), dtype="int64") + int(pdf[id_col].max()) + 1
+        out = pa.concat_tables(
+            [tbl, pa.Table.from_pandas(cdf, schema=tbl.schema)]
+        )
+        _write(out, os.path.join(out_dir, f"{name}.parquet"))
+
+
+MODES = {
+    "dup2": perturb_dup2,
+    "nulls": perturb_nulls,
+    "head3": perturb_head3,
+    "textedge": perturb_textedge,
+    "skewkey": perturb_skewkey,
+}
 
 
 def main() -> None:
