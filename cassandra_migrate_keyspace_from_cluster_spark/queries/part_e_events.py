@@ -365,13 +365,22 @@ def e10_stream_stream_join(spark, sf_dir):
       SELECT event_id, user_id, value,
              count(*) OVER w AS n_frame,
              avg(value) OVER w AS mu,
-             stddev_samp(value) OVER w AS sd
+             stddev_samp(value) OVER w AS sd,
+             -- exact degeneracy gate: an all-equal frame's COMPUTED
+             -- stddev is exactly 0 in one engine and a float epsilon
+             -- in the other (skewkey probe: 101 identical values ->
+             -- Spark 0, DuckDB ~1e-13) — min<max is the same predicate
+             -- computed exactly
+             min(value) OVER w AS mn,
+             max(value) OVER w AS mx
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts)
                    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW))
     SELECT event_id, user_id, round(value, 6) AS value, n_frame,
-           CASE WHEN sd > 0 THEN round((value - mu) / sd, 6) END AS zscore,
-           coalesce(sd > 0 AND abs((value - mu) / sd) > 2, FALSE) AS is_anomaly
+           CASE WHEN mx > mn AND sd > 0
+                THEN round((value - mu) / sd, 6) END AS zscore,
+           coalesce(mx > mn AND sd > 0 AND abs((value - mu) / sd) > 2, FALSE)
+             AS is_anomaly
     FROM s
     """,
 )
@@ -383,9 +392,13 @@ def e11_anomaly_zscore(spark, sf_dir):
     (fraud/outlier detection over a rolling per-key baseline).
     Scale shape: windows partition on user_id — high-cardinality
     scale-out, no global reducer; frame state per partition is one
-    week of one user's events. sd=0 frames (constant values / frame of
-    one) yield NULL z, not a division blowup — pinned identically in
-    both engines."""
+    week of one user's events. Degenerate frames (constant values /
+    frame of one) yield NULL z, not a division blowup — and the
+    degeneracy test is the EXACT `min < max` over the frame, not
+    `sd > 0`: an all-equal frame's computed stddev is exactly 0 in
+    Spark but a summation-noise epsilon in DuckDB (skewkey probe), so
+    a float gate flips between engines while the min/max comparison
+    cannot."""
     ev = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -394,14 +407,15 @@ def e11_anomaly_zscore(spark, sf_dir):
     )
     mu = F.avg("value").over(w)
     sd = F.stddev_samp("value").over(w)
+    nondeg = (F.max("value").over(w) > F.min("value").over(w)) & (sd > 0)
     z = (F.col("value") - mu) / sd
     return ev.select(
         "event_id",
         "user_id",
         r6(F.col("value")).alias("value"),
         F.count(F.lit(1)).over(w).alias("n_frame"),
-        F.when(sd > 0, r6(z)).alias("zscore"),
-        F.coalesce((sd > 0) & (F.abs(z) > 2), F.lit(False)).alias("is_anomaly"),
+        F.when(nondeg, r6(z)).alias("zscore"),
+        F.coalesce(nondeg & (F.abs(z) > 2), F.lit(False)).alias("is_anomaly"),
     )
 
 

@@ -160,25 +160,37 @@ def g3_grouped_agg_udaf(spark, sf_dir):
 @register(
     "g4_grouped_map",
     oracle="""
+    -- exact degeneracy gate (see e11): a constant group's COMPUTED
+    -- stddev is an engine-specific float epsilon (summation-order
+    -- noise), so gating on the exact min<max comparison is the only
+    -- portable "is the z-score defined" test
     SELECT event_id, event_type,
-           round((value - avg(value) OVER (PARTITION BY event_type))
-                 / stddev_samp(value) OVER (PARTITION BY event_type), 6)
+           CASE WHEN max(value) OVER (PARTITION BY event_type)
+                  > min(value) OVER (PARTITION BY event_type)
+                THEN round((value - avg(value) OVER (PARTITION BY event_type))
+                           / stddev_samp(value) OVER (PARTITION BY event_type),
+                           6) END
              AS zscore
     FROM events
     """,
 )
 def g4_grouped_map(spark, sf_dir):
     """applyInPandas grouped map: per-event-type z-score normalization
-    (ddof=1 to match stddev_samp — SURVEY.md §2 g4)."""
+    (ddof=1 to match stddev_samp — SURVEY.md §2 g4). Degenerate
+    (constant or 1-row) groups emit NULL z-scores through the exact
+    min<max gate — identical across the pandas, Spark-SQL, and DuckDB
+    formulations, unlike any float sd>0 test (see e11)."""
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         m = pdf["value"].mean()
         s = pdf["value"].std(ddof=1)
+        v = pdf["value"]
+        defined = v.max() > v.min()
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "event_type": pdf["event_type"],
-                "zscore": ((pdf["value"] - m) / s).round(6),
+                "zscore": ((v - m) / s).round(6) if defined else None,
             }
         )
 

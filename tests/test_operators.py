@@ -1420,3 +1420,77 @@ def test_textedge_engine_string_laws(spark):
     # DuckDB's comparator itself agrees too (the bug is only in the
     # ORDER BY sort-key path, which is why encode() is the law)
     assert con.execute("SELECT 'z' < 'Δ', '' < '🚀'").fetchone() == (True, True)
+
+
+def test_degenerate_stddev_engine_epsilon_law(spark):
+    """Pin the engine behavior behind the exact-degeneracy-gate law
+    (SURVEY.md §5.4, from the skewkey probe): on the skewkey-perturbed
+    events table (one user's rows replicated 100x -> RANGE frames of
+    101 identical values inside a large mixed partition), DuckDB's
+    WINDOWED stddev_samp returns a small positive accumulator epsilon
+    (~8e-17 measured; its plain aggregate and simple synthetic windows
+    return exact 0 — the epsilon is a property of its windowed
+    accumulator on this real layout), while Spark returns exactly 0.
+    So any `sd > 0` definedness gate flips between engines; the
+    shipped gate is the exact `min < max` comparison (e11, g4). If an
+    engine upgrade makes this pin fail, re-derive the law (the exact
+    gate stays correct either way)."""
+    import os
+    import sys
+    import tempfile
+
+    import duckdb
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), os.pardir, "tools")
+    )
+    from data_shift import perturb_skewkey
+
+    with tempfile.TemporaryDirectory(prefix="skewpin_") as out:
+        perturb_skewkey("/root/testdata/sf0.001", out)
+        win = """
+          SELECT stddev_samp(value) OVER w AS sd,
+                 min(value) OVER w AS mn, max(value) OVER w AS mx,
+                 count(*) OVER w AS n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY date_trunc('second', ts)
+                       RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                             AND CURRENT ROW)
+        """
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{out}/events.parquet')"
+        )
+        eps = con.execute(
+            f"SELECT max(sd) FROM ({win}) WHERE mn = mx AND n > 1"
+        ).fetchone()[0]
+        assert eps is not None and 0 < eps < 1e-9, eps
+        # Spark, same frames: all-equal -> exactly 0 (load_table for
+        # the NTZ-timestamp normalization the whole query layer uses)
+        from pyspark.sql import Window
+
+        from cassandra_migrate_keyspace_from_cluster_spark.sources import (
+            load_table,
+        )
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_timestamp("ts"))
+            .rangeBetween(-7 * 86400, 0)
+        )
+        sp = (
+            load_table(spark, out, "events")
+            .select(
+                F.stddev_samp("value").over(w).alias("sd"),
+                F.min("value").over(w).alias("mn"),
+                F.max("value").over(w).alias("mx"),
+                F.count(F.lit(1)).over(w).alias("n"),
+            )
+            .filter((F.col("mn") == F.col("mx")) & (F.col("n") > 1))
+            .agg(F.max("sd").alias("m"))
+            .collect()[0]
+            .m
+        )
+        assert sp == 0.0, sp
