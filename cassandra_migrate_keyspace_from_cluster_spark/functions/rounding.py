@@ -38,6 +38,20 @@ Scope boundary — which rounds do NOT need this treatment:
     that scale.
   - irrational-derived rounds (sqrt, ln): shortest reprs practically
     never terminate at 7 digits; measure-zero risk, left alone.
+  - arbitrary-double sums (events.value): the true sum is an arbitrary
+    real; an exact decimal half is measure-zero. Left alone.
+  - ``round(sum(2dp-multiple terms), 2)`` (sum of o_totalprice /
+    l_extendedprice alone): the TRUE sum is itself a 2dp multiple —
+    never at a half-cent — so the 0.005 margin dwarfs any float-sum
+    noise. Safe without conversion.
+  - BUT ``round(sum(k-dp-multiple terms), 2)`` with k > 2 (disc_price
+    terms are 4dp multiples, charge terms 6dp): the true sum CAN land
+    on an exact half-cent, where summation-order noise flips the 2dp
+    round between engines — the r8 storm-probe c1 catch (74485208.415
+    → .41 vs .42). ALWAYS convert: s = sum(cents(price) *
+    (100 - cents(disc)) [* (100 + cents(tax))]), then
+    exact_round_ratio(s, 10^4 [or 10^6], dp=2). Converted sites: b5
+    (sum_disc_price, sum_charge), b9, b25, b26, b34, c1.
   - float-SUM-derived means (the f47 catch) and Python/numpy-side
     rounds (half-EVEN — disagrees with both engines at every exact
     dyadic half; the f17 pixel/sample means were structurally
@@ -53,6 +67,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def cents(col: str) -> Column:
+    """Exact integer hundredths of a NON-NEGATIVE 2dp-multiple double
+    column (the price/discount/tax domains): ``floor(x*100 + 0.5)`` as
+    bigint. Building block for the k-dp-multiple SUM class below."""
+    return (F.col(col) * 100 + F.lit(0.5)).cast("bigint")
+
+
+def sql_cents(c: str) -> str:
+    """DuckDB SQL text of :func:`cents` (for oracle strings)."""
+    return f"CAST(round({c} * 100) AS BIGINT)"
 
 
 def exact_round_ratio(s_name: str, m_name: str, dp: int = 6) -> Column:

@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_first_later, asof_join_last_earlier
 from ..functions.rounding import (
+    cents,
     exact_mean6,
     exact_round_ratio,
+    sql_cents,
     sql_exact_mean6,
     sql_exact_round_ratio,
 )
@@ -160,9 +162,15 @@ def b4_agg_global(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)      AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                                          AS sum_charge,
+           {sql_exact_round_ratio(
+               f'sum({sql_cents("l_extendedprice")}'
+               f'    * (100 - {sql_cents("l_discount")}))',
+               '10000', dp=2)}             AS sum_disc_price,
+           {sql_exact_round_ratio(
+               f'sum({sql_cents("l_extendedprice")}'
+               f'    * (100 - {sql_cents("l_discount")})'
+               f'    * (100 + {sql_cents("l_tax")}))',
+               '1000000', dp=2)}           AS sum_charge,
            {sql_exact_round_ratio(
                'sum(CAST(round(l_quantity * 100) AS BIGINT))',
                '100 * count(*)', dp=6)}    AS avg_qty,
@@ -192,9 +200,20 @@ def b5_agg_groupby(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             r2(F.sum("l_quantity")).alias("sum_qty"),
+            # sum of 2dp-multiple terms: true sum is a 2dp multiple,
+            # never at a half-cent -> plain float sum is safe
             r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r2(F.sum(disc_price)).alias("sum_disc_price"),
-            r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            # 4dp/6dp-multiple terms CAN sum to an exact half-cent ->
+            # exact integer units (functions/rounding scope note; the
+            # r8 storm-probe c1 catch)
+            F.sum(
+                cents("l_extendedprice") * (100 - cents("l_discount"))
+            ).alias("__dp4"),
+            F.sum(
+                cents("l_extendedprice")
+                * (100 - cents("l_discount"))
+                * (100 + cents("l_tax"))
+            ).alias("__ch6"),
             # the three avgs average exact 2dp multiples -> exact cents
             # sums + integer rounding (functions/rounding; see b4)
             F.sum((F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")).alias("__sq"),
@@ -202,6 +221,8 @@ def b5_agg_groupby(spark, sf_dir):
             F.sum((F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")).alias("__sd"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        .withColumn("sum_disc_price", exact_round_ratio("__dp4", "10000", dp=2))
+        .withColumn("sum_charge", exact_round_ratio("__ch6", "1000000", dp=2))
         .withColumn("avg_qty", exact_round_ratio("__sq", "(100 * count_order)", dp=6))
         .withColumn("avg_price", exact_round_ratio("__sp", "(100 * count_order)", dp=2))
         .withColumn("avg_disc", exact_round_ratio("__sd", "(100 * count_order)", dp=6))
@@ -279,9 +300,12 @@ def b8_join_inner_eq(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "b9_join_multiway_star",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {sql_exact_round_ratio(
+               f'sum({sql_cents("l.l_extendedprice")}'
+               f'    * (100 - {sql_cents("l.l_discount")}))',
+               '10000', dp=2)} AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -316,11 +340,15 @@ def b9_join_multiway_star(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            ),
+            # exact integer disc-price sum (4dp-multiple terms; see
+            # functions/rounding scope note — the r8 storm-probe class)
+            F.sum(
+                cents("l_extendedprice") * (100 - cents("l_discount"))
+            ).alias("__r4"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
+        .withColumn("revenue", exact_round_ratio("__r4", "10000", dp=2))
+        .select("n_name", "revenue", "n_lineitems")
     )
 
 
@@ -690,9 +718,12 @@ def b24_salted_agg(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "b25_tpch_q3_shaped",
-    oracle="""
+    oracle=f"""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {sql_exact_round_ratio(
+               f'sum({sql_cents("l.l_extendedprice")}'
+               f'    * (100 - {sql_cents("l.l_discount")}))',
+               '10000', dp=2)} AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -717,7 +748,15 @@ def b25_tpch_q3_shaped(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(
+            # exact integer disc-price sum — doubly load-bearing here:
+            # revenue is also the top-10 SORT KEY, so a half-cent flip
+            # would swap rows across the cut line
+            F.sum(
+                cents("l_extendedprice") * (100 - cents("l_discount"))
+            ).alias("__r4")
+        )
+        .withColumn("revenue", exact_round_ratio("__r4", "10000", dp=2))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -727,9 +766,12 @@ def b25_tpch_q3_shaped(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "b26_tpch_q10_shaped",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           {sql_exact_round_ratio(
+               f'sum({sql_cents("l.l_extendedprice")}'
+               f'    * (100 - {sql_cents("l.l_discount")}))',
+               '10000', dp=2)} AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -757,7 +799,14 @@ def b26_tpch_q10_shaped(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(
+            # exact integer disc-price sum; revenue is also the top-20
+            # sort key (see b25)
+            F.sum(
+                cents("l_extendedprice") * (100 - cents("l_discount"))
+            ).alias("__r4")
+        )
+        .withColumn("revenue", exact_round_ratio("__r4", "10000", dp=2))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
         .select("c_custkey", "c_name", "n_name", "revenue")
@@ -1104,9 +1153,12 @@ def b33_union_evolved(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "b34_bloom_semi_reduction",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_rev,
+           {sql_exact_round_ratio(
+               f'sum({sql_cents("l_extendedprice")}'
+               f'    * (100 - {sql_cents("l_discount")}))',
+               '10000', dp=2)} AS net_rev,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders
@@ -1139,11 +1191,14 @@ def b34_bloom_semi_reduction(spark, sf_dir):
         li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "net_rev"
-            ),
+            # exact integer disc-price sum (see functions/rounding)
+            F.sum(
+                cents("l_extendedprice") * (100 - cents("l_discount"))
+            ).alias("__r4"),
             F.count(F.lit(1)).alias("n"),
         )
+        .withColumn("net_rev", exact_round_ratio("__r4", "10000", dp=2))
+        .select("l_returnflag", "l_linestatus", "net_rev", "n")
     )
 
 

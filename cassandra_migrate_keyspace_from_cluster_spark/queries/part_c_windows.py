@@ -19,7 +19,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import text as tx
-from ..functions.rounding import exact_round_ratio, sql_exact_round_ratio
+from ..functions.rounding import (
+    cents,
+    exact_round_ratio,
+    sql_cents,
+    sql_exact_round_ratio,
+)
 from ..registry import register
 from ..sources import register_views
 from .util import r2, r6, t
@@ -28,9 +33,12 @@ from .util import r2, r6, t
 # --------------------------------------------------------------------------
 @register(
     "c1_rollup",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {sql_exact_round_ratio(
+               f'sum({sql_cents("l_extendedprice")}'
+               f'    * (100 - {sql_cents("l_discount")}))',
+               '10000', dp=2)} AS revenue,
            count(*) AS n,
            CAST(grouping(l_returnflag) AS INT) AS g_flag,
            CAST(grouping(l_linestatus) AS INT) AS g_status
@@ -40,15 +48,26 @@ from .util import r2, r6, t
 )
 def c1_rollup(spark, sf_dir):
     """ROLLUP: (flag,status) + per-flag subtotals + grand total, with
-    grouping() flags disambiguating subtotal NULLs from data NULLs."""
+    grouping() flags disambiguating subtotal NULLs from data NULLs.
+    Revenue is the exact-integer disc-price sum (4dp-multiple terms
+    CAN sum to an exact half-cent — functions/rounding scope note,
+    the r8 storm-probe catch)."""
     li = t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-            "revenue"
-        ),
-        F.count(F.lit(1)).alias("n"),
-        F.grouping("l_returnflag").cast("int").alias("g_flag"),
-        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(
+                cents("l_extendedprice") * (100 - cents("l_discount"))
+            ).alias("__r4"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .withColumn("revenue", exact_round_ratio("__r4", "10000", dp=2))
+        .select(
+            "l_returnflag", "l_linestatus", "revenue", "n",
+            "g_flag", "g_status",
+        )
     )
 
 

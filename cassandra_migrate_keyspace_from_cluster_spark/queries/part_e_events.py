@@ -94,11 +94,18 @@ def e2_sliding(spark, sf_dir):
     ),
     numbered AS (
         SELECT user_id, ts, value,
-               -- event_id tie-break keeps the running sum deterministic
-               -- when duplicate (user_id, ts) rows straddle a boundary
+               -- RANGE, not ROWS: exact-duplicate rows share
+               -- (ts, event_id), so the flag pass puts new_session=1
+               -- on an ARBITRARY copy (lag's tie order is unstable
+               -- between the two window sorts — intermittent dup2
+               -- divergence). RANGE sums the whole peer group, so
+               -- every copy of a boundary row lands in the NEW
+               -- session — deterministic, and exactly Spark's
+               -- session_window merge semantics
                sum(new_session) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                                      RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_id
         FROM flagged
     )
     SELECT user_id,
@@ -525,9 +532,12 @@ def e13_windowed_topn(spark, sf_dir):
         FROM events),
     numbered AS (
         SELECT user_id, ts, event_type,
+               -- RANGE, not ROWS: peer-group sum keeps duplicate
+               -- boundary rows in ONE deterministic session (see e3)
                sum(new_session) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                                      RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_id
         FROM flagged),
     sessions AS (
         SELECT user_id, session_id,
@@ -603,9 +613,12 @@ def e14_session_shape(spark, sf_dir):
         FROM events),
     numbered AS (
         SELECT user_id, ts,
+               -- RANGE, not ROWS: peer-group sum keeps duplicate
+               -- boundary rows in ONE deterministic session (see e3)
                sum(new_session) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                                      RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_id
         FROM flagged),
     sessions AS (
         SELECT user_id, session_id,

@@ -183,36 +183,44 @@ _DRIVER_GREEN = frozenset({
 #     a18, a19, a20, a21, b34.
 #
 # CONCRETE r9 window plan (assemble at r9 start, once CORRECTNESS_r08
-# is green): rewrites during r9 first, then the remaining r4 rows
-# (alphabetical from b36: b36, b37, c25, c8, c9, d9, d10, d11, d12,
-# d18, e14, e16, e21, e22, e23, f6, f9, f10, f11, f12, f17,
-# f17b–f17g, f29, f34, f40, f41, f43, f44, f45, f46, f48, f49, f50,
-# f51, f52, g11), then oldest r5 rows to the 50 cap. Every subsequent
-# round repeats the same rule: rewrites first, then oldest-row
-# rotation.
+# is green): rewrites during r9 first, then the r3/r4 rows the mid-r8
+# revision displaced (d8, e1–e10 streaming twins, f1, f8, f14, f15,
+# f19–f23, g5, g7, g8; a17–a21), then the untouched r4 rows
+# (alphabetical from b36: b36, b37, c8, c9, d9, d11, d18, e14, e16,
+# e21, e22, e23, f6, f9, f10, f11, f17b–f17g, f34, f40, f41, f43,
+# f44, f45, f46, f48, f50, f51, f52, g11), then oldest r5 rows to the
+# 50 cap. Every subsequent round repeats the same rule: rewrites
+# first, then oldest-row rotation.
+# REVISED mid-r8 after the data-shift closure (the rotation above was
+# planned at r7-end, BEFORE this round's probe-driven rewrites
+# existed; the standing rule — rewrites first — outranks staleness
+# padding). 47 queries whose Spark code or oracle changed in r8
+# (data-shift null/replay/unicode laws, exact-degeneracy gates, exact
+# money sums, TZ closure) + 3 oldest never-re-ridden r3 rows. The
+# similarity-family queries riding only the shared
+# drop-null-vector ingress (f6, f19, f46, f47, f49) and the r7-window
+# alumni with r8 oracle pins (c5/c4 etc. untouched) are covered by the
+# all-207 parity suite and rotate normally from r9.
 _WINDOW = frozenset({
-    # rewritten in round 8 (1 not already below)
-    "a6_writetime_copy",
-    # r3 greens never re-ridden since round 3 (41)
-    "d2_string_regex", "d3_string_distance", "d4_datetime", "d5_math",
-    "d6_array", "d7_map_json", "d8_hash",
-    "e1_tumbling", "e2_sliding", "e3_session", "e4_watermark_late",
-    "e5_stream_dedup", "e6_stateful_runagg", "e7_event_funnel",
-    "e8_rate_histogram", "e9_retention_cohort", "e10_stream_stream_join",
-    "f1_exact_dedup", "f13_langid", "f14_quality", "f15_token_count",
-    "f16_fingerprint", "f18_pipeline_report", "f19_quantize_int8",
-    "f20_stratified_sample", "f21_neardup_clusters",
-    "f21b_neardup_clusters_star", "f22_redact_pii",
-    "f23_dedup_suppression", "f4_cosine_topk", "f4b_cosine_neardup",
-    "f4c_cosine_topk_chunked", "f7_tokenize_wordcount", "f8_tfidf",
-    "g1_python_udf", "g2_pandas_udf_scalar", "g4_grouped_map",
-    "g5_map_in_pandas", "g6_python_udtf", "g7_map_in_arrow",
-    "g8_pandas_udf_iter",
-    # oldest r4 rows, alphabetical, to the 50 cap (8)
-    "a15_repair_apply", "a16_clustered_copy_scan", "a17_scd2_history",
-    "a18_referential_check", "a19_migration_plan_estimate",
-    "a20_schema_drift_report", "a21_data_expectations",
-    "b34_bloom_semi_reduction",
+    # rewritten in round 8 (47)
+    "a6_writetime_copy", "a15_repair_apply", "a16_clustered_copy_scan",
+    "b5_agg_groupby", "b9_join_multiway_star", "b25_tpch_q3_shaped",
+    "b26_tpch_q10_shaped", "b34_bloom_semi_reduction",
+    "c1_rollup", "c3_grouping_sets", "c5b_mode", "c14_frame_range",
+    "c16_ntile_pctrank", "c25_count_min",
+    "d1_string_basic", "d2_string_regex", "d4_datetime", "d6_array",
+    "d10_cast_types", "d12_string_parts", "d16_encoding",
+    "e11_anomaly_zscore", "e12_out_of_order_profile",
+    "f3b_simhash", "f4_cosine_topk", "f4b_cosine_neardup",
+    "f4c_cosine_topk_chunked", "f5_ann_lsh", "f5b_ivf_topk",
+    "f7_tokenize_wordcount", "f12_doc_length_dedup_rate", "f13_langid",
+    "f16_fingerprint", "f17_multimodal_features", "f18_pipeline_report",
+    "f26_repetition", "f27_rule_filters", "f29_train_split",
+    "f33_pq_topk", "f42_semantic_dedup", "f42b_semantic_dedup_kmeans",
+    "g1_python_udf", "g2_pandas_udf_scalar", "g3_grouped_agg_udaf",
+    "g4_grouped_map", "g6_python_udtf", "g9_cogrouped_map",
+    # oldest never-re-ridden r3 rows, alphabetical, to the 50 cap (3)
+    "d3_string_distance", "d5_math", "d7_map_json",
 })
 
 

@@ -272,12 +272,37 @@ def perturb_skewkey(sf_dir: str, out_dir: str) -> None:
         _write(out, os.path.join(out_dir, f"{name}.parquet"))
 
 
+def perturb_storm(sf_dir: str, out_dir: str) -> None:
+    """Composition of the non-truncating modes, in ingress order:
+    skewkey (hot keys exist in the source) → textedge (their payloads
+    are arbitrary text) → nulls (fields go missing) → dup2 (the whole
+    batch is delivered at least once). A real 100-TB corpus has all
+    four simultaneously; this catches LAW INTERACTIONS the individual
+    modes cannot (e.g. a null guard that assumes the textedge path
+    already normalized, a replay collapse that meets a NULL key).
+    head3 stays standalone — truncation would erase the other shifts."""
+    stages = [perturb_skewkey, perturb_textedge, perturb_nulls, perturb_dup2]
+    cur = sf_dir
+    tmps = []
+    try:
+        for fn in stages[:-1]:
+            nxt = tempfile.mkdtemp(prefix="data_shift_storm_stage_")
+            tmps.append(nxt)
+            fn(cur, nxt)
+            cur = nxt
+        stages[-1](cur, out_dir)
+    finally:
+        for d in tmps:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 MODES = {
     "dup2": perturb_dup2,
     "nulls": perturb_nulls,
     "head3": perturb_head3,
     "textedge": perturb_textedge,
     "skewkey": perturb_skewkey,
+    "storm": perturb_storm,
 }
 
 
