@@ -26,25 +26,59 @@ from ..functions.vector import cosine, l2_norm, to_double_array
 from ..util import bounded_persist, content_fingerprint, evict_stale_tags, scratch_dir
 
 
-def with_double_embedding(df: DataFrame, col: str = "embedding") -> DataFrame:
-    """float32 list → array<double> (accumulate in f64 on both engines).
+def valid_vector(col: str = "embedding"):
+    """The VECTOR-VALIDITY ingress law, as a Column predicate: a vector
+    participates in geometry only if it is (a) non-null, (b) all-finite,
+    and (c) not all-zero. Each clause is a real ingress failure mode
+    with no geometric meaning, not data cleaning:
 
-    Drops NULL vectors first: a null embedding is an undecodable input
-    (failed encoder, missing modality) with no geometric meaning — every
-    vector operator's declared ingress contract is "non-null vectors
-    only", mirrored as ``WHERE embedding IS NOT NULL`` in the oracles
-    (the nulls data-shift probe holds both engines to it). A no-op
-    filter on fully-populated fixtures."""
-    return df.filter(F.col(col).isNotNull()).withColumn(
+    - null: undecodable input (failed encoder, missing modality) — the
+      original contract, probed by the nulls data-shift mode;
+    - NaN/±Inf element: fp16/fp32 training or serialization overflow —
+      poisons every dot product it touches, and MLlib's Vector
+      constructor outright throws on it;
+    - all-zero: a dead vector has no direction; cosine against it is
+      0/0, which ANSI-Spark raises as DIVIDE_BY_ZERO and DuckDB folds
+      to NaN — the engines don't even agree on the failure, so the law
+      is to exclude it (probed by the extremes data-shift mode).
+
+    Mirrored in every oracle via :func:`sql_valid_vector`. A no-op on
+    the benign fixtures (non-null, finite, nonzero by construction).
+    The nonzero clause is `exists(x != 0)` rather than `norm > 0`:
+    exact, single-pass, and immune to underflow/overflow of a computed
+    norm (-0.0 elements count as zero in both engines)."""
+    inf = F.lit(float("inf"))
+    return (
+        F.col(col).isNotNull()
+        & ~F.exists(F.col(col), lambda x: F.isnan(x) | (F.abs(x) == inf))
+        & F.exists(F.col(col), lambda x: x != F.lit(0.0))
+    )
+
+
+def sql_valid_vector(col: str = "embedding") -> str:
+    """DuckDB SQL text of :func:`valid_vector` (for oracle strings)."""
+    return (
+        f"{col} IS NOT NULL"
+        f" AND len(list_filter({col}, x -> NOT isfinite(x))) = 0"
+        f" AND len(list_filter({col}, x -> x != 0)) > 0"
+    )
+
+
+def with_double_embedding(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """float32 list → array<double> (accumulate in f64 on both engines),
+    behind the :func:`valid_vector` ingress law."""
+    return df.filter(valid_vector(col)).withColumn(
         "emb", to_double_array(col)
     )
 
 
 def drop_null_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
-    """The same ingress contract for paths that keep the raw float32
-    column (staged corpora, MLlib vector assembly) instead of going
-    through ``with_double_embedding``."""
-    return df.filter(F.col(col).isNotNull())
+    """The same ingress law for paths that keep the raw float32 column
+    (staged corpora, MLlib vector assembly) instead of going through
+    ``with_double_embedding``. (Name kept from the null-only era; the
+    law now also excludes non-finite and all-zero vectors — see
+    :func:`valid_vector`.)"""
+    return df.filter(valid_vector(col))
 
 
 # Per-PYTHON-WORKER single-entry cache for lazily loaded index structures

@@ -19,6 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import text as tx
+from ..functions.finite import in_domain
 from ..functions.rounding import (
     cents,
     exact_round_ratio,
@@ -117,54 +118,83 @@ def c3_grouping_sets(spark, sf_dir):
 @register(
     "c4_stats_agg",
     oracle="""
-    WITH mu AS (SELECT event_type, avg(value) AS m FROM events GROUP BY 1)
+    -- metric-domain law (functions/finite.py): moment statistics run
+    -- over the IN-DOMAIN measurements (finite AND |v| <= 1e7). DuckDB
+    -- RAISES on non-finite stddev input while Spark yields NaN, and a
+    -- finite-but-huge glitch pushes the DISPLAYED moments to a scale
+    -- where engine summation-order noise survives 6dp rounding — the
+    -- gate is the only portable semantics. count stays raw.
+    WITH ev AS (SELECT event_type, user_id,
+                       CASE WHEN abs(value) <= 10000000.0 THEN value END
+                         AS value
+                FROM events),
+    mu AS (SELECT event_type, avg(value) AS m FROM ev GROUP BY 1)
     SELECT e.event_type,
            round(stddev_samp(e.value), 6) AS sd_samp,
            round(var_pop(e.value), 6)     AS var_p,
            round(corr(e.value, CAST(e.user_id AS DOUBLE)), 6)      AS corr_vu,
-           round(covar_pop(e.value, CAST(e.user_id AS DOUBLE)), 4) AS covar_vu,
+           -- covar at 6dp, NOT 4: over 2dp-multiple data this
+           -- avg-derived statistic takes exact 5-decimal rational
+           -- values, which sit ON the 4dp rounding boundary (storm
+           -- probe: -0.99405 split the engines by +-3e-15 noise) but
+           -- are REPRESENTABLE POINTS at 6dp; a 7th-digit half needs
+           -- n | 10^k, unreachable for real group sizes
+           round(covar_pop(e.value, CAST(e.user_id AS DOUBLE)), 6) AS covar_vu,
            round(avg(pow(e.value - mu.m, 3))
                  / pow(avg(pow(e.value - mu.m, 2)), 1.5), 6)       AS skew,
            round(avg(pow(e.value - mu.m, 4))
                  / pow(avg(pow(e.value - mu.m, 2)), 2) - 3, 6)     AS kurt
     -- null-safe join: groupBy keeps a NULL event_type group, so the
     -- centered-moment helper join must not drop it (NULL != NULL)
-    FROM events e JOIN mu ON e.event_type IS NOT DISTINCT FROM mu.event_type
+    FROM ev e JOIN mu ON e.event_type IS NOT DISTINCT FROM mu.event_type
     GROUP BY e.event_type
     """,
 )
 def c4_stats_agg(spark, sf_dir):
     """Statistical aggregates. Spark's skewness/kurtosis are population
     (excess) moments, so the oracle computes those formulas explicitly
-    (DuckDB's built-ins are sample-corrected and would mismatch)."""
+    (DuckDB's built-ins are sample-corrected and would mismatch).
+    All moments ride the metric-domain law (functions/finite.py)."""
     ev = t(spark, sf_dir, "events")
     uid = F.col("user_id").cast("double")
+    v = in_domain("value")
     return ev.groupBy("event_type").agg(
-        r6(F.stddev_samp("value")).alias("sd_samp"),
-        r6(F.var_pop("value")).alias("var_p"),
-        r6(F.corr(F.col("value"), uid)).alias("corr_vu"),
-        F.round(F.covar_pop(F.col("value"), uid), 4).alias("covar_vu"),
-        r6(F.skewness("value")).alias("skew"),
-        r6(F.kurtosis("value")).alias("kurt"),
+        r6(F.stddev_samp(v)).alias("sd_samp"),
+        r6(F.var_pop(v)).alias("var_p"),
+        r6(F.corr(v, uid)).alias("corr_vu"),
+        # 6dp, not 4: see the oracle note (exact 5-decimal rationals
+        # sit on the 4dp boundary; they are representable at 6dp)
+        r6(F.covar_pop(v, uid)).alias("covar_vu"),
+        r6(F.skewness(v)).alias("skew"),
+        r6(F.kurtosis(v)).alias("kurt"),
     )
 
 
 @register(
     "c5_percentiles",
     oracle="""
+    -- metric-domain law (functions/finite.py): order statistics over
+    -- the IN-DOMAIN measurements (an Inf endpoint makes every
+    -- interpolation NaN-or-Inf with engine-specific placement, and a
+    -- huge glitch endpoint de-absorbs the 6dp interpolation display);
+    -- count(*) stays a raw event count
     SELECT event_type,
-           round(median(value), 6) AS med,
-           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(median(CASE WHEN abs(value) <= 10000000.0 THEN value END),
+                 6) AS med,
+           round(quantile_cont(CASE WHEN abs(value) <= 10000000.0
+                                    THEN value END,
+                               0.9), 6) AS p90,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
 )
 def c5_percentiles(spark, sf_dir):
-    """Exact median + p90 per event type (linear interpolation both)."""
+    """Exact median + p90 per event type (linear interpolation both),
+    over the in-domain measurements (functions/finite.py law)."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        r6(F.median("value")).alias("med"),
-        r6(F.percentile("value", 0.9)).alias("p90"),
+        r6(F.median(in_domain("value"))).alias("med"),
+        r6(F.percentile(in_domain("value"), 0.9)).alias("p90"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.finite import is_finite
 from ..registry import register
 from .util import r6, t
 
@@ -650,13 +651,28 @@ def d16_encoding(spark, sf_dir):
 @register(
     "d17_trig",
     oracle="""
+    -- finite-measurement law (functions/finite.py): the libm surface
+    -- is declared over FINITE inputs — DuckDB RAISES 'out of range'
+    -- on sin(Inf) where Spark yields NaN, so non-finite in -> NULL
+    -- out, explicitly on both engines.
     SELECT event_id,
-           round(sin(value), 6) AS sin_v,
-           round(cos(value), 6) AS cos_v,
-           round(atan2(value, 10.0), 6) AS atan2_v,
-           round(degrees(atan(value / 100.0)), 6) AS angle_deg,
-           round((exp(value / 100.0) - exp(-value / 100.0)) / 2, 6) AS sinh_v,
-           round((exp(value / 50.0) - 1) / (exp(value / 50.0) + 1), 6) AS tanh_v
+           CASE WHEN isfinite(value) THEN round(sin(value), 6) END AS sin_v,
+           CASE WHEN isfinite(value) THEN round(cos(value), 6) END AS cos_v,
+           CASE WHEN isfinite(value)
+                THEN round(atan2(value, 10.0), 6) END AS atan2_v,
+           CASE WHEN isfinite(value)
+                THEN round(degrees(atan(value / 100.0)), 6) END AS angle_deg,
+           CASE WHEN isfinite(value)
+                THEN round((exp(value / 100.0) - exp(-value / 100.0)) / 2, 6)
+                END AS sinh_v,
+           -- tanh via the overflow-STABLE identity sign(x)*(1-2/(e^2|x|+1)):
+           -- the textbook (e^2x-1)/(e^2x+1) hits inf/inf = NaN the moment
+           -- e^2x overflows (finite x > ~35k here), where a native tanh
+           -- saturates to 1.0 — the stable form saturates identically
+           CASE WHEN isfinite(value)
+                THEN round(sign(value)
+                           * (1 - 2 / (exp(abs(value) / 50.0) + 1)), 6)
+                END AS tanh_v
     FROM events
     """,
 )
@@ -664,18 +680,22 @@ def d17_trig(spark, sf_dir):
     """Trigonometric / hyperbolic family: sin, cos, atan2, degrees ∘
     atan, sinh, tanh — IEEE libm functions are bit-identical across
     engines, 6dp rounding absorbs the last-ulp libm variation (DuckDB
-    1.0 lacks sinh/tanh → its oracle uses the exp() definitions, equal
-    at 6dp)."""
+    1.0 lacks sinh/tanh → its oracle uses exp() identities, equal at
+    6dp; tanh uses the overflow-stable sign form). All columns ride
+    the finite-measurement law: non-finite value -> NULL row outputs
+    (DuckDB raises on sin(Inf); Spark would yield NaN — the engines
+    don't agree on the failure, so the law gates both)."""
     ev = t(spark, sf_dir, "events")
     v = F.col("value")
+    fin = is_finite("value")
     return ev.select(
         "event_id",
-        r6(F.sin(v)).alias("sin_v"),
-        r6(F.cos(v)).alias("cos_v"),
-        r6(F.atan2(v, F.lit(10.0))).alias("atan2_v"),
-        r6(F.degrees(F.atan(v / 100.0))).alias("angle_deg"),
-        r6(F.sinh(v / 100.0)).alias("sinh_v"),
-        r6(F.tanh(v / 100.0)).alias("tanh_v"),
+        F.when(fin, r6(F.sin(v))).alias("sin_v"),
+        F.when(fin, r6(F.cos(v))).alias("cos_v"),
+        F.when(fin, r6(F.atan2(v, F.lit(10.0)))).alias("atan2_v"),
+        F.when(fin, r6(F.degrees(F.atan(v / 100.0)))).alias("angle_deg"),
+        F.when(fin, r6(F.sinh(v / 100.0))).alias("sinh_v"),
+        F.when(fin, r6(F.tanh(v / 100.0))).alias("tanh_v"),
     )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.finite import in_domain, is_in_domain
 from ..functions.rounding import exact_mean6, sql_exact_mean6
 from ..registry import register
 from .util import r2, r6, t
@@ -250,8 +251,15 @@ def e7_event_funnel(spark, sf_dir):
 @register(
     "e8_rate_histogram",
     oracle="""
+    -- domain-gated discretization (finite-measurement law,
+    -- functions/finite.py): CAST(floor(x/50) AS INT) is a runtime
+    -- crash in BOTH engines for non-finite x (and an overflow for
+    -- |x| >= 2^31*50) — out-of-domain values land in the NULL bucket.
+    -- The gate is a plain range comparison: both engines give NaN a
+    -- total-order position above +Inf, so NaN/±Inf fail it identically.
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-           CAST(floor(value / 50) AS INT) AS value_bucket,
+           CASE WHEN value >= -107374182400.0 AND value < 107374182400.0
+                THEN CAST(floor(value / 50) AS INT) END AS value_bucket,
            count(*) AS n
     FROM events
     GROUP BY 1, 2
@@ -259,11 +267,18 @@ def e7_event_funnel(spark, sf_dir):
 )
 def e8_rate_histogram(spark, sf_dir):
     """Time histogram: events per (day, value-bucket) — daily rate plus
-    a width-50 value histogram in one aggregate."""
+    a width-50 value histogram in one aggregate. Bucket ids ride the
+    domain gate (non-finite / INT-overflowing values -> NULL bucket):
+    2^31 buckets of width 50."""
     ev = t(spark, sf_dir, "events")
+    in_domain = (F.col("value") >= -107374182400.0) & (
+        F.col("value") < 107374182400.0
+    )
     return ev.groupBy(
         F.date_trunc("day", "ts").alias("day"),
-        F.floor(F.col("value") / 50).cast("int").alias("value_bucket"),
+        F.when(
+            in_domain, F.floor(F.col("value") / 50).cast("int")
+        ).alias("value_bucket"),
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -371,22 +386,32 @@ def e10_stream_stream_join(spark, sf_dir):
     WITH s AS (
       SELECT event_id, user_id, value,
              count(*) OVER w AS n_frame,
-             avg(value) OVER w AS mu,
-             stddev_samp(value) OVER w AS sd,
+             -- metric-domain law (functions/finite.py): the baseline
+             -- moments run over IN-DOMAIN values only (DuckDB raises
+             -- on non-finite stddev input; a finite-but-huge glitch
+             -- poisons the baseline scale)
+             avg(CASE WHEN abs(value) <= 10000000.0 THEN value END)
+               OVER w AS mu,
+             stddev_samp(CASE WHEN abs(value) <= 10000000.0 THEN value END)
+               OVER w AS sd,
              -- exact degeneracy gate: an all-equal frame's COMPUTED
              -- stddev is exactly 0 in one engine and a float epsilon
              -- in the other (skewkey probe: 101 identical values ->
              -- Spark 0, DuckDB ~1e-13) — min<max is the same predicate
              -- computed exactly
-             min(value) OVER w AS mn,
-             max(value) OVER w AS mx
+             min(CASE WHEN abs(value) <= 10000000.0 THEN value END)
+               OVER w AS mn,
+             max(CASE WHEN abs(value) <= 10000000.0 THEN value END)
+               OVER w AS mx
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts)
                    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW))
     SELECT event_id, user_id, round(value, 6) AS value, n_frame,
-           CASE WHEN mx > mn AND sd > 0
+           -- an out-of-domain CURRENT value has no z-score (NULL)
+           CASE WHEN mx > mn AND sd > 0 AND abs(value) <= 10000000.0
                 THEN round((value - mu) / sd, 6) END AS zscore,
-           coalesce(mx > mn AND sd > 0 AND abs((value - mu) / sd) > 2, FALSE)
+           coalesce(mx > mn AND sd > 0 AND abs(value) <= 10000000.0
+                    AND abs((value - mu) / sd) > 2, FALSE)
              AS is_anomaly
     FROM s
     """,
@@ -412,9 +437,16 @@ def e11_anomaly_zscore(spark, sf_dir):
         .orderBy(F.unix_timestamp("ts"))
         .rangeBetween(-7 * 86400, 0)
     )
-    mu = F.avg("value").over(w)
-    sd = F.stddev_samp("value").over(w)
-    nondeg = (F.max("value").over(w) > F.min("value").over(w)) & (sd > 0)
+    # metric-domain law: baseline moments over in-domain values, and
+    # an out-of-domain current value has no z-score (functions/finite.py)
+    vf = in_domain("value")
+    mu = F.avg(vf).over(w)
+    sd = F.stddev_samp(vf).over(w)
+    nondeg = (
+        (F.max(vf).over(w) > F.min(vf).over(w))
+        & (sd > 0)
+        & is_in_domain("value")
+    )
     z = (F.col("value") - mu) / sd
     return ev.select(
         "event_id",

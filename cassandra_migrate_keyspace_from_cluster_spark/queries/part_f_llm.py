@@ -146,7 +146,12 @@ def f18_pipeline_report(spark, sf_dir):
     -- no DISTINCT: quantization is a per-row MAP (replay law —
     -- duplicate rows in, duplicate rows out)
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings WHERE embedding IS NOT NULL),
+               FROM embeddings
+               -- vector-validity law (operators/similarity.py::
+               -- sql_valid_vector): non-null, all-finite, not all-zero
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+                 AND len(list_filter(embedding, x -> x != 0)) > 0),
     s AS (SELECT vec_id, emb,
                  list_reduce(list_transform(emb, x -> abs(x)),
                              (a, b) -> greatest(a, b)) / 127.0 AS raw_scale
@@ -207,7 +212,12 @@ def f3b_simhash(spark, sf_dir):
     -- DISTINCT = the replay law (SURVEY.md §5.4): retrieval is keyed
     -- by vector identity; replicated rows collapse at ingress
     WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings WHERE embedding IS NOT NULL)
+               FROM embeddings
+               -- vector-validity law (operators/similarity.py::
+               -- sql_valid_vector): non-null, all-finite, not all-zero
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+                 AND len(list_filter(embedding, x -> x != 0)) > 0)
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim,
@@ -234,7 +244,12 @@ def f4_cosine_topk(spark, sf_dir):
     -- DISTINCT = the replay law (SURVEY.md §5.4): retrieval is keyed
     -- by vector identity; replicated rows collapse at ingress
     WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings WHERE embedding IS NOT NULL)
+               FROM embeddings
+               -- vector-validity law (operators/similarity.py::
+               -- sql_valid_vector): non-null, all-finite, not all-zero
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+                 AND len(list_filter(embedding, x -> x != 0)) > 0)
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim,
@@ -271,7 +286,12 @@ def f4c_cosine_topk_chunked(spark, sf_dir):
     -- DISTINCT = the replay law (SURVEY.md §5.4): retrieval is keyed
     -- by vector identity; replicated rows collapse at ingress
     WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings WHERE embedding IS NOT NULL)
+               FROM embeddings
+               -- vector-validity law (operators/similarity.py::
+               -- sql_valid_vector): non-null, all-finite, not all-zero
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+                 AND len(list_filter(embedding, x -> x != 0)) > 0)
     SELECT * FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
@@ -310,11 +330,21 @@ def f5_ann_lsh(spark, sf_dir):
     WITH dims AS (
         SELECT label, i, avg(embedding[i]::DOUBLE) AS v
         FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+        -- centroid TRAINING set rides the same vector-validity law as
+        -- the scoring set (a poisoned vector must not poison the mean)
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x != 0)) > 0
         GROUP BY 1, 2),
     cents AS (SELECT label AS centroid_label, list(v ORDER BY i) AS centroid
               FROM dims GROUP BY 1),
     e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-          FROM embeddings WHERE embedding IS NOT NULL),
+          FROM embeddings
+               -- vector-validity law (operators/similarity.py::
+               -- sql_valid_vector): non-null, all-finite, not all-zero
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+                 AND len(list_filter(embedding, x -> x != 0)) > 0),
     scored AS (
         SELECT e.vec_id, e.label, c.centroid_label,
                round(list_cosine_similarity(e.emb, c.centroid), 6) AS cos_sim
@@ -2249,7 +2279,12 @@ def f29_train_split(spark, sf_dir):
     -- DISTINCT = the replay law (SURVEY.md §5.4): retrieval is keyed
     -- by vector identity; replicated rows collapse at ingress
     WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings WHERE embedding IS NOT NULL),
+               FROM embeddings
+               -- vector-validity law (operators/similarity.py::
+               -- sql_valid_vector): non-null, all-finite, not all-zero
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+                 AND len(list_filter(embedding, x -> x != 0)) > 0),
     seeds AS (SELECT vec_id AS seed_id, emb AS semb
               FROM e ORDER BY vec_id LIMIT 32),
     assigned AS (
@@ -2944,7 +2979,12 @@ def f52_dataset_card(spark, sf_dir):
                          AS BIGINT) AS r_lex
              FROM lex),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-          FROM embeddings WHERE embedding IS NOT NULL),
+          FROM embeddings
+               -- vector-validity law (operators/similarity.py::
+               -- sql_valid_vector): non-null, all-finite, not all-zero
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+                 AND len(list_filter(embedding, x -> x != 0)) > 0),
     vec AS (
       SELECT b.vec_id AS doc_id,
              round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
@@ -3149,11 +3189,21 @@ def f43_chunk_dedup_rewrite(spark, sf_dir):
     WITH dims AS (
         SELECT label, i, avg(embedding[i]::DOUBLE) AS v
         FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+        -- centroid TRAINING set rides the same vector-validity law as
+        -- the scoring set (a poisoned vector must not poison the mean)
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x != 0)) > 0
         GROUP BY 1, 2),
     cents AS (SELECT label, list(v ORDER BY i) AS centroid
               FROM dims GROUP BY 1),
     e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-          FROM embeddings WHERE embedding IS NOT NULL),
+          FROM embeddings
+               -- vector-validity law (operators/similarity.py::
+               -- sql_valid_vector): non-null, all-finite, not all-zero
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+                 AND len(list_filter(embedding, x -> x != 0)) > 0),
     scored AS (
         SELECT e.vec_id, e.label,
                round(list_cosine_similarity(e.emb, c.centroid), 6) AS cos_to_centroid

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -163,15 +164,23 @@ def g3_grouped_agg_udaf(spark, sf_dir):
     -- exact degeneracy gate (see e11): a constant group's COMPUTED
     -- stddev is an engine-specific float epsilon (summation-order
     -- noise), so gating on the exact min<max comparison is the only
-    -- portable "is the z-score defined" test
+    -- portable "is the z-score defined" test.
+    -- metric-domain law (functions/finite.py): the group moments run
+    -- over IN-DOMAIN values (DuckDB raises on non-finite stddev input;
+    -- finite-but-huge glitches poison the scale), and an out-of-domain
+    -- value has no z-score (NULL).
+    WITH f AS (SELECT event_id, event_type, value,
+                      CASE WHEN abs(value) <= 10000000.0 THEN value END AS vf
+               FROM events)
     SELECT event_id, event_type,
-           CASE WHEN max(value) OVER (PARTITION BY event_type)
-                  > min(value) OVER (PARTITION BY event_type)
-                THEN round((value - avg(value) OVER (PARTITION BY event_type))
-                           / stddev_samp(value) OVER (PARTITION BY event_type),
+           CASE WHEN max(vf) OVER (PARTITION BY event_type)
+                  > min(vf) OVER (PARTITION BY event_type)
+                 AND abs(value) <= 10000000.0
+                THEN round((value - avg(vf) OVER (PARTITION BY event_type))
+                           / stddev_samp(vf) OVER (PARTITION BY event_type),
                            6) END
              AS zscore
-    FROM events
+    FROM f
     """,
 )
 def g4_grouped_map(spark, sf_dir):
@@ -182,15 +191,26 @@ def g4_grouped_map(spark, sf_dir):
     formulations, unlike any float sd>0 test (see e11)."""
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = pdf["value"].mean()
-        s = pdf["value"].std(ddof=1)
         v = pdf["value"]
-        defined = v.max() > v.min()
+        # metric-domain law (functions/finite.py): moments over the
+        # in-domain values; out-of-domain rows get NULL (None through an
+        # object column — a float NaN would round-trip as a NaN VALUE,
+        # not SQL NULL), mirroring the oracle's abs(v) <= 1e7 gates.
+        raw = v.to_numpy()
+        fin = np.isfinite(raw) & (np.abs(raw) <= 1.0e7)
+        vf = v[fin]
+        m = vf.mean()
+        s = vf.std(ddof=1)
+        defined = len(vf) > 0 and vf.max() > vf.min()
+        if defined:
+            z = ((v - m) / s).round(6).astype(object).where(fin, None)
+        else:
+            z = None
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "event_type": pdf["event_type"],
-                "zscore": ((v - m) / s).round(6) if defined else None,
+                "zscore": z,
             }
         )
 

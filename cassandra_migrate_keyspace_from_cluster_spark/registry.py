@@ -219,8 +219,15 @@ _WINDOW = frozenset({
     "f33_pq_topk", "f42_semantic_dedup", "f42b_semantic_dedup_kmeans",
     "g1_python_udf", "g2_pandas_udf_scalar", "g3_grouped_agg_udaf",
     "g4_grouped_map", "g6_python_udtf", "g9_cogrouped_map",
-    # oldest never-re-ridden r3 rows, alphabetical, to the 50 cap (3)
-    "d3_string_distance", "d5_math", "d7_map_json",
+    # late-r8 extremes-probe rewrites: c4 is the round's only
+    # PRISTINE-VALUE change (covar display 4dp -> 6dp, the round-at-
+    # half fix) and MUST re-ride; c5/e8 carry the new metric-domain /
+    # discretization gates. The r3 padding rows (d3/d5/d7) yielded
+    # their slots — value-changed outranks staleness padding. The
+    # remaining late-r8 law rewrites with NO pristine delta (d17, f6,
+    # f19, f46, g4-oracle) are covered by the all-207 parity suite and
+    # ride from r9.
+    "c4_stats_agg", "c5_percentiles", "e8_rate_histogram",
 })
 
 

@@ -272,16 +272,119 @@ def perturb_skewkey(sf_dir: str, out_dir: str) -> None:
         _write(out, os.path.join(out_dir, f"{name}.parquet"))
 
 
+# extremes mode: IEEE-754 edge values into the two columns whose
+# DECLARED domain is "arbitrary double": events.value (sensor/metric
+# payload — upstream glitches deliver NaN/Inf/huge/denormal routinely)
+# and embeddings.embedding (model outputs — fp16/fp32 training
+# overflow produces Inf/NaN elements, dead dims produce zero vectors).
+# Excluded by policy: every money/quantity column (l_extendedprice,
+# o_totalprice, acctbals, l_quantity… are DECLARED 2dp-multiple
+# domains — the exact-cents laws are built on that contract, so an
+# Inf price is a schema violation, not a distribution shift).
+#
+# Value-shape choices are deliberate about FLOAT-SUM ORDER SAFETY:
+# both engines sum doubles in engine-chosen order, and that noise is
+# an accepted non-goal (functions/rounding scope note) — so the huge
+# magnitude is a POSITIVE power of two (2^100) only. A group holding
+# one or more 2^100s absorbs every moderate addend identically in any
+# order (sum is exactly k·2^100); mixed-sign huge values would make
+# catastrophic cancellation order-visible, turning the probe into a
+# float-associativity test both engines legitimately fail. NaN/±Inf
+# co-occurrence is order-safe (NaN ∪ anything → NaN; +Inf + -Inf →
+# NaN in both engines).
+EXTREME_VALUES = [
+    float("nan"),            # NaN: ordering (both engines: > +Inf),
+                             # equality-in-grouping, aggregate poison
+    float("inf"),            # +Inf
+    float("-inf"),           # -Inf (with +Inf in one group -> NaN sum)
+    -0.0,                    # signed zero (groups/sorts as 0.0)
+    2.0 ** 100,              # huge, order-safe absorber (see above)
+    5e-324,                  # smallest positive double denormal
+    -5e-324,                 # negative denormal (underflow-to-zero paths)
+    2.0 ** -1030,            # deep denormal-adjacent magnitude
+]
+EXTREME_P = 0.08
+
+# Per-vector embedding shapes (applied to whole vectors, cycled).
+# float32 domain: denormal floor ~1.4e-45, max ~3.4e38 — 1e25 is
+# representable but its SQUARE overflows fp32 (norm pipelines that
+# stay in fp32 produce Inf; fp64 pipelines don't — an engine-parity
+# axis), and 1e-40 is an fp32 denormal.
+def _emb_nan1(v):      # one poisoned element
+    v[0] = float("nan"); return v
+def _emb_posinf(v):
+    v[len(v) // 2] = float("inf"); return v
+def _emb_neginf(v):
+    v[-1] = float("-inf"); return v
+def _emb_zero(v):      # dead vector: cosine -> 0/0
+    return [0.0] * len(v)
+def _emb_huge(v):      # fp32-representable, square overflows fp32
+    return [x * 1e25 for x in v]
+def _emb_tiny(v):      # fp32 denormal range
+    return [x * 1e-40 for x in v]
+def _emb_negzero(v):
+    return [-0.0 if x == 0.0 else x for x in v]
+
+EXTREME_EMB_SHAPES = [_emb_nan1, _emb_posinf, _emb_neginf, _emb_zero,
+                      _emb_huge, _emb_tiny, _emb_negzero]
+EXTREME_EMB_P = 0.06
+
+
+def perturb_extremes(sf_dir: str, out_dir: str) -> None:
+    """Seeded deterministic injection of EXTREME_VALUES into ~8% of
+    ``events.value`` and EXTREME_EMB_SHAPES into ~6% of embedding
+    vectors (cycled in pick order). All other tables copy through."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for name in TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+        n = tbl.num_rows
+        if name == "events":
+            rng = np.random.default_rng(SEED + zlib.crc32(b"ext_value") % 997)
+            mask = rng.random(n) < EXTREME_P
+            idx = tbl.schema.get_field_index("value")
+            field = tbl.schema.field(idx)
+            vals = tbl.column(idx).to_pylist()
+            j = 0
+            for r, m in enumerate(mask):
+                if m:
+                    vals[r] = EXTREME_VALUES[j % len(EXTREME_VALUES)]
+                    j += 1
+            tbl = tbl.set_column(idx, field, pa.array(vals, type=field.type))
+        elif name == "embeddings":
+            rng = np.random.default_rng(SEED + zlib.crc32(b"ext_emb") % 997)
+            mask = rng.random(n) < EXTREME_EMB_P
+            idx = tbl.schema.get_field_index("embedding")
+            field = tbl.schema.field(idx)
+            vecs = tbl.column(idx).to_pylist()
+            j = 0
+            for r, m in enumerate(mask):
+                if m and vecs[r] is not None:
+                    vecs[r] = EXTREME_EMB_SHAPES[j % len(EXTREME_EMB_SHAPES)](
+                        list(vecs[r])
+                    )
+                    j += 1
+            tbl = tbl.set_column(idx, field, pa.array(vecs, type=field.type))
+        _write(tbl, os.path.join(out_dir, f"{name}.parquet"))
+
+
 def perturb_storm(sf_dir: str, out_dir: str) -> None:
     """Composition of the non-truncating modes, in ingress order:
     skewkey (hot keys exist in the source) → textedge (their payloads
-    are arbitrary text) → nulls (fields go missing) → dup2 (the whole
-    batch is delivered at least once). A real 100-TB corpus has all
-    four simultaneously; this catches LAW INTERACTIONS the individual
-    modes cannot (e.g. a null guard that assumes the textedge path
-    already normalized, a replay collapse that meets a NULL key).
-    head3 stays standalone — truncation would erase the other shifts."""
-    stages = [perturb_skewkey, perturb_textedge, perturb_nulls, perturb_dup2]
+    are arbitrary text) → extremes (their measurements glitch) → nulls
+    (fields go missing) → dup2 (the whole batch is delivered at least
+    once). A real 100-TB corpus has all five simultaneously; this
+    catches LAW INTERACTIONS the individual modes cannot (e.g. a null
+    guard that assumes the textedge path already normalized, a replay
+    collapse that meets a NULL key, a domain gate meeting a duplicated
+    NaN). head3 stays standalone — truncation would erase the other
+    shifts."""
+    stages = [perturb_skewkey, perturb_textedge, perturb_extremes,
+              perturb_nulls, perturb_dup2]
     cur = sf_dir
     tmps = []
     try:
@@ -302,6 +405,7 @@ MODES = {
     "head3": perturb_head3,
     "textedge": perturb_textedge,
     "skewkey": perturb_skewkey,
+    "extremes": perturb_extremes,
     "storm": perturb_storm,
 }
 
