@@ -38,9 +38,10 @@ def valid_vector(col: str = "embedding"):
       poisons every dot product it touches, and MLlib's Vector
       constructor outright throws on it;
     - all-zero: a dead vector has no direction; cosine against it is
-      0/0, which ANSI-Spark raises as DIVIDE_BY_ZERO and DuckDB folds
-      to NaN — the engines don't even agree on the failure, so the law
-      is to exclude it (probed by the extremes data-shift mode).
+      0/0, which ANSI-Spark raises as DIVIDE_BY_ZERO while DuckDB's
+      list_cosine_similarity returns a LEGAL-LOOKING -1.0 — one engine
+      crashes, the other silently answers wrong, so the law is to
+      exclude it (probed by the extremes data-shift mode).
 
     Mirrored in every oracle via :func:`sql_valid_vector`. A no-op on
     the benign fixtures (non-null, finite, nonzero by construction).

@@ -1494,3 +1494,122 @@ def test_degenerate_stddev_engine_epsilon_law(spark):
             .m
         )
         assert sp == 0.0, sp
+
+
+def test_extremes_engine_ieee_laws(spark):
+    """Pin the engine-pair facts behind the vector-validity and
+    metric-domain laws (SURVEY.md §5.4, from the extremes probe).
+    Each is an ENGINE property probed 2026-08-15 on Spark 4.1 /
+    DuckDB 1.0.0; if an upgrade flips one, re-derive the law.
+
+    1. NaN total order: BOTH engines place NaN above +Inf in
+       comparisons, so `abs(x) <= bound` excludes NaN, +-Inf, and
+       huge values in ONE portable comparison — the whole metric-
+       domain gate rests on this.
+    2. Failure-mode disagreement, statistics: DuckDB RAISES on
+       non-finite stddev input; Spark yields NaN. No gateless
+       formulation can be parity-exact.
+    3. Failure-mode disagreement, trig: DuckDB RAISES on sin(Inf);
+       Spark yields NaN.
+    4. Zero-vector cosine: 0/0 is DIVIDE_BY_ZERO under ANSI Spark
+       SQL, but DuckDB's list_cosine_similarity returns a LEGAL-
+       LOOKING -1.0 — the most insidious disagreement of the set (not
+       even an error to notice).
+    5. tanh overflow stability: the exp identity (e^2x-1)/(e^2x+1)
+       collapses to inf/inf = NaN in DuckDB for finite x where
+       native tanh saturates to 1 — why the d17 oracle uses the
+       sign form, which saturates identically to Spark.
+    """
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+
+    # 1. NaN above +Inf, both engines; the one-comparison gate excludes
+    # exactly {NaN, +-Inf, |x| > bound} in both
+    probe = [float("nan"), float("inf"), float("-inf"), 2.0**100,
+             -0.0, 5e-324, 1.0e7, 1.0000001e7]
+    d = [con.execute(
+            "SELECT ? > 'Infinity'::DOUBLE, abs(?) <= 10000000.0",
+            [v, v]).fetchone() for v in probe]
+    assert [r[1] for r in d] == [False, False, False, False,
+                                 True, True, True, False]
+    assert d[0][0] is True  # NaN > Inf in DuckDB
+    s = (
+        spark.createDataFrame([(v,) for v in probe], "v double")
+        .select(
+            (F.col("v") > F.lit(float("inf"))).alias("gt"),
+            (F.abs("v") <= F.lit(1.0e7)).alias("ok"),
+        )
+        .collect()
+    )
+    assert [r.ok for r in s] == [r[1] for r in d]
+    assert s[0].gt is True  # NaN > Inf in Spark too
+
+    # 2. stddev over non-finite: DuckDB raises, Spark yields NaN
+    import pytest as _pytest
+
+    with _pytest.raises(duckdb.OutOfRangeException):
+        con.execute(
+            "SELECT stddev_samp(v) FROM (VALUES (1.0), ('Infinity'::DOUBLE))"
+            " t(v)"
+        ).fetchone()
+    sp_sd = (
+        spark.createDataFrame([(1.0,), (float("inf"),)], "v double")
+        .agg(F.stddev_samp("v").alias("sd"))
+        .collect()[0]
+        .sd
+    )
+    assert sp_sd != sp_sd  # NaN
+
+    # 3. sin(Inf): DuckDB raises, Spark NaN
+    with _pytest.raises(duckdb.OutOfRangeException):
+        con.execute("SELECT sin('Infinity'::DOUBLE)").fetchone()
+    sp_sin = (
+        spark.createDataFrame([(float("inf"),)], "v double")
+        .select(F.sin("v").alias("x"))
+        .collect()[0]
+        .x
+    )
+    assert sp_sin != sp_sin
+
+    # 4. zero-vector cosine: DuckDB a plausible -1.0, ANSI Spark raises
+    dc = con.execute(
+        "SELECT list_cosine_similarity([0.0, 0.0], [1.0, 0.0])"
+    ).fetchone()[0]
+    assert dc == -1.0  # not an error, not NaN: a silent wrong answer
+    from pyspark.errors import ArithmeticException
+
+    zdf = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 0.0])], "a array<double>, b array<double>"
+    )
+    dot = F.aggregate(
+        F.zip_with("a", "b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    with _pytest.raises(ArithmeticException):
+        zdf.select(
+            (dot / (norm(F.col("a")) * norm(F.col("b")))).alias("c")
+        ).collect()
+
+    # 5. tanh: exp identity NaN vs sign form == native saturation
+    big = 2.0**100
+    naive, stable = con.execute(
+        "SELECT (exp(?) - 1) / (exp(?) + 1),"
+        " sign(?) * (1 - 2 / (exp(abs(?)) + 1))",
+        [big, big, big, big],
+    ).fetchone()
+    assert naive != naive  # inf/inf = NaN
+    assert stable == 1.0
+    sp_tanh = (
+        spark.createDataFrame([(big,)], "v double")
+        .select(F.tanh("v").alias("x"))
+        .collect()[0]
+        .x
+    )
+    assert sp_tanh == 1.0
