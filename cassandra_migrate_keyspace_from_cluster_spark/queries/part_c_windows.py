@@ -441,14 +441,18 @@ def c13_frame_rows(spark, sf_dir):
 def c14_frame_range(spark, sf_dir):
     """RANGE (interval) frame: 1-hour trailing average per user.
 
-    Spark range frames are numeric, so we order by floor-second epoch
-    (unix_timestamp); the oracle orders by date_trunc('second', ts) with
-    an INTERVAL bound — identical frame sets, peers included both sides.
+    Spark range frames are numeric, so we order by floor-second epoch:
+    date_trunc('second') FIRST (wall-clock truncation = epoch floor at
+    any sign), then unix_timestamp of the whole second — bare
+    unix_timestamp truncates toward zero and lands pre-1970 fractional
+    ts one second late (tsedge probe). The oracle orders by
+    date_trunc('second', ts) with an INTERVAL bound — identical frame
+    sets, peers included both sides.
     """
     ev = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
+        .orderBy(F.unix_timestamp(F.date_trunc("second", "ts")))
         .rangeBetween(-3600, 0)
     )
     return ev.select(
@@ -490,14 +494,32 @@ def c15_running_total(spark, sf_dir):
 
 @register(
     "c16_ntile_pctrank",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(ntile(4) OVER w AS INT) AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume_d
-    FROM orders
-    -- NULLS FIRST: see c15 (nullable sort column, opposite defaults)
-    WINDOW w AS (ORDER BY o_totalprice NULLS FIRST, o_orderkey)
+    oracle=f"""
+    -- exact integer rounding, not round(percent_rank(),6):
+    -- (rank-1)/(N-1) and peers/N are exact rationals, and a data
+    -- shift that lands N-1 on a 2^a*5^b-rich value (skewkey at
+    -- sf0.01: +40 replicated orders) puts them exactly ON 6dp halves,
+    -- where the engines' float rounds split (functions/rounding).
+    -- rank() is the tie-aware minimum position; the RANGE peer count
+    -- is the tie-aware cume_dist numerator.
+    WITH ranked AS (
+      SELECT o_orderkey,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             rank() OVER w AS rank_min,
+             count(*) OVER (ORDER BY o_totalprice NULLS FIRST, o_orderkey
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS rn_max,
+             count(*) OVER () AS n_total
+      FROM orders
+      -- NULLS FIRST: see c15 (nullable sort column, opposite defaults)
+      WINDOW w AS (ORDER BY o_totalprice NULLS FIRST, o_orderkey))
+    SELECT o_orderkey, quartile,
+           CASE WHEN n_total = 1 THEN 0.0
+                ELSE {sql_exact_round_ratio('rank_min - 1',
+                                            'n_total - 1', dp=6)}
+           END AS pct_rank,
+           {sql_exact_round_ratio('rn_max', 'n_total', dp=6)} AS cume_d
+    FROM ranked
     """,
 )
 def c16_ntile_pctrank(spark, sf_dir):
@@ -521,12 +543,7 @@ def c16_ntile_pctrank(spark, sf_dir):
     keeps the raw rn (identical rows swap bucket labels
     interchangeably — the output multiset is still deterministic).
     """
-    from ..operators.rank import (
-        cume_dist_from_rn,
-        ntile_from_rn,
-        percent_rank_from_rn,
-        with_global_row_number,
-    )
+    from ..operators.rank import ntile_from_rn, with_global_row_number
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     # local_checkpoint: single-JVM sandbox, where executor loss is job
@@ -540,13 +557,19 @@ def c16_ntile_pctrank(spark, sf_dir):
     )
     rn, n = F.col("rn"), F.col("n_total")
     w_tie = Window.partitionBy("o_totalprice", "o_orderkey")
-    rank_min = F.min(rn).over(w_tie)
-    rn_max = F.max(rn).over(w_tie)
+    # exact integer 6dp rounding of the two exact rationals — float
+    # round splits the engines when a shift lands them on 6dp halves
+    # (see the oracle note)
+    ranked = ranked.withColumn("rank_min", F.min(rn).over(w_tie)).withColumn(
+        "rn_max", F.max(rn).over(w_tie)
+    )
     return ranked.select(
         "o_orderkey",
         ntile_from_rn(rn, n, 4).alias("quartile"),
-        r6(percent_rank_from_rn(rank_min, n)).alias("pct_rank"),
-        r6(cume_dist_from_rn(rn_max, n)).alias("cume_d"),
+        F.when(n == 1, F.lit(0.0))
+        .otherwise(exact_round_ratio("(rank_min - 1)", "(n_total - 1)", dp=6))
+        .alias("pct_rank"),
+        exact_round_ratio("rn_max", "n_total", dp=6).alias("cume_d"),
     )
 
 
@@ -788,9 +811,17 @@ def c21_date_spine_gapfill(spark, sf_dir):
                   THEN 1 ELSE 0 END AS first_seen
       FROM events)
     SELECT event_id, user_id,
+           -- RANGE, not ROWS: the two-pass tie law (SURVEY.md §5.4).
+           -- Pass 1 attaches first_seen=1 to an ARBITRARY copy among
+           -- exact-duplicate (ts, event_id) rows; a ROWS pass-2 then
+           -- gives the two copies DIFFERENT running counts depending
+           -- on which copy sorted first (sf0.01 dup2 catch). RANGE
+           -- sums the whole peer group: both copies carry the same
+           -- count, identically in both engines, byte-identical to
+           -- ROWS on tie-free data.
            CAST(sum(first_seen) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS distinct_types_so_far
     FROM flagged
     """,
@@ -805,10 +836,12 @@ def c22_window_count_distinct(spark, sf_dir):
     collect_set state accumulation (whose per-row set copy is O(k²))."""
     ev = t(spark, sf_dir, "events")
     w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # RANGE (peer-inclusive), not ROWS: the two-pass tie law — exact-
+    # duplicate rows must carry identical running counts (see oracle)
     w_run = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     flagged = ev.select(
         "event_id",

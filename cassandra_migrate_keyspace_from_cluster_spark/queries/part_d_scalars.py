@@ -539,8 +539,13 @@ def d13_regex_array(spark, sf_dir):
     SELECT event_id,
            CAST(date_trunc('second', ts) + INTERVAL 90 MINUTE AS VARCHAR) AS plus_90m,
            CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_floor,
-           CAST(date_diff('minute', date_trunc('day', ts), ts) AS BIGINT)
-             AS mins_into_day,
+           -- wall-clock components, not date_diff: DuckDB partitions
+           -- date_diff endpoints by truncation toward zero, so a
+           -- pre-1970 ts with fractional sub-minute lands one minute
+           -- off vs Spark's subtract-first timestampdiff (tsedge
+           -- probe). hour*60+minute is the declared semantics and is
+           -- epoch-sign-proof in both engines.
+           CAST(hour(ts) * 60 + minute(ts) AS BIGINT) AS mins_into_day,
            CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
                 AS BIGINT) AS days_since_epoch_start,
            CAST(make_timestamp(1995, 1, 1, 12, 0, 0) AS VARCHAR) AS anchor
@@ -562,9 +567,8 @@ def d14_timestamp_arith(spark, sf_dir):
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
             "hour_floor"
         ),
-        F.expr("timestampdiff(MINUTE, date_trunc('day', ts), ts)")
-        .cast("long")
-        .alias("mins_into_day"),
+        # components, not timestampdiff — see the oracle note
+        (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("mins_into_day"),
         F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date"))
         .cast("long")
         .alias("days_since_epoch_start"),

@@ -434,7 +434,12 @@ def e11_anomaly_zscore(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
+        # floor-second epoch via date_trunc FIRST: bare unix_timestamp
+        # TRUNCATES TOWARD ZERO, so a pre-1970 fractional ts lands one
+        # second late (tsedge probe; the oracle orders by
+        # date_trunc('second', ts), which floors) — wall-clock
+        # truncation THEN whole-second conversion is exact at any epoch
+        .orderBy(F.unix_timestamp(F.date_trunc("second", "ts")))
         .rangeBetween(-7 * 86400, 0)
     )
     # metric-domain law: baseline moments over in-domain values, and
@@ -574,7 +579,14 @@ def e13_windowed_topn(spark, sf_dir):
     sessions AS (
         SELECT user_id, session_id,
                count(*) AS n_events,
-               date_diff('second', min(ts), max(ts)) AS duration_s,
+               -- floor endpoints to the second BEFORE diffing:
+               -- date_diff partitions each endpoint by truncation
+               -- toward zero, so a pre-1970 fractional endpoint shifts
+               -- its partition up one second (tsedge probe); flooring
+               -- first equals Spark's floor-epoch subtraction at any
+               -- sign, and is identical on whole/positive timestamps
+               date_diff('second', date_trunc('second', min(ts)),
+                         date_trunc('second', max(ts))) AS duration_s,
                count(DISTINCT event_type) AS n_types
         FROM numbered GROUP BY user_id, session_id)
     SELECT CASE WHEN n_events = 1 THEN '1'
@@ -780,7 +792,11 @@ def e17_transition_matrix(spark, sf_dir):
             AND p.first_purchase_ts <= s.signup_ts + INTERVAL 7 DAY)
              AS converted_7d,
            CASE WHEN p.first_purchase_ts IS NOT NULL
-                THEN date_diff('second', s.signup_ts, p.first_purchase_ts)
+                -- floor-then-diff: see e14 (negative-epoch fractional
+                -- endpoints otherwise shift date_diff by one)
+                THEN date_diff('second',
+                               date_trunc('second', s.signup_ts),
+                               date_trunc('second', p.first_purchase_ts))
            END AS seconds_to_convert
     FROM s LEFT JOIN p ON p.user_id = s.user_id
     """,

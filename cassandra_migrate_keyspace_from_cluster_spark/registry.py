@@ -183,7 +183,9 @@ _DRIVER_GREEN = frozenset({
 #     a18, a19, a20, a21, b34.
 #
 # CONCRETE r9 window plan (assemble at r9 start, once CORRECTNESS_r08
-# is green): rewrites during r9 first, then the r3/r4 rows the mid-r8
+# is green): rewrites during r9 first, then the r8 law rewrites that
+# deferred as pristine-value-neutral (c22, d14, d17, e14, e18, f6,
+# f19, f46, g4), then the r3/r4 rows the mid-r8
 # revision displaced (d8, e1–e10 streaming twins, f1, f8, f14, f15,
 # f19–f23, g5, g7, g8; a17–a21), then the untouched r4 rows
 # (alphabetical from b36: b36, b37, c8, c9, d9, d11, d18, e14, e16,
@@ -228,6 +230,14 @@ _WINDOW = frozenset({
     # f19, f46, g4-oracle) are covered by the all-207 parity suite and
     # ride from r9.
     "c4_stats_agg", "c5_percentiles", "e8_rate_histogram",
+    # tsedge-probe rewrites (negative-epoch floor law, §5.4): c14 and
+    # e11 already ride this window above; the other five — d14/e14/e18
+    # (floor-then-diff forms, byte-identical to the naive ones at
+    # positive epoch), c22 (ROWS->RANGE, identical on the tie-free
+    # pristine event_id order) and c16's exact-rational rounding
+    # (c16 rides above anyway) — are pristine-value-neutral by
+    # construction and follow the d17/f6/f19/f46 precedent: covered by
+    # the all-207 parity suite now, rotated into the r9 window first.
 })
 
 

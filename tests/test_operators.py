@@ -1613,3 +1613,99 @@ def test_extremes_engine_ieee_laws(spark):
         .x
     )
     assert sp_tanh == 1.0
+
+
+def test_tsedge_negative_epoch_floor_laws(spark):
+    """Pin the engine-pair facts behind the negative-epoch floor law
+    (SURVEY.md §5.4, from the tsedge probe). Each is an ENGINE
+    property probed 2026-08-15 on Spark 4.1 / DuckDB 1.0.0; if an
+    upgrade flips one, re-derive the law.
+
+    1. Spark `unix_timestamp` truncates toward zero: a pre-1970
+       fractional instant lands one second LATE; truncating the wall
+       clock FIRST (`date_trunc('second')` floors at any sign in both
+       engines) then converting the whole second is exact — why c14's
+       and e11's RANGE frames order by the date_trunc-first form.
+    2. DuckDB `date_diff` partitions each ENDPOINT by truncation
+       toward zero, Spark `timestampdiff` subtracts first — they
+       split by one unit on negative-epoch fractional endpoints;
+       flooring both endpoints first equalizes them at any sign
+       (e14/e18), and wall-clock components (`hour*60+minute`) equal
+       Spark's subtract-first form for minutes-into-day (d14).
+    """
+    import datetime as dt
+
+    import duckdb
+
+    con = duckdb.connect()
+    halfsec = dt.datetime(1969, 12, 31, 23, 59, 59, 500000)
+    onemicro = dt.datetime(1969, 7, 20, 20, 17, 40, 1)
+
+    # 1. bare truncates toward zero (one second late pre-1970);
+    # date_trunc-first floors — and DuckDB's date_trunc agrees
+    rows = (
+        spark.createDataFrame(
+            [(halfsec,), (onemicro,)], "ts timestamp_ntz"
+        )
+        .select(
+            F.unix_timestamp("ts").alias("bare"),
+            F.unix_timestamp(F.date_trunc("second", "ts")).alias("floored"),
+        )
+        .collect()
+    )
+    assert [(r.bare, r.floored) for r in rows] == [
+        (0, -1),
+        (-14182939, -14182940),
+    ]
+    for ts, want in [(halfsec, -1.0), (onemicro, -14182940.0)]:
+        got = con.execute(
+            "SELECT epoch(date_trunc('second', ?::TIMESTAMP))", [ts]
+        ).fetchone()[0]
+        assert got == want
+
+    # 2a. DuckDB date_diff vs floor-first on a negative fractional
+    # endpoint: the naive form loses the epoch-sign crossing
+    naive, floorfirst = con.execute(
+        "SELECT date_diff('second', a, b),"
+        "       date_diff('second', date_trunc('second', a),"
+        "                 date_trunc('second', b)) "
+        "FROM (SELECT TIMESTAMP '1969-12-31 23:59:59.5' a,"
+        "             TIMESTAMP '1970-01-01 00:00:00.2' b)"
+    ).fetchone()
+    assert (naive, floorfirst) == (0, 1)
+    # Spark's floor-first subtraction (the e14/e18 form) agrees with
+    # DuckDB's floor-first date_diff; Spark's own subtract-first
+    # timestampdiff is 0 here — also != floorfirst, hence floor BOTH
+    sp = (
+        spark.createDataFrame(
+            [(halfsec, dt.datetime(1970, 1, 1, 0, 0, 0, 200000))],
+            "a timestamp_ntz, b timestamp_ntz",
+        )
+        .select(
+            (
+                F.unix_timestamp(F.date_trunc("second", "b"))
+                - F.unix_timestamp(F.date_trunc("second", "a"))
+            ).alias("floorfirst"),
+            F.expr("timestampdiff(SECOND, a, b)").alias("subfirst"),
+        )
+        .collect()[0]
+    )
+    assert (sp.floorfirst, sp.subfirst) == (1, 0)
+
+    # 2b. minutes-into-day: DuckDB's naive date_diff is one minute
+    # high pre-1970; components match Spark's subtract-first form
+    d_naive, d_comp = con.execute(
+        "SELECT date_diff('minute', date_trunc('day', t), t),"
+        "       hour(t) * 60 + minute(t) "
+        "FROM (SELECT TIMESTAMP '1969-12-31 23:59:30.5' t)"
+    ).fetchone()
+    assert (d_naive, d_comp) == (1440, 1439)
+    sp2 = (
+        spark.createDataFrame([(dt.datetime(1969, 12, 31, 23, 59, 30, 500000),)], "t timestamp_ntz")
+        .select(
+            F.expr("timestampdiff(MINUTE, date_trunc('day', t), t)").alias("sub"),
+            (F.hour("t") * 60 + F.minute("t")).alias("comp"),
+        )
+        .collect()[0]
+    )
+    assert (sp2.sub, sp2.comp) == (1439, 1439)

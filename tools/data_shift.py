@@ -272,6 +272,78 @@ def perturb_skewkey(sf_dir: str, out_dir: str) -> None:
         _write(out, os.path.join(out_dir, f"{name}.parquet"))
 
 
+# tsedge mode: timestamp edge shapes into the event-time and date
+# columns. Real corpora carry clock glitches — epoch-zero defaults
+# (unset clocks), pre-1970 instants (negative epoch, where
+# truncate-toward-zero and floor DISAGREE), deep-past dates (proleptic
+# Gregorian territory), far-future (corrupted clocks, 9999-sentinels),
+# and exact boundary instants (midnight, :59:59.999999) that sit ON
+# every bucket/window edge. Benign fixtures never leave a narrow
+# recent band, so bucket alignment, epoch conversion, interval frames
+# and date arithmetic are all probed at one friendly sign and scale.
+# Excluded by ingress contract: ts NULLability (watermark semantics,
+# see the nulls mode) and ts uniqueness contracts (event_id tie-breaks
+# stay intact — shapes replace the VALUE, never the key structure).
+# Shape range bound: the comparison HARNESS (ours and the grading
+# driver's alike) round-trips results through pandas datetime64[ns],
+# whose domain is 1677-09-21..2262-04-11 — a year-1500 or 9999 output
+# crashes Arrow's us->ns cast before any engine comparison happens
+# (first-run finding). Both ENGINES handle the full us range fine; the
+# probe stays inside the ns window because that is the harness's
+# representable universe, and the interesting physics (negative epoch,
+# floor-vs-truncate, proleptic dates, boundary instants) all fits.
+TS_EDGE_SHAPES = [  # (y, m, d, h, mi, s, us)
+    (1970, 1, 1, 0, 0, 0, 0),              # exact epoch zero
+    (1969, 12, 31, 23, 59, 59, 123456),    # negative epoch, fractional
+    (1969, 12, 31, 23, 59, 59, 500000),    # negative epoch, half-second
+    (1900, 6, 15, 12, 34, 56, 789012),     # deep past, fractional
+    (1800, 2, 28, 23, 59, 59, 999999),     # pre-1900 boundary-1us
+    (2199, 12, 31, 23, 59, 59, 999999),    # far future, boundary-1us
+    (2262, 1, 1, 0, 0, 0, 1),              # near the ns-harness ceiling
+    (2024, 6, 30, 23, 59, 59, 999999),     # 1us before midnight
+    (2024, 7, 1, 0, 0, 0, 0),              # exact midnight
+    (1969, 7, 20, 20, 17, 40, 1),          # pre-1970, 1us past a second
+]
+TS_EDGE_COLS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+TS_EDGE_P = 0.08
+
+
+def perturb_tsedge(sf_dir: str, out_dir: str) -> None:
+    """Seeded deterministic replacement of ~8% of each time-bearing
+    column with TS_EDGE_SHAPES (cycled in pick order), preserving the
+    column's physical parquet encoding via pyarrow casts."""
+    import datetime as dt
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shapes = [dt.datetime(*s) for s in TS_EDGE_SHAPES]
+    for name in TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+        n = tbl.num_rows
+        for ci, col in enumerate(TS_EDGE_COLS.get(name, [])):
+            rng = np.random.default_rng(
+                SEED + 3000 * ci + zlib.crc32(name.encode()) % 997
+            )
+            mask = rng.random(n) < TS_EDGE_P
+            idx = tbl.schema.get_field_index(col)
+            field = tbl.schema.field(idx)
+            vals = tbl.column(idx).to_pylist()
+            j = 0
+            for r, m in enumerate(mask):
+                if m:
+                    vals[r] = shapes[j % len(shapes)]
+                    j += 1
+            tbl = tbl.set_column(idx, field, pa.array(vals, type=field.type))
+        _write(tbl, os.path.join(out_dir, f"{name}.parquet"))
+
+
 # extremes mode: IEEE-754 edge values into the two columns whose
 # DECLARED domain is "arbitrary double": events.value (sensor/metric
 # payload — upstream glitches deliver NaN/Inf/huge/denormal routinely)
@@ -374,17 +446,18 @@ def perturb_extremes(sf_dir: str, out_dir: str) -> None:
 
 def perturb_storm(sf_dir: str, out_dir: str) -> None:
     """Composition of the non-truncating modes, in ingress order:
-    skewkey (hot keys exist in the source) → textedge (their payloads
-    are arbitrary text) → extremes (their measurements glitch) → nulls
-    (fields go missing) → dup2 (the whole batch is delivered at least
-    once). A real 100-TB corpus has all five simultaneously; this
-    catches LAW INTERACTIONS the individual modes cannot (e.g. a null
-    guard that assumes the textedge path already normalized, a replay
-    collapse that meets a NULL key, a domain gate meeting a duplicated
-    NaN). head3 stays standalone — truncation would erase the other
-    shifts."""
-    stages = [perturb_skewkey, perturb_textedge, perturb_extremes,
-              perturb_nulls, perturb_dup2]
+    skewkey (hot keys exist in the source) → tsedge (their clocks
+    glitch) → textedge (their payloads are arbitrary text) → extremes
+    (their measurements glitch) → nulls (fields go missing) → dup2
+    (the whole batch is delivered at least once). A real 100-TB
+    corpus has all six simultaneously; this catches LAW INTERACTIONS
+    the individual modes cannot (e.g. a null guard that assumes the
+    textedge path already normalized, a replay collapse that meets a
+    NULL key, a domain gate meeting a duplicated NaN, a window frame
+    anchored on a duplicated negative-epoch instant). head3 stays
+    standalone — truncation would erase the other shifts."""
+    stages = [perturb_skewkey, perturb_tsedge, perturb_textedge,
+              perturb_extremes, perturb_nulls, perturb_dup2]
     cur = sf_dir
     tmps = []
     try:
@@ -406,6 +479,7 @@ MODES = {
     "textedge": perturb_textedge,
     "skewkey": perturb_skewkey,
     "extremes": perturb_extremes,
+    "tsedge": perturb_tsedge,
     "storm": perturb_storm,
 }
 
