@@ -145,3 +145,18 @@ def sql_exact_mean6(s: str, n: str, pre_scaled: bool = False) -> str:
         f" END AS DOUBLE)"
         f" / 1e6"
     )
+
+
+def sql_pmod(x: str, k: int) -> str:
+    """DuckDB SQL text of the NON-NEGATIVE (floored) modulus.
+
+    SQL ``%`` is truncated (sign of the dividend) in both engines,
+    but the Python/numpy generators that synthesize multimodal
+    payloads use Python ``%`` (sign of the divisor — always
+    non-negative for positive k). The two agree on non-negative
+    dividends, so pristine fixtures never see the difference — a
+    negative id (idspace probe) splits every derived parameter.
+    Oracles that REPLAY a Python generative formula must spell the
+    modulus in this portable form.
+    """
+    return f"((({x}) % {k}) + {k}) % {k}"

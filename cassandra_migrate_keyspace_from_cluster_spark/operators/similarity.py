@@ -111,7 +111,17 @@ def _load_normalized_corpus(path: str):
             return ids, np.zeros((0, 1), dtype=np.float64)
         mat = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False))
         mat = mat.astype(np.float64)
-        return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        # id-ascending order: the top-k kernels pack the row POSITION
+        # (not the raw id) into the low bits of their composite sort
+        # key, so position order must be id order — this makes the
+        # packing valid for ARBITRARY int64 ids (snowflake ids >= 2^32,
+        # negative ids), where raw-id packing would overflow (idspace
+        # probe). Positions are < n <= 2^32 for any executor-resident
+        # corpus by construction.
+        order = np.argsort(ids, kind="stable")
+        return ids[order], (mat / np.linalg.norm(mat, axis=1, keepdims=True))[
+            order
+        ]
 
     return _worker_load(path, build)
 
@@ -210,12 +220,16 @@ def cosine_topk(
         if len(ids_c) == 0:  # empty corpus → no neighbors for anyone
             return
         # composite int64 sort key: 6dp-rounded sims are exact integers
-        # after *1e6 (|.| <= 1e6 < 2^21) and ids fit 32 bits, so
-        # key = -sim_int * 2^32 + id orders by (sim DESC, id ASC) with
-        # NO possible ties — the same total order the lexsort produced,
-        # but selected with one vectorized argpartition per batch
-        # instead of a python loop of per-query lexsorts.
-        assert ids_c.max() < (1 << 32) and ids_c.min() >= 0
+        # after *1e6 (|.| <= 1e6 < 2^21) and the corpus POSITION (the
+        # loader sorts by id, so position order IS id order and
+        # positions always fit 32 bits — valid for arbitrary int64
+        # ids, unlike raw-id packing) fills the low bits, so
+        # key = -sim_int * 2^32 + pos orders by (sim DESC, id ASC)
+        # with NO possible ties — the same total order the lexsort
+        # produced, but selected with one vectorized argpartition per
+        # batch instead of a python loop of per-query lexsorts.
+        assert len(ids_c) < (1 << 32)
+        pos_c = np.arange(len(ids_c), dtype=np.int64)
         # kk: a corpus smaller than k has fewer than k neighbors to
         # give (argpartition's kth must stay in bounds); the self
         # sentinel (int64 max — strictly above every real composite
@@ -230,7 +244,7 @@ def cosine_topk(
             q_mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
             sims = np.round(q_norm @ nmat_c.T, 6)
-            key = (-np.rint(sims * 1e6).astype(np.int64)) * (1 << 32) + ids_c
+            key = (-np.rint(sims * 1e6).astype(np.int64)) * (1 << 32) + pos_c
             key[ids_c[None, :] == q_ids[:, None]] = sentinel
             part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
             sel = np.take_along_axis(key, part, axis=1)
@@ -373,7 +387,12 @@ def cosine_topk_chunked(
             # max-key sentinel (self match) is filtered AFTER selection
             # because a small chunk can have fewer than k+1 candidates
             big = np.iinfo(np.int64).max
-            assert ids_c.max() < (1 << 32) and ids_c.min() >= 0
+            # position packing, not raw-id packing: chunk-local
+            # positions are id-ordered WITHIN the chunk (loader sorts),
+            # which is all the per-chunk top-k needs — the cross-chunk
+            # merge (_rank_topk) re-sorts on (sim, neighbor_id) anyway
+            assert len(ids_c) < (1 << 32)
+            pos_c = np.arange(len(ids_c), dtype=np.int64)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -382,7 +401,7 @@ def cosine_topk_chunked(
                 q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
                 sims = np.round(q_norm @ nmat_c.T, 6)
                 kk = min(k, len(ids_c))
-                key = (-np.rint(sims * 1e6).astype(np.int64)) * (1 << 32) + ids_c
+                key = (-np.rint(sims * 1e6).astype(np.int64)) * (1 << 32) + pos_c
                 key[ids_c[None, :] == q_ids[:, None]] = big
                 part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
                 pkeys = np.take_along_axis(key, part, axis=1)
@@ -1090,7 +1109,9 @@ def pq_topk(
             t = pq.read_table(p, columns=["id", "codes"])
             c_ids = t.column("id").to_numpy().astype(np.int64)
             cs = np.vstack(t.column("codes").to_numpy(zero_copy_only=False))
-            return c_ids, cs.astype(np.int32)
+            # id-ascending for position packing (see _load_normalized_corpus)
+            order = np.argsort(c_ids, kind="stable")
+            return c_ids[order], cs.astype(np.int32)[order]
 
         return _worker_load(path, build)
 
@@ -1103,7 +1124,10 @@ def pq_topk(
         # — and top-k selection uses the same composite-key
         # argpartition as the exact kernels (dist ASC, id ASC).
         big = np.iinfo(np.int64).max
-        assert c_ids.max() < (1 << 32) and c_ids.min() >= 0
+        # position packing — valid for arbitrary int64 ids (loader
+        # sorts by id, so position order is id order)
+        assert len(c_ids) < (1 << 32)
+        c_pos = np.arange(len(c_ids), dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1119,7 +1143,7 @@ def pq_topk(
             approx = tables[:, np.arange(m)[:, None], c_codes.T].sum(axis=1)
             approx = np.round(approx, 6)
             kk = min(k, len(c_ids))
-            key = np.rint(approx * 1e6).astype(np.int64) * (1 << 32) + c_ids
+            key = np.rint(approx * 1e6).astype(np.int64) * (1 << 32) + c_pos
             key[c_ids[None, :] == q_ids[:, None]] = big
             part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
             pkeys = np.take_along_axis(key, part, axis=1)

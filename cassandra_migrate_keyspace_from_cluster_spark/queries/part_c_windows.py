@@ -124,29 +124,52 @@ def c3_grouping_sets(spark, sf_dir):
     -- finite-but-huge glitch pushes the DISPLAYED moments to a scale
     -- where engine summation-order noise survives 6dp rounding — the
     -- gate is the only portable semantics. count stays raw.
-    WITH ev AS (SELECT event_type, user_id,
+    -- uid rides the SAME domain gate: corr/covar against the user
+    -- DIMENSION is a moment statistic OF user_id-as-numeric, and a
+    -- huge-magnitude id (snowflake ids >= 2^32 — idspace probe) pushes
+    -- the co-moment sums to scales where engine summation-order ulps
+    -- survive 6dp rounding, exactly the class the metric-domain law
+    -- exists for. No-op on dense small-int fixture ids.
+    -- corr is the manual co-moment quotient, NOT the corr() builtin:
+    -- ANSI Spark's corr RAISES DIVIDE_BY_ZERO on a zero-variance pair
+    -- set (idspace: a group whose only in-domain uid is constant)
+    -- while DuckDB yields NULL, and the divide sits INSIDE the
+    -- aggregate where no outer gate can stop it. Both engines spell
+    -- covar_pop/(sd_pop*sd_pop) over the PAIRWISE-valid columns
+    -- (pv/pu: null unless both inputs are in-domain), gated by the
+    -- exact-degeneracy comparison (min < max on each side, §5.4).
+    WITH ev AS (SELECT event_type,
+                       CASE WHEN abs(user_id) <= 10000000.0
+                            THEN CAST(user_id AS DOUBLE) END AS uid,
                        CASE WHEN abs(value) <= 10000000.0 THEN value END
                          AS value
                 FROM events),
-    mu AS (SELECT event_type, avg(value) AS m FROM ev GROUP BY 1)
+    ev2 AS (SELECT event_type, value, uid,
+                   CASE WHEN uid IS NOT NULL THEN value END AS pv,
+                   CASE WHEN value IS NOT NULL THEN uid END AS pu
+            FROM ev),
+    mu AS (SELECT event_type, avg(value) AS m FROM ev2 GROUP BY 1)
     SELECT e.event_type,
            round(stddev_samp(e.value), 6) AS sd_samp,
            round(var_pop(e.value), 6)     AS var_p,
-           round(corr(e.value, CAST(e.user_id AS DOUBLE)), 6)      AS corr_vu,
+           round(CASE WHEN min(e.pv) < max(e.pv) AND min(e.pu) < max(e.pu)
+                      THEN covar_pop(e.pv, e.pu)
+                           / (stddev_pop(e.pv) * stddev_pop(e.pu))
+                 END, 6) AS corr_vu,
            -- covar at 6dp, NOT 4: over 2dp-multiple data this
            -- avg-derived statistic takes exact 5-decimal rational
            -- values, which sit ON the 4dp rounding boundary (storm
            -- probe: -0.99405 split the engines by +-3e-15 noise) but
            -- are REPRESENTABLE POINTS at 6dp; a 7th-digit half needs
            -- n | 10^k, unreachable for real group sizes
-           round(covar_pop(e.value, CAST(e.user_id AS DOUBLE)), 6) AS covar_vu,
+           round(covar_pop(e.value, e.uid), 6) AS covar_vu,
            round(avg(pow(e.value - mu.m, 3))
                  / pow(avg(pow(e.value - mu.m, 2)), 1.5), 6)       AS skew,
            round(avg(pow(e.value - mu.m, 4))
                  / pow(avg(pow(e.value - mu.m, 2)), 2) - 3, 6)     AS kurt
     -- null-safe join: groupBy keeps a NULL event_type group, so the
     -- centered-moment helper join must not drop it (NULL != NULL)
-    FROM ev e JOIN mu ON e.event_type IS NOT DISTINCT FROM mu.event_type
+    FROM ev2 e JOIN mu ON e.event_type IS NOT DISTINCT FROM mu.event_type
     GROUP BY e.event_type
     """,
 )
@@ -156,12 +179,23 @@ def c4_stats_agg(spark, sf_dir):
     (DuckDB's built-ins are sample-corrected and would mismatch).
     All moments ride the metric-domain law (functions/finite.py)."""
     ev = t(spark, sf_dir, "events")
-    uid = F.col("user_id").cast("double")
+    # the id-as-numeric co-moment input rides the metric-domain gate
+    # too (idspace probe — see the oracle note)
+    uid = in_domain(F.col("user_id").cast("double"))
     v = in_domain("value")
+    # pairwise-valid projections + manual co-moment corr: ANSI corr()
+    # raises DIVIDE_BY_ZERO on a zero-variance pair set (the divide is
+    # inside the aggregate) — see the oracle note
+    pv = F.when(uid.isNotNull(), v)
+    pu = F.when(v.isNotNull(), uid)
+    corr_gated = F.when(
+        (F.min(pv) < F.max(pv)) & (F.min(pu) < F.max(pu)),
+        F.covar_pop(pv, pu) / (F.stddev_pop(pv) * F.stddev_pop(pu)),
+    )
     return ev.groupBy("event_type").agg(
         r6(F.stddev_samp(v)).alias("sd_samp"),
         r6(F.var_pop(v)).alias("var_p"),
-        r6(F.corr(v, uid)).alias("corr_vu"),
+        r6(corr_gated).alias("corr_vu"),
         # 6dp, not 4: see the oracle note (exact 5-decimal rationals
         # sit on the 4dp boundary; they are representable at 6dp)
         r6(F.covar_pop(v, uid)).alias("covar_vu"),

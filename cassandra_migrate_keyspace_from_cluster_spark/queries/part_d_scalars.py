@@ -411,7 +411,10 @@ def d9_conditional_null(spark, sf_dir):
     oracle="""
     SELECT o_orderkey,
            CAST(o_orderkey AS VARCHAR)                 AS key_str,
-           CAST(CAST(o_orderkey AS VARCHAR) AS INT)    AS key_back,
+           -- BIGINT round-trip, not INT: the key column IS 64-bit, and
+           -- snowflake-scale ids (idspace probe) overflow an INT cast
+           -- into an ANSI error in both engines
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
            CAST(floor(o_totalprice) AS BIGINT)         AS price_floor,
            date_trunc('day', o_orderdate)              AS order_day,
            printf('%.2f', o_totalprice)                AS price_fmt,
@@ -427,7 +430,8 @@ def d10_cast_types(spark, sf_dir):
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
-        F.col("o_orderkey").cast("string").cast("int").alias("key_back"),
+        # bigint round-trip — see the oracle note (idspace)
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_back"),
         F.floor("o_totalprice").cast("bigint").alias("price_floor"),
         F.date_trunc("day", "o_orderdate").alias("order_day"),
         # explicit null guard: format_string is a Java Formatter, which
@@ -450,7 +454,15 @@ def d10_cast_types(spark, sf_dir):
            event_id & 255 AS b_and,
            event_id | 16 AS b_or,
            xor(event_id, 255) AS b_xor,
-           event_id << 2 AS b_shl,
+           -- left shift is the ONE bitwise op the engines disagree on
+           -- beyond the friendly corner (idspace probe): DuckDB RAISES
+           -- on a negative LHS and on overflow, Spark wraps silently
+           -- (Java <<). Domain-gate it: defined for 0 <= x <= 2^61-1
+           -- (where x << 2 fits int64 and both engines agree), NULL
+           -- outside. and/or/xor/>>/bit_count are two's-complement
+           -- identical at ANY int64 in both engines (probe-pinned).
+           CASE WHEN event_id BETWEEN 0 AND 2305843009213693951
+                THEN event_id << 2 END AS b_shl,
            event_id >> 1 AS b_shr,
            CAST(bit_count(event_id) AS INT) AS b_cnt
     FROM events
@@ -458,7 +470,8 @@ def d10_cast_types(spark, sf_dir):
 )
 def d11_bitwise(spark, sf_dir):
     """Bitwise function family: and/or/xor, shifts, popcount — exact
-    integer ops, identical across engines."""
+    integer ops, identical across engines at any int64 EXCEPT left
+    shift (domain-gated, see the oracle note)."""
     ev = t(spark, sf_dir, "events")
     e = F.col("event_id")
     return ev.select(
@@ -466,7 +479,9 @@ def d11_bitwise(spark, sf_dir):
         e.bitwiseAND(F.lit(255)).alias("b_and"),
         e.bitwiseOR(F.lit(16)).alias("b_or"),
         e.bitwiseXOR(F.lit(255)).alias("b_xor"),
-        F.shiftleft(e, 2).alias("b_shl"),
+        F.when(
+            e.between(0, 2305843009213693951), F.shiftleft(e, 2)
+        ).alias("b_shl"),
         F.shiftright(e, 1).alias("b_shr"),
         F.bit_count(e).alias("b_cnt"),
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.vector import l2_norm, to_double_array
-from ..functions.rounding import exact_mean6, sql_exact_mean6
+from ..functions.rounding import exact_mean6, sql_exact_mean6, sql_pmod
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
@@ -675,16 +675,16 @@ def f17_multimodal_features(spark, sf_dir):
     -- (replay law — duplicate payload rows in, duplicate feature rows
     -- out), so features compute once per distinct doc and re-expand to
     -- input multiplicity; 1:1 no-op on unique-id fixtures
-    WITH params AS (SELECT DISTINCT doc_id, 64 + doc_id % 64 AS n
+    WITH params AS (SELECT DISTINCT doc_id, 64 + {sql_pmod('doc_id', 64)} AS n
                     FROM documents),
     samples AS (
-      SELECT p.doc_id, ((p.doc_id*31 + g.i*17) % 2003) - 1001 AS s
+      SELECT p.doc_id, {sql_pmod('p.doc_id*31 + g.i*17', 2003)} - 1001 AS s
       FROM params p,
            LATERAL (SELECT unnest(generate_series(0, p.n - 1)) AS i) g
     ),
     feats AS (
       SELECT doc_id,
-             CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+             CAST(8000 + ({sql_pmod('doc_id', 4)}) * 4000 AS BIGINT) AS sample_rate,
              count(*) AS n_samples,
              {sql_exact_mean6('sum(s)', 'count(*)')} AS mean_amp,
              round(sqrt(avg(s*s)), 6) AS rms,
@@ -711,7 +711,7 @@ def f17b_wav_decode_features(spark, sf_dir):
     -- params DISTINCT + final join-back: per-row MAP replay law (see
     -- f17b)
     WITH params AS (
-      SELECT DISTINCT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+      SELECT DISTINCT doc_id, 8 + {sql_pmod('doc_id', 9)} AS w, 6 + {sql_pmod('doc_id', 7)} AS h
       FROM documents),
     px AS (
       SELECT p.doc_id, p.w, p.h, gx.x, gy.y
@@ -722,9 +722,9 @@ def f17b_wav_decode_features(spark, sf_dir):
       SELECT doc_id,
              CAST(max(w) AS BIGINT) AS width,
              CAST(max(h) AS BIGINT) AS height,
-             {sql_exact_mean6('sum((doc_id + 3*x + 5*y) % 256)', 'count(*)')} AS mean_r,
-             {sql_exact_mean6('sum((2*doc_id + 7*x + y) % 256)', 'count(*)')} AS mean_g,
-             {sql_exact_mean6('sum((5*doc_id + x + 11*y) % 256)', 'count(*)')} AS mean_b
+             {sql_exact_mean6("sum(" + sql_pmod("doc_id + 3*x + 5*y", 256) + ")", "count(*)")} AS mean_r,
+             {sql_exact_mean6("sum(" + sql_pmod("2*doc_id + 7*x + y", 256) + ")", "count(*)")} AS mean_g,
+             {sql_exact_mean6("sum(" + sql_pmod("5*doc_id + x + 11*y", 256) + ")", "count(*)")} AS mean_b
       FROM px GROUP BY doc_id)
     SELECT f.* FROM documents d JOIN feats f ON f.doc_id = d.doc_id
     """,
@@ -752,13 +752,13 @@ def f17c_bmp_decode_features(spark, sf_dir):
     -- params DISTINCT + final join-back: per-row MAP replay law (see
     -- f17b)
     WITH params AS (
-      SELECT DISTINCT doc_id, 2 + doc_id % 3 AS wt, 1 + doc_id % 2 AS ht
+      SELECT DISTINCT doc_id, 2 + {sql_pmod('doc_id', 3)} AS wt, 1 + {sql_pmod('doc_id', 2)} AS ht
       FROM documents),
     tiles AS (
       SELECT p.doc_id, p.wt, p.ht, gx.tx, gy.ty,
-             CAST((p.doc_id + 37*gx.tx + 53*gy.ty) % 256 AS DOUBLE) AS r,
-             CAST((2*p.doc_id + 11*gx.tx + 29*gy.ty) % 256 AS DOUBLE) AS g,
-             CAST((3*p.doc_id + 17*gx.tx + 7*gy.ty) % 256 AS DOUBLE) AS b
+             CAST({sql_pmod('p.doc_id + 37*gx.tx + 53*gy.ty', 256)} AS DOUBLE) AS r,
+             CAST({sql_pmod('2*p.doc_id + 11*gx.tx + 29*gy.ty', 256)} AS DOUBLE) AS g,
+             CAST({sql_pmod('3*p.doc_id + 17*gx.tx + 7*gy.ty', 256)} AS DOUBLE) AS b
       FROM params p,
            LATERAL (SELECT unnest(generate_series(0, p.wt - 1)) AS tx) gx,
            LATERAL (SELECT unnest(generate_series(0, p.ht - 1)) AS ty) gy),
@@ -814,7 +814,7 @@ def f17d_jpeg_decode_features(spark, sf_dir):
     -- params DISTINCT + final join-back: per-row MAP replay law (see
     -- f17b)
     WITH params AS (
-      SELECT DISTINCT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 6 AS h
+      SELECT DISTINCT doc_id, 5 + {sql_pmod('doc_id', 11)} AS w, 4 + {sql_pmod('doc_id', 6)} AS h
       FROM documents),
     px AS (
       SELECT p.doc_id, p.w, p.h, gx.x, gy.y
@@ -825,9 +825,9 @@ def f17d_jpeg_decode_features(spark, sf_dir):
       SELECT doc_id,
              CAST(max(w) AS BIGINT) AS width,
              CAST(max(h) AS BIGINT) AS height,
-             {sql_exact_mean6('sum((7*doc_id + 2*x + 13*y) % 256)', 'count(*)')} AS mean_r,
-             {sql_exact_mean6('sum((doc_id + 9*x + 4*y) % 256)', 'count(*)')} AS mean_g,
-             {sql_exact_mean6('sum((4*doc_id + 5*x + 3*y) % 256)', 'count(*)')} AS mean_b
+             {sql_exact_mean6("sum(" + sql_pmod("7*doc_id + 2*x + 13*y", 256) + ")", "count(*)")} AS mean_r,
+             {sql_exact_mean6("sum(" + sql_pmod("doc_id + 9*x + 4*y", 256) + ")", "count(*)")} AS mean_g,
+             {sql_exact_mean6("sum(" + sql_pmod("4*doc_id + 5*x + 3*y", 256) + ")", "count(*)")} AS mean_b
       FROM px GROUP BY doc_id)
     SELECT f.* FROM documents d JOIN feats f ON f.doc_id = d.doc_id
     """,
@@ -855,7 +855,7 @@ def f17e_png_decode_features(spark, sf_dir):
     -- params DISTINCT + final join-back: per-row MAP replay law (see
     -- f17b)
     WITH params AS (
-      SELECT DISTINCT doc_id, 2 + doc_id % 3 AS n_frames FROM documents),
+      SELECT DISTINCT doc_id, 2 + {sql_pmod('doc_id', 3)} AS n_frames FROM documents),
     sampled AS (
       SELECT p.doc_id, p.n_frames, g.fi
       FROM params p,
@@ -863,9 +863,9 @@ def f17e_png_decode_features(spark, sf_dir):
       WHERE g.fi % 2 = 0),
     tiles AS (
       SELECT s.doc_id, s.n_frames, s.fi, tx.tx,
-             CAST((s.doc_id + 37*tx.tx + 19*s.fi) % 256 AS DOUBLE) AS r,
-             CAST((2*s.doc_id + 11*tx.tx + 23*s.fi) % 256 AS DOUBLE) AS g,
-             CAST((3*s.doc_id + 17*tx.tx + 29*s.fi) % 256 AS DOUBLE) AS b
+             CAST({sql_pmod('s.doc_id + 37*tx.tx + 19*s.fi', 256)} AS DOUBLE) AS r,
+             CAST({sql_pmod('2*s.doc_id + 11*tx.tx + 23*s.fi', 256)} AS DOUBLE) AS g,
+             CAST({sql_pmod('3*s.doc_id + 17*tx.tx + 29*s.fi', 256)} AS DOUBLE) AS b
       FROM sampled s, LATERAL (SELECT unnest([0, 1]) AS tx) tx),
     ycc AS (
       SELECT doc_id, n_frames, fi,
@@ -2470,7 +2470,7 @@ def f45_domain_pagerank(spark, sf_dir):
     -- params DISTINCT + final join-back: per-row MAP replay law (see
     -- f17b)
     WITH params AS (
-      SELECT DISTINCT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+      SELECT DISTINCT doc_id, 8 + {sql_pmod('doc_id', 9)} AS w, 6 + {sql_pmod('doc_id', 7)} AS h
       FROM documents),
     rp AS (
       SELECT doc_id,
@@ -2486,9 +2486,9 @@ def f45_domain_pagerank(spark, sf_dir):
       SELECT doc_id,
              CAST(max(rw) AS BIGINT) AS width,
              CAST(max(rh) AS BIGINT) AS height,
-             {sql_exact_mean6('sum((doc_id + 3*sx + 5*sy) % 256)', 'count(*)')} AS mean_r,
-             {sql_exact_mean6('sum((2*doc_id + 7*sx + sy) % 256)', 'count(*)')} AS mean_g,
-             {sql_exact_mean6('sum((5*doc_id + sx + 11*sy) % 256)', 'count(*)')} AS mean_b
+             {sql_exact_mean6("sum(" + sql_pmod("doc_id + 3*sx + 5*sy", 256) + ")", "count(*)")} AS mean_r,
+             {sql_exact_mean6("sum(" + sql_pmod("2*doc_id + 7*sx + sy", 256) + ")", "count(*)")} AS mean_g,
+             {sql_exact_mean6("sum(" + sql_pmod("5*doc_id + sx + 11*sy", 256) + ")", "count(*)")} AS mean_b
       FROM px GROUP BY doc_id)
     SELECT f.* FROM documents d JOIN feats f ON f.doc_id = d.doc_id
     """,

@@ -185,7 +185,9 @@ _DRIVER_GREEN = frozenset({
 # CONCRETE r9 window plan (assemble at r9 start, once CORRECTNESS_r08
 # is green): rewrites during r9 first, then the r8 law rewrites that
 # deferred as pristine-value-neutral (c22, d14, d17, e14, e18, f6,
-# f19, f46, g4), then the r3/r4 rows the mid-r8
+# f19, f46, g4; from the idspace closure: d11's gated left shift and
+# the f17b–f17g pmod-form oracles — both identities at the fixtures'
+# small positive ids), then the r3/r4 rows the mid-r8
 # revision displaced (d8, e1–e10 streaming twins, f1, f8, f14, f15,
 # f19–f23, g5, g7, g8; a17–a21), then the untouched r4 rows
 # (alphabetical from b36: b36, b37, c8, c9, d9, d11, d18, e14, e16,

@@ -1709,3 +1709,122 @@ def test_tsedge_negative_epoch_floor_laws(spark):
         .collect()[0]
     )
     assert (sp2.sub, sp2.comp) == (1439, 1439)
+
+
+def test_cosine_topk_id_isomorphism(spark):
+    """Id-space portability law (SURVEY.md §5.4, from the idspace
+    probe): the exact similarity tiers must give the SAME answers
+    under any order-preserving id remap — snowflake-scale (>= 2^32)
+    and negative int64 ids included. Raw-id bit-packing
+    (key = sim_int*2^32 + id) silently corrupted the (sim DESC,
+    id ASC) total order past 2^32; packing the POSITION of an
+    id-sorted load is isomorphic to the id order at any magnitude."""
+    emb = load_table(spark, SF_T2, "embeddings").filter(F.col("vec_id") < 64)
+
+    def f(i):
+        return (i - 5) * 3_000_000_029
+
+    base = sim.cosine_topk(emb, k=5).collect()
+    want = {(f(r.query_id), f(r.neighbor_id), r.cos_sim, r.rank) for r in base}
+    shifted = emb.withColumn(
+        "vec_id", (F.col("vec_id") - F.lit(5)) * F.lit(3_000_000_029)
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in sim.cosine_topk(shifted, k=5).collect()
+    }
+    assert got == want
+    got_chunked = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in sim.cosine_topk_chunked(shifted, k=5, chunk_size=16).collect()
+    }
+    assert got_chunked == want
+
+
+def test_idspace_engine_int64_laws(spark):
+    """Pin the engine-pair facts behind the id-space portability law
+    (SURVEY.md §5.4, from the idspace probe). Each is an ENGINE
+    property probed 2026-08-15 on Spark 4.1 / DuckDB 1.0.0; if an
+    upgrade flips one, re-derive the law.
+
+    1. Left shift: DuckDB RAISES on a negative LHS and on overflow;
+       Spark wraps silently (Java <<) — no gateless spelling can be
+       parity-exact, hence d11's [0, 2^61-1] domain gate.
+    2. &, |, xor, >>, bit_count: two's-complement identical at ANY
+       int64 in both engines — they need no gate.
+    3. Python % is sign-of-divisor, SQL % (both engines) is
+       sign-of-dividend — oracles replaying Python generative
+       formulas must spell sql_pmod.
+    4. Zero-variance correlation: ANSI Spark's corr() RAISES
+       DIVIDE_BY_ZERO (the divide is inside the aggregate, outer
+       gates can't stop it) where DuckDB yields NULL — hence c4's
+       manual gated co-moment quotient.
+    """
+    import duckdb
+    import pytest as _pytest
+
+    from cassandra_migrate_keyspace_from_cluster_spark.functions.rounding import (
+        sql_pmod,
+    )
+
+    con = duckdb.connect()
+
+    # 1. left shift disagreement
+    with _pytest.raises(duckdb.OutOfRangeException):
+        con.execute("SELECT (-5)::BIGINT << 2").fetchone()
+    with _pytest.raises(duckdb.OutOfRangeException):
+        con.execute("SELECT 4611686018427387904 << 2").fetchone()
+    sp = (
+        spark.createDataFrame([(-5,), (4611686018427387904,)], "x bigint")
+        .select(F.shiftleft("x", 2).alias("s"))
+        .collect()
+    )
+    assert [r.s for r in sp] == [-20, 0]  # Java wrap, no error
+
+    # 2. the other bitwise ops agree at any int64
+    vals = [-5, -15_000_000_145, (1 << 62) + 12_345]
+    for v in vals:
+        d = con.execute(
+            "SELECT ?::BIGINT & 255, ?::BIGINT | 16, xor(?::BIGINT, 255),"
+            " ?::BIGINT >> 1, bit_count(?::BIGINT)",
+            [v, v, v, v, v],
+        ).fetchone()
+        s = (
+            spark.createDataFrame([(v,)], "x bigint")
+            .select(
+                F.col("x").bitwiseAND(F.lit(255)),
+                F.col("x").bitwiseOR(F.lit(16)),
+                F.col("x").bitwiseXOR(F.lit(255)),
+                F.shiftright("x", 1),
+                F.bit_count("x"),
+            )
+            .collect()[0]
+        )
+        assert tuple(s) == tuple(d), v
+
+    # 3. modulus sign: SQL % agrees with itself across engines and
+    # disagrees with Python at negative dividends; sql_pmod == Python %
+    assert (-5) % 7 == 2  # Python: sign of the divisor
+    d_mod, d_pmod = con.execute(
+        f"SELECT (-5) % 7, {sql_pmod('-5', 7)}"
+    ).fetchone()
+    assert (d_mod, d_pmod) == (-5, 2)
+    s_mod, s_pmod = (
+        spark.createDataFrame([(-5,)], "x bigint")
+        .select(F.expr("x % 7"), F.expr(f"(((x % 7) + 7) % 7)"))
+        .collect()[0]
+    )
+    assert (s_mod, s_pmod) == (-5, 2)
+
+    # 4. zero-variance corr: Spark ANSI raises, DuckDB NULL
+    assert (
+        con.execute(
+            "SELECT corr(v, u) FROM (VALUES (1.0, 0.0), (2.0, 0.0)) t(v, u)"
+        ).fetchone()[0]
+        is None
+    )
+    from pyspark.errors import ArithmeticException
+
+    zdf = spark.createDataFrame([(1.0, 0.0), (2.0, 0.0)], "v double, u double")
+    with _pytest.raises(ArithmeticException):
+        zdf.agg(F.corr("v", "u")).collect()

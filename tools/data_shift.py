@@ -344,6 +344,61 @@ def perturb_tsedge(sf_dir: str, out_dir: str) -> None:
         _write(tbl, os.path.join(out_dir, f"{name}.parquet"))
 
 
+# idspace mode: the benign generator mints every id as a SMALL dense
+# positive integer (1..n), so every gate runs joins, top-k tie-breaks,
+# hash partitioning, and id arithmetic at one friendly corner of the
+# int64 domain. Real corpora don't: snowflake/UUID-derived ids exceed
+# 2^32 routinely, and signed-hash id schemes go negative. The remap
+# new_id = (id - 5) * 3_000_000_029 is order-preserving (a positive
+# multiplier: every id-ASC tie-break law keeps the same winners),
+# injective, applied to EVERY column of an id family at once (all FK
+# joins keep matching), pushes every id of consequence past 2^32, and
+# makes ids 1..4 of each family NEGATIVE. Both engines read the same
+# remapped tables, so this is parity under id-space shift — it probes
+# exactly the class the similarity kernels' old raw-id bit-packing
+# (key = sim_int * 2^32 + id) would have failed. Excluded by schema
+# contract: the int32 dimension keys (r_regionkey, n_nationkey,
+# c_nationkey, s_nationkey, n_regionkey — a 25-row dimension's key
+# never leaves int32 territory) and intra-order line numbers.
+ID_MULT = 3_000_000_029
+ID_SHIFT = 5
+ID_FAMILIES = {  # family -> [(table, column), ...] remapped together
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "event_id": [("events", "event_id")],
+    "user_id": [("events", "user_id")],
+    "doc_id": [("documents", "doc_id")],
+    "vec_id": [("embeddings", "vec_id")],
+}
+
+
+def perturb_idspace(sf_dir: str, out_dir: str) -> None:
+    """Order-preserving affine remap of every int64 id family into
+    huge-magnitude (and partly negative) id space."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    remap_cols = {}
+    for cols in ID_FAMILIES.values():
+        for tbl_name, col in cols:
+            remap_cols.setdefault(tbl_name, []).append(col)
+    for name in TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+        for col in remap_cols.get(name, []):
+            idx = tbl.schema.get_field_index(col)
+            field = tbl.schema.field(idx)
+            assert field.type == pa.int64(), (name, col, field.type)
+            shifted = pc.multiply_checked(
+                pc.subtract_checked(tbl.column(idx), pa.scalar(ID_SHIFT)),
+                pa.scalar(ID_MULT),
+            )
+            tbl = tbl.set_column(idx, field, shifted)
+        _write(tbl, os.path.join(out_dir, f"{name}.parquet"))
+
+
 # extremes mode: IEEE-754 edge values into the two columns whose
 # DECLARED domain is "arbitrary double": events.value (sensor/metric
 # payload — upstream glitches deliver NaN/Inf/huge/denormal routinely)
@@ -446,18 +501,21 @@ def perturb_extremes(sf_dir: str, out_dir: str) -> None:
 
 def perturb_storm(sf_dir: str, out_dir: str) -> None:
     """Composition of the non-truncating modes, in ingress order:
-    skewkey (hot keys exist in the source) → tsedge (their clocks
-    glitch) → textedge (their payloads are arbitrary text) → extremes
-    (their measurements glitch) → nulls (fields go missing) → dup2
-    (the whole batch is delivered at least once). A real 100-TB
-    corpus has all six simultaneously; this catches LAW INTERACTIONS
-    the individual modes cannot (e.g. a null guard that assumes the
+    idspace (source ids are snowflake-scale to begin with) → skewkey
+    (hot keys exist in the source) → tsedge (their clocks glitch) →
+    textedge (their payloads are arbitrary text) → extremes (their
+    measurements glitch) → nulls (fields go missing) → dup2 (the
+    whole batch is delivered at least once). A real 100-TB corpus has
+    all seven simultaneously; this catches LAW INTERACTIONS the
+    individual modes cannot (e.g. a null guard that assumes the
     textedge path already normalized, a replay collapse that meets a
     NULL key, a domain gate meeting a duplicated NaN, a window frame
-    anchored on a duplicated negative-epoch instant). head3 stays
-    standalone — truncation would erase the other shifts."""
-    stages = [perturb_skewkey, perturb_tsedge, perturb_textedge,
-              perturb_extremes, perturb_nulls, perturb_dup2]
+    anchored on a duplicated negative-epoch instant, a skew-minted id
+    colliding with a remapped key range). head3 stays standalone —
+    truncation would erase the other shifts."""
+    stages = [perturb_idspace, perturb_skewkey, perturb_tsedge,
+              perturb_textedge, perturb_extremes, perturb_nulls,
+              perturb_dup2]
     cur = sf_dir
     tmps = []
     try:
@@ -480,6 +538,7 @@ MODES = {
     "skewkey": perturb_skewkey,
     "extremes": perturb_extremes,
     "tsedge": perturb_tsedge,
+    "idspace": perturb_idspace,
     "storm": perturb_storm,
 }
 
