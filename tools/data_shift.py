@@ -344,6 +344,51 @@ def perturb_tsedge(sf_dir: str, out_dir: str) -> None:
         _write(tbl, os.path.join(out_dir, f"{name}.parquet"))
 
 
+# orphan mode: referential holes at realistic volume. The benign
+# fixtures are referentially PERFECT (every FK lands), and head3's
+# raggedness is 3-row-tiny — but real migrations see dangling
+# references routinely: partial copies, deleted parents, out-of-order
+# table loads, retention windows that age out one side first. The mode
+# drops a seeded deterministic ~10% of each PARENT/ENTITY table's rows
+# while leaving every referencing table untouched: orders pointing at
+# vanished customers, lineitems at vanished orders/parts/suppliers,
+# documents whose embedding vanished and vice versa. Both engines read
+# the same holed tables, so inner joins shrink identically and the
+# interesting physics is everything that ASSUMED a partner exists:
+# outer-join NULL extension through aggregation, scalar subqueries,
+# as-of partners, referential-audit queries (a18's whole purpose),
+# enrichment lookups. Child tables and the events stream (no parent
+# table) keep full volume.
+ORPHAN_DROP = {  # table -> (key column used for the seeded drop)
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "orders": "o_orderkey",        # orphans lineitem AND loses custs' orders
+    "embeddings": "vec_id",        # documents lose their vectors
+    "documents": "doc_id",         # vectors lose their documents
+}
+ORPHAN_P = 0.10
+
+
+def perturb_orphan(sf_dir: str, out_dir: str) -> None:
+    """Seeded deterministic drop of ~10% of each parent/entity table."""
+    import zlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    for name in TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+        key = ORPHAN_DROP.get(name)
+        if key is not None and tbl.num_rows > 0:
+            rng = np.random.default_rng(
+                SEED + 7000 + zlib.crc32(name.encode()) % 997
+            )
+            keep = rng.random(tbl.num_rows) >= ORPHAN_P
+            tbl = tbl.filter(keep)
+        _write(tbl, os.path.join(out_dir, f"{name}.parquet"))
+
+
 # idspace mode: the benign generator mints every id as a SMALL dense
 # positive integer (1..n), so every gate runs joins, top-k tie-breaks,
 # hash partitioning, and id arithmetic at one friendly corner of the
@@ -501,21 +546,23 @@ def perturb_extremes(sf_dir: str, out_dir: str) -> None:
 
 def perturb_storm(sf_dir: str, out_dir: str) -> None:
     """Composition of the non-truncating modes, in ingress order:
-    idspace (source ids are snowflake-scale to begin with) → skewkey
-    (hot keys exist in the source) → tsedge (their clocks glitch) →
-    textedge (their payloads are arbitrary text) → extremes (their
+    idspace (source ids are snowflake-scale to begin with) → orphan
+    (parents are already missing at the source) → skewkey (hot keys
+    exist in the source) → tsedge (their clocks glitch) → textedge
+    (their payloads are arbitrary text) → extremes (their
     measurements glitch) → nulls (fields go missing) → dup2 (the
     whole batch is delivered at least once). A real 100-TB corpus has
-    all seven simultaneously; this catches LAW INTERACTIONS the
+    all eight simultaneously; this catches LAW INTERACTIONS the
     individual modes cannot (e.g. a null guard that assumes the
     textedge path already normalized, a replay collapse that meets a
     NULL key, a domain gate meeting a duplicated NaN, a window frame
     anchored on a duplicated negative-epoch instant, a skew-minted id
-    colliding with a remapped key range). head3 stays standalone —
-    truncation would erase the other shifts."""
-    stages = [perturb_idspace, perturb_skewkey, perturb_tsedge,
-              perturb_textedge, perturb_extremes, perturb_nulls,
-              perturb_dup2]
+    colliding with a remapped key range, an outer-join NULL extension
+    meeting an injected NULL). head3 stays standalone — truncation
+    would erase the other shifts."""
+    stages = [perturb_idspace, perturb_orphan, perturb_skewkey,
+              perturb_tsedge, perturb_textedge, perturb_extremes,
+              perturb_nulls, perturb_dup2]
     cur = sf_dir
     tmps = []
     try:
@@ -539,6 +586,7 @@ MODES = {
     "extremes": perturb_extremes,
     "tsedge": perturb_tsedge,
     "idspace": perturb_idspace,
+    "orphan": perturb_orphan,
     "storm": perturb_storm,
 }
 
