@@ -1828,3 +1828,40 @@ def test_idspace_engine_int64_laws(spark):
     zdf = spark.createDataFrame([(1.0, 0.0), (2.0, 0.0)], "v double, u double")
     with _pytest.raises(ArithmeticException):
         zdf.agg(F.corr("v", "u")).collect()
+
+
+def test_lakemix_byte_stream_split_reader_gap(spark, tmp_path):
+    """Pin the one engine gap the lakemix encoding probe found
+    (probed 2026-08-15, Spark 4.1 / DuckDB 1.0.0; if an upgrade
+    closes it, drop the SCALE.md ingestion caveat and add BSS to
+    LAKEMIX_PROFILES): BYTE_STREAM_SPLIT-encoded parquet is readable
+    by DuckDB and by Spark's row-wise parquet-mr path, but Spark's
+    VECTORIZED reader rejects it. Everything else in the probe's
+    matrix (v2 pages, zstd/gzip/lz4/snappy/none, dictionary off,
+    DELTA_BINARY_PACKED, DELTA_LENGTH_BYTE_ARRAY, odd row groups) is
+    read cell-exact by both engines — lakemix runs 207/207 on it."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    p = str(tmp_path / "bss.parquet")
+    pq.write_table(
+        pa.table({"d": pa.array([1.5, 2.5, 3.5], pa.float64())}),
+        p,
+        use_dictionary=False,
+        use_byte_stream_split=["d"],
+    )
+    assert duckdb.connect().execute(
+        f"SELECT sum(d) FROM read_parquet('{p}')"
+    ).fetchone()[0] == 7.5
+
+    with _pytest.raises(Exception, match="BYTE_STREAM_SPLIT"):
+        spark.read.parquet(p).agg(F.sum("d")).collect()
+    old = spark.conf.get("spark.sql.parquet.enableVectorizedReader")
+    try:
+        spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+        got = spark.read.parquet(p).agg(F.sum("d")).collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.parquet.enableVectorizedReader", old)
+    assert got == 7.5

@@ -344,6 +344,64 @@ def perturb_tsedge(sf_dir: str, out_dir: str) -> None:
         _write(tbl, os.path.join(out_dir, f"{name}.parquet"))
 
 
+# lakemix mode: the SAME logical data re-encoded with a per-table mix
+# of parquet writer profiles — compression codecs (zstd/gzip/lz4/
+# snappy/none), v2 data pages, dictionary off, DELTA_BINARY_PACKED /
+# DELTA_LENGTH_BYTE_ARRAY column encodings, BYTE_STREAM_SPLIT floats,
+# and tiny row groups. A 100-TB lake is written by MANY writers over
+# years (Spark jobs, Flink sinks, pyarrow backfills, vendor exports);
+# every gate so far read one generator's uniform encoding, so the two
+# engines' parquet READER paths (Spark vectorized/parquet-mr decode
+# vs DuckDB's native reader) were only ever probed at one point of
+# the encoding matrix. Logical values are byte-identical by
+# construction — any divergence is a reader bug, the class that
+# corrupts silently at scale. (Data-side complement of
+# conf_invariance's parquet_rowwise axis, which flips the SPARK
+# reader on the same file.)
+# Matrix bound, first-run finding: BYTE_STREAM_SPLIT is readable by
+# DuckDB and by Spark's parquet-mr (row-wise) reader but NOT by
+# Spark's VECTORIZED reader ("Unsupported encoding: BYTE_STREAM_SPLIT",
+# Spark 4.1) — a real ingestion caveat documented in SCALE.md (BSS
+# inputs need enableVectorizedReader=false or a rewrite), excluded
+# here because the probe's contract is the both-readable matrix.
+LAKEMIX_PROFILES = {
+    "region": dict(compression="none"),
+    "nation": dict(version="2.6", data_page_version="2.0",
+                   compression="zstd"),
+    "customer": dict(use_dictionary=False, compression="snappy"),
+    "supplier": dict(version="2.6", use_dictionary=False,
+                     column_encoding={"s_suppkey": "DELTA_BINARY_PACKED",
+                                      "s_nationkey": "DELTA_BINARY_PACKED"}),
+    "part": dict(compression="gzip", row_group_size=11),
+    "orders": dict(version="2.6", data_page_version="2.0",
+                   compression="zstd", use_dictionary=False,
+                   column_encoding={"o_orderkey": "DELTA_BINARY_PACKED",
+                                    "o_custkey": "DELTA_BINARY_PACKED"}),
+    "lineitem": dict(version="2.6", data_page_version="2.0",
+                     compression="lz4", row_group_size=997),
+    "events": dict(use_dictionary=False, compression="zstd",
+                   row_group_size=499),
+    "documents": dict(version="2.6", use_dictionary=False,
+                      column_encoding={
+                          "text": "DELTA_LENGTH_BYTE_ARRAY",
+                          "doc_id": "DELTA_BINARY_PACKED"}),
+    "embeddings": dict(use_dictionary=False, compression="lz4"),
+}
+
+
+def perturb_lakemix(sf_dir: str, out_dir: str) -> None:
+    """Rewrite every table bit-identical in VALUES under a different
+    parquet writer profile (LAKEMIX_PROFILES)."""
+    import pyarrow.parquet as pq
+
+    for name in TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+        pq.write_table(
+            tbl, os.path.join(out_dir, f"{name}.parquet"),
+            **LAKEMIX_PROFILES[name],
+        )
+
+
 # orphan mode: referential holes at realistic volume. The benign
 # fixtures are referentially PERFECT (every FK lands), and head3's
 # raggedness is 3-row-tiny — but real migrations see dangling
@@ -587,6 +645,7 @@ MODES = {
     "tsedge": perturb_tsedge,
     "idspace": perturb_idspace,
     "orphan": perturb_orphan,
+    "lakemix": perturb_lakemix,
     "storm": perturb_storm,
 }
 
