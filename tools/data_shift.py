@@ -616,11 +616,14 @@ def perturb_storm(sf_dir: str, out_dir: str) -> None:
     NULL key, a domain gate meeting a duplicated NaN, a window frame
     anchored on a duplicated negative-epoch instant, a skew-minted id
     colliding with a remapped key range, an outer-join NULL extension
-    meeting an injected NULL). head3 stays standalone — truncation
-    would erase the other shifts."""
+    meeting an injected NULL), and the result ships in lakemix's mixed
+    parquet encodings (the physical form whatever data exists arrives
+    in — DELTA-packed huge negative ids, zstd'd unicode edge text).
+    head3 stays standalone — truncation would erase the other
+    shifts."""
     stages = [perturb_idspace, perturb_orphan, perturb_skewkey,
               perturb_tsedge, perturb_textedge, perturb_extremes,
-              perturb_nulls, perturb_dup2]
+              perturb_nulls, perturb_dup2, perturb_lakemix]
     cur = sf_dir
     tmps = []
     try:
