@@ -95,8 +95,10 @@ def _arrow_batches(table):
 def _ddl_schema(path: str) -> str:
     import pyarrow.parquet as pq
 
+    from .parquet_keyspace import list_part_files
+
     fields = []
-    for f in pq.read_schema(path):
+    for f in pq.read_schema(list_part_files(path)[0]):
         t = str(f.type)
         if t.startswith("timestamp"):
             ddl = "timestamp"
@@ -128,25 +130,32 @@ class KeyspaceClusterReader(DataSourceReader):
         # cannot row-group-prune (a token-SORTED layout plus row-group
         # stats would restore that), but streaming group-at-a-time
         # bounds task memory to one row group instead of the file.
+        # Directory-aware (multifile probe): a node's data is many
+        # sstable part files; every range task walks all parts — a
+        # real connector's server-side push makes this O(range) there.
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(self.path)
-        for rg in range(pf.metadata.num_row_groups):
-            tbl = pf.read_row_group(rg)
-            keys = tbl[self.key].to_pylist()
-            hits = [
-                i
-                for i, k in enumerate(keys)
-                if partition.lo <= token_of(k) < partition.hi
-            ]
-            if not hits:
-                continue
-            yield from _arrow_batches(tbl.take(hits))
+        from .parquet_keyspace import list_part_files
+
+        for part in list_part_files(self.path):
+            pf = pq.ParquetFile(part)
+            for rg in range(pf.metadata.num_row_groups):
+                tbl = pf.read_row_group(rg)
+                keys = tbl[self.key].to_pylist()
+                hits = [
+                    i
+                    for i, k in enumerate(keys)
+                    if partition.lo <= token_of(k) < partition.hi
+                ]
+                if not hits:
+                    continue
+                yield from _arrow_batches(tbl.take(hits))
 
 
 class KeyspaceClusterDataSource(DataSource):
     """``spark.read.format("keyspace_cluster")`` with options
-    path (parquet file), key (partition-key column), n_ranges."""
+    path (parquet file, or a directory of sstable-like part files),
+    key (partition-key column), n_ranges."""
 
     @classmethod
     def name(cls):

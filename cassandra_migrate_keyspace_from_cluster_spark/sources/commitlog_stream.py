@@ -54,8 +54,15 @@ class CommitLogStreamReader(DataSourceStreamReader):
         self.batch_rows = int(options.get("batch_rows", "0"))
         import pyarrow.parquet as pq
 
-        # metadata-only: the log's current end position
-        self.total = pq.ParquetFile(self.path).metadata.num_rows
+        from .parquet_keyspace import list_part_files
+
+        # metadata-only: the log's current end position. A real
+        # commitlog IS segment files — a directory reads as the
+        # segments concatenated in sorted name order (multifile probe)
+        self.total = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in list_part_files(self.path)
+        )
         self._cap = 0
 
     def initialOffset(self):
@@ -89,23 +96,33 @@ class CommitLogStreamReader(DataSourceStreamReader):
             return
         import pyarrow.parquet as pq
 
-        # row-group-pruned read: only the groups overlapping [lo, hi)
-        # are decoded, so a slice task touches O(slice) bytes
-        pf = pq.ParquetFile(self.path)
-        pos = 0
-        for rg in range(pf.metadata.num_row_groups):
-            n_rows = pf.metadata.row_group(rg).num_rows
-            g_lo, g_hi = pos, pos + n_rows
-            pos = g_hi
-            if g_hi <= partition.lo:
-                continue
-            if g_lo >= partition.hi:
-                break
-            s = max(partition.lo - g_lo, 0)
-            e = min(partition.hi - g_lo, n_rows)
-            from .cluster_source import _arrow_batches
+        from .parquet_keyspace import list_part_files
 
-            yield from _arrow_batches(pf.read_row_group(rg).slice(s, e - s))
+        # row-group-pruned read: only the groups overlapping [lo, hi)
+        # are decoded, so a slice task touches O(slice) bytes. Global
+        # positions run across the sorted segment files (metadata-only
+        # walk to skip whole segments before the slice).
+        pos = 0
+        for part in list_part_files(self.path):
+            pf = pq.ParquetFile(part)
+            if pos + pf.metadata.num_rows <= partition.lo:
+                pos += pf.metadata.num_rows  # segment wholly before slice
+                continue
+            for rg in range(pf.metadata.num_row_groups):
+                n_rows = pf.metadata.row_group(rg).num_rows
+                g_lo, g_hi = pos, pos + n_rows
+                pos = g_hi
+                if g_hi <= partition.lo:
+                    continue
+                if g_lo >= partition.hi:
+                    return
+                s = max(partition.lo - g_lo, 0)
+                e = min(partition.hi - g_lo, n_rows)
+                from .cluster_source import _arrow_batches
+
+                yield from _arrow_batches(
+                    pf.read_row_group(rg).slice(s, e - s)
+                )
 
     def commit(self, end):
         # committed position is a floor for the admission cap (restart
@@ -116,7 +133,8 @@ class CommitLogStreamReader(DataSourceStreamReader):
 
 class CommitLogStreamDataSource(DataSource):
     """``spark.readStream.format("keyspace_commitlog")`` with options
-    path (parquet file), n_slices, batch_rows."""
+    path (parquet file, or a directory of segment files), n_slices,
+    batch_rows."""
 
     @classmethod
     def name(cls):

@@ -43,6 +43,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def list_part_files(path: str) -> list[str]:
+    """Physical part files of a table path — a single parquet file, or
+    the sorted ``*.parquet`` parts of a DIRECTORY. At 100 TB a table
+    is always a directory of many writers' part files (and a commitlog
+    is segment files), so nothing may assume one footer per table; the
+    fixtures just happen to be single files. Sorted for deterministic
+    global order wherever a source assigns positions across parts."""
+    if os.path.isdir(path):
+        import glob
+
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no *.parquet part files under {path}")
+        return parts
+    return [path]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one keyspace table as a DataFrame (schema from parquet footer).
 
@@ -76,7 +93,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         import pyarrow.parquet as pq
         import pyarrow.types as pat
 
-        footer = pq.read_schema(path)
+        # directory-aware: sniff the FIRST part file's footer (all
+        # parts of one table share a schema; multifile probe)
+        footer = pq.read_schema(list_part_files(path)[0])
         for col in bigint_cols:
             if col in footer.names and pat.is_timestamp(footer.field(col).type):
                 from pyspark.sql import functions as F

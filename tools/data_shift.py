@@ -402,6 +402,52 @@ def perturb_lakemix(sf_dir: str, out_dir: str) -> None:
         )
 
 
+
+# multifile mode: every table becomes a DIRECTORY of part files with a
+# DIFFERENT writer profile per part — the true physical shape of a
+# lake table (many writers over time, heterogeneous encodings INSIDE
+# one table). Every other gate reads single-file tables, so the
+# engines' multi-file scan paths (file listing order, file-boundary
+# task splits, per-file footer handling, schema unification) and the
+# engine's own directory-aware source plumbing (load_table's footer
+# sniff, the cluster source's per-part walk, the commitlog source's
+# segment concatenation) were never exercised. Values are
+# byte-identical by construction. Standalone like head3 (the mode
+# changes the PHYSICAL layout, so it does not compose as a storm
+# stage — stages read each other's single-file outputs).
+MULTIFILE_PART_PROFILES = [
+    dict(version="2.6", data_page_version="2.0", compression="zstd"),
+    dict(use_dictionary=False, compression="snappy"),
+    dict(compression="gzip", row_group_size=7),
+    dict(compression="none"),
+]
+
+
+def perturb_multifile(sf_dir: str, out_dir: str) -> None:
+    """Split every table into 4 contiguous part files (sorted part
+    names preserve global row order), each with its own writer
+    profile, under a directory named <table>.parquet."""
+    import pyarrow.parquet as pq
+
+    k = len(MULTIFILE_PART_PROFILES)
+    for name in TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+        d = os.path.join(out_dir, f"{name}.parquet")
+        os.makedirs(d, exist_ok=True)
+        n = tbl.num_rows
+        bounds = [round(i * n / k) for i in range(k + 1)]
+        wrote = 0
+        for i in range(k):
+            part = tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+            if part.num_rows == 0 and wrote:
+                continue  # tiny table: keep at least one file, skip empties
+            pq.write_table(
+                part, os.path.join(d, f"part-{i:02d}.parquet"),
+                **MULTIFILE_PART_PROFILES[i],
+            )
+            wrote += 1
+
+
 # orphan mode: referential holes at realistic volume. The benign
 # fixtures are referentially PERFECT (every FK lands), and head3's
 # raggedness is 3-row-tiny — but real migrations see dangling
@@ -649,6 +695,7 @@ MODES = {
     "idspace": perturb_idspace,
     "orphan": perturb_orphan,
     "lakemix": perturb_lakemix,
+    "multifile": perturb_multifile,
     "storm": perturb_storm,
 }
 
@@ -685,9 +732,13 @@ def main() -> None:
             MODES[mode](sf_dir, out_dir)
             con = duckdb.connect()
             for name in TABLES:
+                tp = f"{out_dir}/{name}.parquet"
+                # a directory-shaped table (multifile mode) globs its
+                # sorted part files
+                src_sql = f"{tp}/*.parquet" if os.path.isdir(tp) else tp
                 con.execute(
                     f"CREATE VIEW {name} AS SELECT * FROM "
-                    f"read_parquet('{out_dir}/{name}.parquet')"
+                    f"read_parquet('{src_sql}')"
                 )
             t_m = time.time()
             n_ok = 0
