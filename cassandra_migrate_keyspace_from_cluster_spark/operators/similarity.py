@@ -791,9 +791,19 @@ def quantize_int8(
     scaled = e.select(
         F.col(id_col), "emb", (max_abs / F.lit(127.0)).alias("raw_scale")
     )
+    # display round with a magnitude gate: for raw_scale >= 1e10 the
+    # nearest-6dp decimal of a double IS the double (spacing > 1e-6),
+    # so round(,6) is mathematically the identity — but DuckDB computes
+    # it by fp scaling (x*1e6 -> round -> /1e6), which perturbs huge
+    # values by an ulp, while Spark's BigDecimal path is exact
+    # (sf0.1 storm probe: extremes-scaled 1e25 vectors -> 1e22 scales
+    # split the engines in the last ulp). Skipping the vacuous round
+    # above the gate is value-identical and engine-exact.
     return scaled.select(
         id_col,
-        F.round("raw_scale", 6).alias("scale"),
+        F.when(F.col("raw_scale") >= F.lit(1.0e10), F.col("raw_scale"))
+        .otherwise(F.round("raw_scale", 6))
+        .alias("scale"),
         F.transform(
             "emb", lambda x: F.round(x / F.col("raw_scale"), 0).cast("int")
         ).alias("q"),

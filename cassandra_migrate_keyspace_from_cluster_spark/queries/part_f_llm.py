@@ -156,7 +156,15 @@ def f18_pipeline_report(spark, sf_dir):
                  list_reduce(list_transform(emb, x -> abs(x)),
                              (a, b) -> greatest(a, b)) / 127.0 AS raw_scale
           FROM e)
-    SELECT vec_id, round(raw_scale, 6) AS scale,
+    -- magnitude-gated display round: round(,6) is mathematically the
+    -- identity for raw_scale >= 1e10 (double spacing > 1e-6 there),
+    -- but DuckDB computes it by fp scaling, perturbing huge values by
+    -- an ulp where Spark's BigDecimal path is exact (sf0.1 storm
+    -- probe) — skip the vacuous round above the gate, identically on
+    -- both sides
+    SELECT vec_id,
+           CASE WHEN raw_scale >= 1e10 THEN raw_scale
+                ELSE round(raw_scale, 6) END AS scale,
            array_to_string(list_transform(emb,
              x -> CAST(round(x / raw_scale, 0) AS INT)), ',') AS q_csv
     FROM s

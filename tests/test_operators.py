@@ -1865,3 +1865,43 @@ def test_lakemix_byte_stream_split_reader_gap(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.parquet.enableVectorizedReader", old)
     assert got == 7.5
+
+
+def test_round6_huge_magnitude_engine_law(spark):
+    """Pin the huge-magnitude round corollary (SURVEY.md §5.4, from
+    the sf0.1 storm probe; Spark 4.1 / DuckDB 1.0.0): round(x, 6) for
+    |x| >= ~1e10 is mathematically the identity (double spacing >
+    1e-6), and Spark's BigDecimal path returns x EXACTLY while
+    DuckDB's fp-scaling path perturbs x by an ulp — so any displayed
+    round of an unbounded magnitude must skip the vacuous round above
+    the 1e10 gate (f19's quantization scale)."""
+    import duckdb
+
+    x = 3.1699408823906713e22
+    d = duckdb.connect().execute(
+        "SELECT round(?::DOUBLE, 6)", [x]
+    ).fetchone()[0]
+    assert d != x  # DuckDB: ulp-perturbed
+    s = (
+        spark.createDataFrame([(x,)], "x double")
+        .select(F.round("x", 6).alias("r"))
+        .collect()[0]
+        .r
+    )
+    assert s == x  # Spark: exact identity
+    # the gated form is engine-exact at any magnitude
+    g = (
+        spark.createDataFrame([(x,), (12345.6789012345,)], "x double")
+        .select(
+            F.when(F.col("x") >= 1.0e10, F.col("x"))
+            .otherwise(F.round("x", 6))
+            .alias("r")
+        )
+        .collect()
+    )
+    dg = duckdb.connect().execute(
+        "SELECT CASE WHEN x >= 1e10 THEN x ELSE round(x, 6) END "
+        "FROM (VALUES (?::DOUBLE), (12345.6789012345::DOUBLE)) t(x)",
+        [x],
+    ).fetchall()
+    assert [r.r for r in g] == [v[0] for v in dg] == [x, 12345.678901]
