@@ -57,10 +57,25 @@ Scope boundary — which rounds do NOT need this treatment:
     dyadic half; the f17 pixel/sample means were structurally
     exposed): ALWAYS convert.
 
-Overflow bound (bigint path): 2*|s|*1e6 must stay under 2^63, i.e.
-|s| < 4.6e12 — comfortable for every registered aggregate at any tested
-SF (character counts, pixel sums, token counts); at true 100-TB group
-sums, lift the expressions to DECIMAL(38,0)/HUGEINT — same algebra.
+Overflow bound (r9 hardening — the ADVICE.md high item): the rounding
+algebra no longer has a bigint bound of its own. ``exact_round_ratio``
+and ``exact_mean6`` lift ``s`` to DECIMAL(38,0) (HUGEINT in the DuckDB
+mirror) before the ``2*|s|*p`` blow-up, so the intermediate product is
+exact up to 1e38 regardless of dp; Spark's ``div`` accepts decimal
+operands and returns BIGINT (verified: IntegralDivide supports
+DecimalType in PySpark 4.1.2, bit-identical to DuckDB's HUGEINT ``//``
+at 5.7e16-unit sums where the old bigint path raised
+ARITHMETIC_OVERFLOW under ANSI). Remaining bounds, both documented per
+site:
+  - the RESULT integer round(s/m * 10^dp) must fit int64 (div's return
+    type) — for dp=2 money that is |dollars| < 9.2e16, unreachable;
+  - the SUM feeding ``s`` must itself be exact BEFORE it reaches the
+    helper: a bigint sum of micro-dollar charge terms saturates int64
+    near TPC-H SF160 (~$9.2e12 per group), so every sum whose magnitude
+    grows with data is accumulated via :func:`dec_sum` —
+    ``sum(CAST(term AS DECIMAL(38,0)))`` — per-row terms stay bigint
+    (bounded by row content), only the accumulator is 128-bit-exact.
+    The DuckDB mirrors need no change: ``sum(BIGINT)`` is HUGEINT.
 """
 
 from __future__ import annotations
@@ -81,22 +96,37 @@ def sql_cents(c: str) -> str:
     return f"CAST(round({c} * 100) AS BIGINT)"
 
 
+def dec_sum(term: Column) -> Column:
+    """Overflow-proof exact integer SUM: lift each bigint term to
+    DECIMAL(38,0) so the accumulator is 128-bit-exact (Spark keeps
+    sum(decimal(38,0)) at decimal(38,0)). Use for every exact-unit sum
+    whose magnitude grows with data volume — a bigint accumulator of
+    micro-dollar charge terms saturates int64 near TPC-H SF160. The
+    DuckDB mirror is a plain ``sum``: HUGEINT by default."""
+    return F.sum(term.cast("decimal(38,0)"))
+
+
 def exact_round_ratio(s_name: str, m_name: str, dp: int = 6) -> Column:
     """Spark column: exact ``round(s/m, dp)`` (half-away) from
     integer-typed column NAMES / SQL expressions (names, not Columns —
     the integer division must go through SQL ``div``, which has no
     Column-API operator). The general form behind exact_mean6; use it
     directly for means of k-dp-multiple doubles after integerizing
-    (s = sum(round(x*10^k)), m = 10^k * n)."""
+    (s = sum(round(x*10^k)), m = 10^k * n).
+
+    ``s`` is lifted to DECIMAL(38,0) before the ``2*|s|*p`` blow-up so
+    the algebra cannot overflow int64 (module docstring, r9 bound
+    note); a no-op when the site already sums via :func:`dec_sum`."""
     p = 10 ** dp
+    s128 = f"CAST({s_name} AS DECIMAL(38,0))"
     # m = 0 (empty input / empty group) → NULL, not an ANSI
     # DIVIDE_BY_ZERO: CASE short-circuits, so the div never evaluates.
     return (
         F.expr(
             f"CAST(CASE WHEN {m_name} = 0 THEN NULL"
             f" WHEN {s_name} < 0 THEN"
-            f" -((2 * abs({s_name}) * {p} + {m_name}) div (2 * {m_name}))"
-            f" ELSE ((2 * abs({s_name}) * {p} + {m_name})"
+            f" -((2 * abs({s128}) * {p} + {m_name}) div (2 * {m_name}))"
+            f" ELSE ((2 * abs({s128}) * {p} + {m_name})"
             f" div (2 * {m_name})) END AS DOUBLE)"
         )
         / F.lit(float(p))
@@ -104,13 +134,18 @@ def exact_round_ratio(s_name: str, m_name: str, dp: int = 6) -> Column:
 
 
 def sql_exact_round_ratio(s: str, m: str, dp: int = 6) -> str:
-    """DuckDB SQL text of ``exact_round_ratio`` (for oracle strings)."""
+    """DuckDB SQL text of ``exact_round_ratio`` (for oracle strings).
+    The HUGEINT lift mirrors the Spark DECIMAL(38,0) lift — a no-op
+    for sums (DuckDB sum(BIGINT) is already HUGEINT) but real for
+    count-expression inputs, which stay BIGINT and would otherwise
+    overflow ``2*|s|*1e6`` beyond ~4.6e12 rows."""
     p = 10 ** dp
+    s128 = f"CAST({s} AS HUGEINT)"
     return (
         f"CAST(CASE WHEN ({m}) = 0 THEN NULL"
         f" WHEN ({s}) < 0 THEN"
-        f" -((2 * abs({s}) * {p} + ({m})) // (2 * ({m})))"
-        f" ELSE ((2 * abs({s}) * {p} + ({m})) // (2 * ({m})))"
+        f" -((2 * abs({s128}) * {p} + ({m})) // (2 * ({m})))"
+        f" ELSE ((2 * abs({s128}) * {p} + ({m})) // (2 * ({m})))"
         f" END AS DOUBLE)"
         f" / {float(p)}"
     )
@@ -119,15 +154,17 @@ def sql_exact_round_ratio(s: str, m: str, dp: int = 6) -> str:
 def exact_mean6(sum_name: str, n_name: str, pre_scaled: bool = False) -> Column:
     """Spark column: exact ``round(s/n, 6)`` from integer-typed column
     NAMES (names, not Columns — the integer division must go through
-    SQL ``div``, which has no Column-API operator)."""
+    SQL ``div``, which has no Column-API operator). ``s`` rides the
+    same DECIMAL(38,0) lift as :func:`exact_round_ratio`."""
     mult = "" if pre_scaled else " * 1000000"
+    s128 = f"CAST({sum_name} AS DECIMAL(38,0))"
     # n = 0 → NULL (see exact_round_ratio).
     return (
         F.expr(
             f"CAST(CASE WHEN {n_name} = 0 THEN NULL"
             f" WHEN {sum_name} < 0 THEN"
-            f" -((2 * abs({sum_name}){mult} + {n_name}) div (2 * {n_name}))"
-            f" ELSE ((2 * abs({sum_name}){mult} + {n_name})"
+            f" -((2 * abs({s128}){mult} + {n_name}) div (2 * {n_name}))"
+            f" ELSE ((2 * abs({s128}){mult} + {n_name})"
             f" div (2 * {n_name})) END AS DOUBLE)"
         )
         / F.lit(1e6)
@@ -135,13 +172,15 @@ def exact_mean6(sum_name: str, n_name: str, pre_scaled: bool = False) -> Column:
 
 
 def sql_exact_mean6(s: str, n: str, pre_scaled: bool = False) -> str:
-    """DuckDB SQL text of the same exact mean (for oracle strings)."""
+    """DuckDB SQL text of the same exact mean (for oracle strings);
+    HUGEINT lift as in :func:`sql_exact_round_ratio`."""
     mult = "" if pre_scaled else " * 1000000"
+    s128 = f"CAST({s} AS HUGEINT)"
     return (
         f"CAST(CASE WHEN ({n}) = 0 THEN NULL"
         f" WHEN ({s}) < 0 THEN"
-        f" -((2 * abs({s}){mult} + ({n})) // (2 * ({n})))"
-        f" ELSE ((2 * abs({s}){mult} + ({n})) // (2 * ({n})))"
+        f" -((2 * abs({s128}){mult} + ({n})) // (2 * ({n})))"
+        f" ELSE ((2 * abs({s128}){mult} + ({n})) // (2 * ({n})))"
         f" END AS DOUBLE)"
         f" / 1e6"
     )

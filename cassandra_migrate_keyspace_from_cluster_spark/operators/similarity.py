@@ -47,10 +47,20 @@ def valid_vector(col: str = "embedding"):
     the benign fixtures (non-null, finite, nonzero by construction).
     The nonzero clause is `exists(x != 0)` rather than `norm > 0`:
     exact, single-pass, and immune to underflow/overflow of a computed
-    norm (-0.0 elements count as zero in both engines)."""
+    norm (-0.0 elements count as zero in both engines).
+
+    The null-ELEMENT clause (r9; ADVICE r8 low item) is explicit
+    rather than relying on three-valued logic: Spark's
+    ``exists(isnan|inf)`` over a vector with NULL elements returns
+    NULL, which the filter already dropped — but DuckDB's
+    ``list_filter`` silently excludes NULL-predicate elements, so the
+    un-guarded SQL mirror KEPT such vectors. Spark behavior is
+    unchanged (False AND … short-circuits exactly where NULL AND …
+    dropped); the SQL mirror now matches it."""
     inf = F.lit(float("inf"))
     return (
         F.col(col).isNotNull()
+        & ~F.exists(F.col(col), lambda x: x.isNull())
         & ~F.exists(F.col(col), lambda x: F.isnan(x) | (F.abs(x) == inf))
         & F.exists(F.col(col), lambda x: x != F.lit(0.0))
     )
@@ -60,6 +70,7 @@ def sql_valid_vector(col: str = "embedding") -> str:
     """DuckDB SQL text of :func:`valid_vector` (for oracle strings)."""
     return (
         f"{col} IS NOT NULL"
+        f" AND len(list_filter({col}, x -> x IS NULL)) = 0"
         f" AND len(list_filter({col}, x -> NOT isfinite(x))) = 0"
         f" AND len(list_filter({col}, x -> x != 0)) > 0"
     )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join_first_later, asof_join_last_earlier
 from ..functions.rounding import (
     cents,
+    dec_sum,
     exact_mean6,
     exact_round_ratio,
     sql_cents,
@@ -141,7 +142,7 @@ def b4_agg_global(spark, sf_dir):
     return (
         li.agg(
             r2(F.sum("l_quantity")).alias("sum_qty"),
-            F.sum((F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")).alias("__sp"),
+            dec_sum((F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")).alias("__sp"),
             r6(F.min("l_extendedprice")).alias("min_price"),
             r6(F.max("l_extendedprice")).alias("max_price"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -205,20 +206,22 @@ def b5_agg_groupby(spark, sf_dir):
             r2(F.sum("l_extendedprice")).alias("sum_base_price"),
             # 4dp/6dp-multiple terms CAN sum to an exact half-cent ->
             # exact integer units (functions/rounding scope note; the
-            # r8 storm-probe c1 catch)
-            F.sum(
+            # r8 storm-probe c1 catch). dec_sum: the charge accumulator
+            # saturates a bigint near SF160 (ADVICE r8 high item) —
+            # per-row terms stay bigint, the SUM is DECIMAL(38,0).
+            dec_sum(
                 cents("l_extendedprice") * (100 - cents("l_discount"))
             ).alias("__dp4"),
-            F.sum(
+            dec_sum(
                 cents("l_extendedprice")
                 * (100 - cents("l_discount"))
                 * (100 + cents("l_tax"))
             ).alias("__ch6"),
             # the three avgs average exact 2dp multiples -> exact cents
             # sums + integer rounding (functions/rounding; see b4)
-            F.sum((F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")).alias("__sq"),
-            F.sum((F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")).alias("__sp"),
-            F.sum((F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")).alias("__sd"),
+            dec_sum((F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")).alias("__sq"),
+            dec_sum((F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")).alias("__sp"),
+            dec_sum((F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")).alias("__sd"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .withColumn("sum_disc_price", exact_round_ratio("__dp4", "10000", dp=2))
@@ -341,8 +344,9 @@ def b9_join_multiway_star(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             # exact integer disc-price sum (4dp-multiple terms; see
-            # functions/rounding scope note — the r8 storm-probe class)
-            F.sum(
+            # functions/rounding scope note — the r8 storm-probe class;
+            # dec_sum for the 100-TB accumulator bound, r9)
+            dec_sum(
                 cents("l_extendedprice") * (100 - cents("l_discount"))
             ).alias("__r4"),
             F.count(F.lit(1)).alias("n_lineitems"),
@@ -751,8 +755,8 @@ def b25_tpch_q3_shaped(spark, sf_dir):
         .agg(
             # exact integer disc-price sum — doubly load-bearing here:
             # revenue is also the top-10 SORT KEY, so a half-cent flip
-            # would swap rows across the cut line
-            F.sum(
+            # would swap rows across the cut line (dec_sum: r9 bound)
+            dec_sum(
                 cents("l_extendedprice") * (100 - cents("l_discount"))
             ).alias("__r4")
         )
@@ -801,8 +805,8 @@ def b26_tpch_q10_shaped(spark, sf_dir):
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             # exact integer disc-price sum; revenue is also the top-20
-            # sort key (see b25)
-            F.sum(
+            # sort key (see b25; dec_sum: r9 bound)
+            dec_sum(
                 cents("l_extendedprice") * (100 - cents("l_discount"))
             ).alias("__r4")
         )
@@ -1191,8 +1195,9 @@ def b34_bloom_semi_reduction(spark, sf_dir):
         li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # exact integer disc-price sum (see functions/rounding)
-            F.sum(
+            # exact integer disc-price sum (see functions/rounding;
+            # dec_sum: r9 bound)
+            dec_sum(
                 cents("l_extendedprice") * (100 - cents("l_discount"))
             ).alias("__r4"),
             F.count(F.lit(1)).alias("n"),
@@ -1251,7 +1256,7 @@ def b35_salted_join(spark, sf_dir):
              CAST(sum(n) AS BIGINT) AS n_rows,
              max(n) AS max_n,
              {sql_exact_mean6('sum(n)', 'count(*)')} AS avg_n,
-             {sql_exact_mean6('max(n) * count(*)', 'sum(n)')} AS skew_ratio
+             {sql_exact_mean6('CAST(max(n) AS HUGEINT) * count(*)', 'sum(n)')} AS skew_ratio
       FROM per_key),
     topk AS (
       SELECT key, n FROM per_key
@@ -1284,7 +1289,12 @@ def b36_skew_profile(spark, sf_dir):
             F.max("n").alias("max_n"),
         )
         .withColumn("avg_n", exact_mean6("n_rows", "n_keys"))
-        .withColumn("skew_ratio", exact_mean6("(max_n * n_keys)", "n_rows"))
+        # the max_n*n_keys PRODUCT (not just the downstream algebra)
+        # can pass 2^63 at extreme row counts -> lift one factor
+        .withColumn(
+            "skew_ratio",
+            exact_mean6("(CAST(max_n AS DECIMAL(38,0)) * n_keys)", "n_rows"),
+        )
     )
     topk = per_key.orderBy(F.desc("n"), "key").limit(5).select(
         F.col("key").alias("hot_key"), F.col("n").cast("bigint").alias("hot_n")

@@ -22,6 +22,7 @@ from ..operators import text as tx
 from ..functions.finite import in_domain
 from ..functions.rounding import (
     cents,
+    dec_sum,
     exact_round_ratio,
     sql_cents,
     sql_exact_round_ratio,
@@ -57,7 +58,8 @@ def c1_rollup(spark, sf_dir):
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(
+            # dec_sum: 100-TB accumulator bound (r9; ADVICE high item)
+            dec_sum(
                 cents("l_extendedprice") * (100 - cents("l_discount"))
             ).alias("__r4"),
             F.count(F.lit(1)).alias("n"),
@@ -741,7 +743,7 @@ def c20_unpivot(spark, sf_dir):
         .agg(
             r2(F.sum("l_quantity")).alias("sum_qty"),
             r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            F.sum((F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")).alias("__sd"),
+            dec_sum((F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")).alias("__sd"),
             F.count(F.lit(1)).alias("__n"),
         )
         .withColumn("avg_disc", exact_round_ratio("__sd", "(100 * __n)", dp=6))

@@ -148,8 +148,9 @@ def f18_pipeline_report(spark, sf_dir):
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings
                -- vector-validity law (operators/similarity.py::
-               -- sql_valid_vector): non-null, all-finite, not all-zero
+               -- sql_valid_vector): non-null, null-element-free, all-finite, not all-zero
                WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
                  AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
                  AND len(list_filter(embedding, x -> x != 0)) > 0),
     s AS (SELECT vec_id, emb,
@@ -222,8 +223,9 @@ def f3b_simhash(spark, sf_dir):
     WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings
                -- vector-validity law (operators/similarity.py::
-               -- sql_valid_vector): non-null, all-finite, not all-zero
+               -- sql_valid_vector): non-null, null-element-free, all-finite, not all-zero
                WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
                  AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
                  AND len(list_filter(embedding, x -> x != 0)) > 0)
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
@@ -254,8 +256,9 @@ def f4_cosine_topk(spark, sf_dir):
     WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings
                -- vector-validity law (operators/similarity.py::
-               -- sql_valid_vector): non-null, all-finite, not all-zero
+               -- sql_valid_vector): non-null, null-element-free, all-finite, not all-zero
                WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
                  AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
                  AND len(list_filter(embedding, x -> x != 0)) > 0)
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
@@ -296,8 +299,9 @@ def f4c_cosine_topk_chunked(spark, sf_dir):
     WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings
                -- vector-validity law (operators/similarity.py::
-               -- sql_valid_vector): non-null, all-finite, not all-zero
+               -- sql_valid_vector): non-null, null-element-free, all-finite, not all-zero
                WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
                  AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
                  AND len(list_filter(embedding, x -> x != 0)) > 0)
     SELECT * FROM (
@@ -341,6 +345,7 @@ def f5_ann_lsh(spark, sf_dir):
         -- centroid TRAINING set rides the same vector-validity law as
         -- the scoring set (a poisoned vector must not poison the mean)
         WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
           AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
           AND len(list_filter(embedding, x -> x != 0)) > 0
         GROUP BY 1, 2),
@@ -349,8 +354,9 @@ def f5_ann_lsh(spark, sf_dir):
     e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
           FROM embeddings
                -- vector-validity law (operators/similarity.py::
-               -- sql_valid_vector): non-null, all-finite, not all-zero
+               -- sql_valid_vector): non-null, null-element-free, all-finite, not all-zero
                WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
                  AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
                  AND len(list_filter(embedding, x -> x != 0)) > 0),
     scored AS (
@@ -2289,8 +2295,9 @@ def f29_train_split(spark, sf_dir):
     WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings
                -- vector-validity law (operators/similarity.py::
-               -- sql_valid_vector): non-null, all-finite, not all-zero
+               -- sql_valid_vector): non-null, null-element-free, all-finite, not all-zero
                WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
                  AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
                  AND len(list_filter(embedding, x -> x != 0)) > 0),
     seeds AS (SELECT vec_id AS seed_id, emb AS semb
@@ -2989,8 +2996,9 @@ def f52_dataset_card(spark, sf_dir):
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
           FROM embeddings
                -- vector-validity law (operators/similarity.py::
-               -- sql_valid_vector): non-null, all-finite, not all-zero
+               -- sql_valid_vector): non-null, null-element-free, all-finite, not all-zero
                WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
                  AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
                  AND len(list_filter(embedding, x -> x != 0)) > 0),
     vec AS (
@@ -3200,6 +3208,7 @@ def f43_chunk_dedup_rewrite(spark, sf_dir):
         -- centroid TRAINING set rides the same vector-validity law as
         -- the scoring set (a poisoned vector must not poison the mean)
         WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
           AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
           AND len(list_filter(embedding, x -> x != 0)) > 0
         GROUP BY 1, 2),
@@ -3208,8 +3217,9 @@ def f43_chunk_dedup_rewrite(spark, sf_dir):
     e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
           FROM embeddings
                -- vector-validity law (operators/similarity.py::
-               -- sql_valid_vector): non-null, all-finite, not all-zero
+               -- sql_valid_vector): non-null, null-element-free, all-finite, not all-zero
                WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
                  AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
                  AND len(list_filter(embedding, x -> x != 0)) > 0),
     scored AS (

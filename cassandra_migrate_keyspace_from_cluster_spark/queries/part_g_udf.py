@@ -138,8 +138,17 @@ def g3_grouped_agg_udaf(spark, sf_dir):
             return None
         pi = (p[ok] * 100).round().astype("int64")
         wi = (w[ok] * 100).round().astype("int64")
-        s4 = int((pi * wi).sum())
-        m = 100 * int(wi.sum())
+        # per-element 4dp products fit int64 (~1e10); the group SUM
+        # rides Python-int (object) precision — a numpy int64
+        # accumulator would wrap silently near SF1000 group sums,
+        # the same class as the r9 dec_sum lift (functions/rounding)
+        s4 = int((pi * wi).astype(object).sum())
+        m = 100 * int(wi.astype(object).sum())
+        # all-zero weights -> no weighted mean; mirror the oracle's
+        # CASE WHEN m = 0 THEN NULL (ADVICE r8 medium item: the r8
+        # diff guarded only the DuckDB side of the pair)
+        if m == 0:
+            return None
         q = (2 * abs(s4) * 100 + m) // (2 * m)
         return (q if s4 >= 0 else -q) / 100.0
 

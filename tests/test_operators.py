@@ -1905,3 +1905,138 @@ def test_round6_huge_magnitude_engine_law(spark):
         [x],
     ).fetchall()
     assert [r.r for r in g] == [v[0] for v in dg] == [x, 12345.678901]
+
+
+def test_exact_round_ratio_survives_sf1_charge_sums(spark):
+    """r9 closure of the ADVICE r8 HIGH item: exact_round_ratio /
+    exact_mean6 must survive |s| beyond the old bigint algebra bound
+    (2*|s|*10^dp < 2^63, i.e. |s| < 4.6e16 at dp=2). A TPC-H Q1 group
+    at SF1 holds ~$5.7e10 of charge in 1e-6-dollar units (s ~ 5.7e16)
+    — past the bound, where the pre-r9 form raised ARITHMETIC_OVERFLOW
+    under ANSI and silently wrapped with ANSI off. The fix lifts s to
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) before the blow-up; this
+    test pins all three against the Fraction ground truth, including
+    an exact half-cent AT the huge magnitude (the two hazards
+    composed), and pins the dec_sum accumulator path b5/b9/b25/b26/
+    b34/c1 use (a bigint SUM would saturate near SF160)."""
+    import math
+    from fractions import Fraction
+
+    import duckdb
+
+    from cassandra_migrate_keyspace_from_cluster_spark.functions.rounding import (
+        dec_sum,
+        exact_round_ratio,
+        sql_exact_round_ratio,
+    )
+
+    cases = [
+        57_000_000_000_000_001,   # SF1-scale charge sum (odd -> nontrivial)
+        -57_000_000_000_000_001,
+        123_456_789_012_345_005_000,  # exact half-cent at 1e20 (> int64)
+        9_223_372_036_854_775_807,    # int64 max itself as a sum
+    ]
+    con = duckdb.connect()
+    sql = f"SELECT {sql_exact_round_ratio('$s::HUGEINT', '1000000', dp=2)}"
+    for s in cases:
+        # dec_sum accumulates past int64 where F.sum(bigint) cannot:
+        # split s into int64-safe terms
+        chunk = 5_000_000_000_000_000_000
+        sign = 1 if s >= 0 else -1
+        n_full, rem = divmod(abs(s), chunk)
+        terms = [(sign * chunk,)] * n_full + [(sign * rem,)]
+        df = spark.createDataFrame(terms, "v: long")
+        got = (
+            df.agg(dec_sum(F.col("v")).alias("s"))
+            .select(exact_round_ratio("s", "1000000", dp=2).alias("r"))
+            .collect()[0]
+            .r
+        )
+        fr = Fraction(s, 1_000_000) * 100
+        truth = (
+            math.floor(fr + Fraction(1, 2)) if s >= 0
+            else -math.floor(-fr + Fraction(1, 2))
+        ) / 100.0
+        assert got == truth, (s, got, truth)
+        assert con.execute(sql, {"s": s}).fetchone()[0] == truth, s
+
+
+def test_g3_wmean_all_zero_discount_group(spark, tmp_path):
+    """r9 closure of the ADVICE r8 MEDIUM item: a group whose valid
+    rows all carry l_discount = 0.00 must yield NULL from the pandas
+    UDAF (previously ZeroDivisionError) — mirroring the oracle's
+    CASE WHEN m = 0 guard — while normal groups stay exact."""
+    import duckdb
+    import pandas as pd
+
+    from cassandra_migrate_keyspace_from_cluster_spark.registry import specs
+
+    pd.DataFrame(
+        {
+            "l_returnflag": ["Z", "Z", "A", "A"],
+            "l_extendedprice": [100.00, 250.50, 100.00, 200.00],
+            "l_discount": [0.00, 0.00, 0.05, 0.10],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+    spec = specs()["g3_grouped_agg_udaf"]
+    got = {
+        r.l_returnflag: r.discount_weighted_price
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    assert got["Z"] is None
+    # A: (100*0.05 + 200*0.10) / 0.15 = 166.67 (exact integer form)
+    assert got["A"] == 166.67
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'lineitem.parquet'}')"
+    )
+    duck = {k: v for k, v in con.execute(spec.oracle).fetchall()}
+    assert duck == got
+
+
+def test_valid_vector_null_element_parity(spark):
+    """r9 closure of the ADVICE r8 LOW item: vectors with NULL
+    ELEMENTS. Spark's exists() three-valued logic already dropped
+    them, but DuckDB's list_filter silently excludes NULL-predicate
+    elements, so the un-guarded SQL mirror KEPT a [1.0, NULL, 2.0]
+    vector. Both sides must now keep exactly the fully-valid vector."""
+    import duckdb
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators.similarity import (
+        sql_valid_vector,
+        valid_vector,
+    )
+
+    rows = [
+        (1, [1.0, None, 2.0]),   # null element, otherwise valid
+        (2, [None, 0.0]),        # null element + zero
+        (3, [None] * 3),         # all-null elements
+        (4, None),               # null vector
+        (5, [0.0, 0.0]),         # all-zero
+        (6, [1.0, float("nan")]),  # NaN
+        (7, [1.0, 2.0]),         # valid
+    ]
+    df = spark.createDataFrame(rows, "id: long, embedding: array<double>")
+    kept_spark = sorted(r.id for r in df.filter(valid_vector()).collect())
+    con = duckdb.connect()
+    vals = ",".join(
+        "(%d, %s)"
+        % (
+            i,
+            "NULL"
+            if v is None
+            else "["
+            + ",".join("NULL" if x is None else ("'NaN'::DOUBLE" if x != x else repr(x)) for x in v)
+            + "]",
+        )
+        for i, v in rows
+    )
+    kept_duck = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT id FROM (VALUES {vals}) t(id, embedding) "
+            f"WHERE {sql_valid_vector()}"
+        ).fetchall()
+    )
+    assert kept_spark == kept_duck == [7]
