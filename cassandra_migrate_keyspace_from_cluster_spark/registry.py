@@ -147,99 +147,70 @@ _DRIVER_GREEN = frozenset({
     "f5_ann_lsh", "f5b_ivf_topk", "f42b_semantic_dedup_kmeans",
 })
 
-
-# Round-8 driver window (exactly 50 names) — the staleness rotation
-# pre-planned at the end of r7 ("rewrites first, then the remaining r3
-# rows, then oldest r4 rows to the 50 cap"), pre-flighted by
-# tools/window_sim.py before shipping. For the record, the r7 window
-# (which CORRECTNESS_r07 verified 49 hash + 1 rows-only, zero fails)
-# was: f2 (rewritten in r7), the 42 r2 greens never re-ridden since
-# round 2, and the 7 oldest r3 rows (b20, c16, c3, c4, c5, c5b, d1).
+# Round-9 driver window (exactly 50 names), assembled at r9 start per
+# the standing rule — REWRITES FIRST (any query whose Spark code or
+# oracle changed since the last recorded CORRECTNESS), then the
+# deferred pristine-value-neutral r8 law rewrites, then oldest-row
+# staleness padding — and pre-flighted by tools/window_sim.py. For the
+# record, the r8 window (CORRECTNESS_r08: 45 hash + 5 rows-only, zero
+# fails) was the 47 mid/late-r8 data-shift rewrites + c4/c5/e8
+# extremes-probe rows + 3 oldest r3 rows; its full composition is in
+# git history at this file, r8 vintage.
 #
-#   rewritten IN round 8 (3): d4_datetime (epoch_s from naive
-#     components — a raw-epoch output that shifted with session
-#     timezone) and a16_clustered_copy_scan (staging tag folds the
-#     session timezone) are r3/r4 rows already riding this window;
-#     a6_writetime_copy (writetime = naive micros via
-#     from_utc_timestamp — identity value and plan under pinned UTC)
-#     joins it, displacing b35_salted_join from the oldest-r4 padding
-#     (b35 moves to the r9 rotation); the session-timezone wall-clock
-#     stabilization added to the loaders (sources/parquet_keyspace.
-#     stabilize_wallclock + the twins/cluster/commitlog readers) is a
-#     NO-OP branch under the engine's pinned-UTC sessions — pytest
-#     asserts identity (same object), the plan suite asserts pushdown
-#     is untouched, and the full parity suite re-validates all 207 —
-#     so the remaining inventory does not re-ride for it. The r8
-#     similarity.py edits (advice closures: JavaUtils bare-'b' bytes
-#     suffix in parse_spark_mem_bytes; duplicate-column guard in
-#     auto_cosine_topk) touch only the application-layer auto-tier
-#     helper, which no registered query calls; the similarity-family
-#     queries f4/f4b/f4c/f19 ride this window anyway as r3 rows.
-#   remaining r3 rows never re-ridden since round 3 (41):
-#     alphabetical from d2 — every r3 green except f2 (rode r7 as a
-#     rewrite), b20/c16/c3/c4/c5/c5b/d1 (rode r7), g3 (rode r5), and
-#     the e-family streaming twins keep their r3 slots here.
-#   oldest r4 rows, alphabetical, to the 50 cap (8): a15, a16, a17,
-#     a18, a19, a20, a21, b34.
+#   rewritten since the r8 record (25) — the ADVICE-closure commit
+#     ("Close r8 advice items") touched three classes AFTER
+#     CORRECTNESS_r08 was written, so every consumer re-rides:
+#     (a) decimal-lift exact rounding (rounding.py dec_sum /
+#         exact_round_ratio DECIMAL(38,0) lift): b4, b5, b9, b25, b26,
+#         b34, b35, b36, c1, c20;
+#     (b) null-element vector-validity clause (valid_vector +
+#         sql_valid_vector + inlined oracle copies): f4, f4b, f4c, f5,
+#         f6, f19, f34, f42, f46, f52, f3b, f18, f29, f43;
+#     (c) g3 zero-weight guard: g3.
+#     The r9 bench-warmup prestage refactor (prestage_cosine_corpus
+#     extraction) also touches f4/f4c — already riding via (b).
+#   deferred r8 law rewrites, pristine-value-neutral by construction,
+#     promised this window by the r8 plan (13): c22 (ROWS->RANGE),
+#     d14/e14/e18 (negative-epoch floor forms), d17, g4 (oracle law),
+#     d11 (gated left shift) and the f17b-f17g pmod-form oracles.
+#     (f6/f19/f46 of that list already ride via (b).)
+#   oldest staleness padding, last-ridden r3, alphabetical (12): d3,
+#     d5, d7, d8, e1, e2, e3, e4, e5, e6, e7, e10.
 #
-# CONCRETE r9 window plan (assemble at r9 start, once CORRECTNESS_r08
-# is green): rewrites during r9 first, then the r8 law rewrites that
-# deferred as pristine-value-neutral (c22, d14, d17, e14, e18, f6,
-# f19, f46, g4; from the idspace closure: d11's gated left shift and
-# the f17b–f17g pmod-form oracles — both identities at the fixtures'
-# small positive ids), then the r3/r4 rows the mid-r8
-# revision displaced (d8, e1–e10 streaming twins, f1, f8, f14, f15,
-# f19–f23, g5, g7, g8; a17–a21), then the untouched r4 rows
-# (alphabetical from b36: b36, b37, c8, c9, d9, d11, d18, e14, e16,
-# e21, e22, e23, f6, f9, f10, f11, f17b–f17g, f34, f40, f41, f43,
-# f44, f45, f46, f48, f50, f51, f52, g11), then oldest r5 rows to the
-# 50 cap. Every subsequent round repeats the same rule: rewrites
-# first, then oldest-row rotation.
-# REVISED mid-r8 after the data-shift closure (the rotation above was
-# planned at r7-end, BEFORE this round's probe-driven rewrites
-# existed; the standing rule — rewrites first — outranks staleness
-# padding). 47 queries whose Spark code or oracle changed in r8
-# (data-shift null/replay/unicode laws, exact-degeneracy gates, exact
-# money sums, TZ closure) + 3 oldest never-re-ridden r3 rows. The
-# similarity-family queries riding only the shared
-# drop-null-vector ingress (f6, f19, f46, f47, f49) and the r7-window
-# alumni with r8 oracle pins (c5/c4 etc. untouched) are covered by the
-# all-207 parity suite and rotate normally from r9.
+# CONCRETE r10 window plan (assemble at r10 start, once
+# CORRECTNESS_r09 is green): r10 rewrites first, then the remaining
+# never-re-ridden-since-r3 rows (e9, f15, f20, f22, g5, g7, g8), then
+# oldest r4 rows alphabetical (a17-a21, b37, c8, c9, d9, d18, e16,
+# e21, e22, e23, f1, f9, f10, f11, f44, f48, f50, f8?=r5 ...), then
+# oldest r5 rows to the 50 cap. Every subsequent round repeats the
+# same rule: rewrites first, then oldest-row rotation.
 _WINDOW = frozenset({
-    # rewritten in round 8 (47)
-    "a6_writetime_copy", "a15_repair_apply", "a16_clustered_copy_scan",
-    "b5_agg_groupby", "b9_join_multiway_star", "b25_tpch_q3_shaped",
-    "b26_tpch_q10_shaped", "b34_bloom_semi_reduction",
-    "c1_rollup", "c3_grouping_sets", "c5b_mode", "c14_frame_range",
-    "c16_ntile_pctrank", "c25_count_min",
-    "d1_string_basic", "d2_string_regex", "d4_datetime", "d6_array",
-    "d10_cast_types", "d12_string_parts", "d16_encoding",
-    "e11_anomaly_zscore", "e12_out_of_order_profile",
+    # (a) decimal-lift exact-rounding consumers (10)
+    "b4_agg_global", "b5_agg_groupby", "b9_join_multiway_star",
+    "b25_tpch_q3_shaped", "b26_tpch_q10_shaped",
+    "b34_bloom_semi_reduction", "b35_salted_join", "b36_skew_profile",
+    "c1_rollup", "c20_unpivot",
+    # (b) null-element vector law consumers (14)
     "f3b_simhash", "f4_cosine_topk", "f4b_cosine_neardup",
-    "f4c_cosine_topk_chunked", "f5_ann_lsh", "f5b_ivf_topk",
-    "f7_tokenize_wordcount", "f12_doc_length_dedup_rate", "f13_langid",
-    "f16_fingerprint", "f17_multimodal_features", "f18_pipeline_report",
-    "f26_repetition", "f27_rule_filters", "f29_train_split",
-    "f33_pq_topk", "f42_semantic_dedup", "f42b_semantic_dedup_kmeans",
-    "g1_python_udf", "g2_pandas_udf_scalar", "g3_grouped_agg_udaf",
-    "g4_grouped_map", "g6_python_udtf", "g9_cogrouped_map",
-    # late-r8 extremes-probe rewrites: c4 is the round's only
-    # PRISTINE-VALUE change (covar display 4dp -> 6dp, the round-at-
-    # half fix) and MUST re-ride; c5/e8 carry the new metric-domain /
-    # discretization gates. The r3 padding rows (d3/d5/d7) yielded
-    # their slots — value-changed outranks staleness padding. The
-    # remaining late-r8 law rewrites with NO pristine delta (d17, f6,
-    # f19, f46, g4-oracle) are covered by the all-207 parity suite and
-    # ride from r9.
-    "c4_stats_agg", "c5_percentiles", "e8_rate_histogram",
-    # tsedge-probe rewrites (negative-epoch floor law, §5.4): c14 and
-    # e11 already ride this window above; the other five — d14/e14/e18
-    # (floor-then-diff forms, byte-identical to the naive ones at
-    # positive epoch), c22 (ROWS->RANGE, identical on the tie-free
-    # pristine event_id order) and c16's exact-rational rounding
-    # (c16 rides above anyway) — are pristine-value-neutral by
-    # construction and follow the d17/f6/f19/f46 precedent: covered by
-    # the all-207 parity suite now, rotated into the r9 window first.
+    "f4c_cosine_topk_chunked", "f5_ann_lsh", "f6_centroid_knn",
+    "f18_pipeline_report", "f19_quantize_int8", "f29_train_split",
+    "f34_hybrid_rrf_search", "f42_semantic_dedup",
+    "f43_chunk_dedup_rewrite", "f46_embedding_outliers",
+    "f52_dataset_card",
+    # (c) g3 zero-weight guard (1)
+    "g3_grouped_agg_udaf",
+    # deferred pristine-neutral r8 law rewrites (13)
+    "c22_window_count_distinct", "d11_bitwise", "d14_timestamp_arith",
+    "d17_trig", "e14_session_shape", "e18_bounded_funnel",
+    "f17b_wav_decode_features", "f17c_bmp_decode_features",
+    "f17d_jpeg_decode_features", "f17e_png_decode_features",
+    "f17f_video_frame_sample", "f17g_image_resize_features",
+    "g4_grouped_map",
+    # oldest-r3 staleness padding (12)
+    "d3_string_distance", "d5_math", "d7_map_json", "d8_hash",
+    "e1_tumbling", "e2_sliding", "e3_session", "e4_watermark_late",
+    "e5_stream_dedup", "e6_stateful_runagg", "e7_event_funnel",
+    "e10_stream_stream_join",
 })
 
 
