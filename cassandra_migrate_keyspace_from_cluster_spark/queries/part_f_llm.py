@@ -215,9 +215,9 @@ def f3b_simhash(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-@register(
-    "f4_cosine_topk",
-    oracle="""
+# Shared by f4 (single broadcast), f4c (chunked), and f4d (auto tier):
+# all three are EXACT top-5 and must agree with the same ground truth.
+_EXACT_TOPK_ORACLE = """
     -- DISTINCT = the replay law (SURVEY.md §5.4): retrieval is keyed
     -- by vector identity; replicated rows collapse at ingress
     WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -237,8 +237,10 @@ def f3b_simhash(spark, sf_dir):
                         b.vec_id) AS BIGINT) AS rank
       FROM e a JOIN e b ON a.vec_id != b.vec_id)
     WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("f4_cosine_topk", oracle=_EXACT_TOPK_ORACLE)
 def f4_cosine_topk(spark, sf_dir):
     """Exact top-5 cosine neighbors per vector — brute force baseline.
     Ranking on ROUNDED cosine + vec_id tie-break on both engines."""
@@ -248,30 +250,7 @@ def f4_cosine_topk(spark, sf_dir):
     )
 
 
-@register(
-    "f4c_cosine_topk_chunked",
-    oracle="""
-    -- DISTINCT = the replay law (SURVEY.md §5.4): retrieval is keyed
-    -- by vector identity; replicated rows collapse at ingress
-    WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings
-               -- vector-validity law (operators/similarity.py::
-               -- sql_valid_vector): non-null, null-element-free, all-finite, not all-zero
-               WHERE embedding IS NOT NULL
-                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
-                 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
-                 AND len(list_filter(embedding, x -> x != 0)) > 0)
-    SELECT query_id, neighbor_id, cos_sim, rank FROM (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim,
-             CAST(row_number() OVER (
-               PARTITION BY a.vec_id
-               ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6) DESC,
-                        b.vec_id) AS BIGINT) AS rank
-      FROM e a JOIN e b ON a.vec_id != b.vec_id)
-    WHERE rank <= 5
-    """,
-)
+@register("f4c_cosine_topk_chunked", oracle=_EXACT_TOPK_ORACLE)
 def f4c_cosine_topk_chunked(spark, sf_dir):
     """f4's exact top-k with the corpus blocked into broadcastable
     chunks, searched pass-at-a-time off a chunk-partitioned layout
@@ -287,6 +266,36 @@ def f4c_cosine_topk_chunked(spark, sf_dir):
     return sim.cosine_topk_chunked(
         emb, k=5, chunk_size=chunk, corpus_key=sf_dir
     ).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+@register("f4d_auto_tier", oracle=_EXACT_TOPK_ORACLE)
+def f4d_auto_tier(spark, sf_dir):
+    """Top-5 cosine neighbors through the TIER SELECTOR
+    (operators/similarity.py::auto_cosine_topk) instead of a
+    hand-picked operator — the end-to-end demonstration of the
+    SURVEY §4 deferred auto-rewrite, shipped as an application-layer
+    dispatch (r8 VERDICT item 6).
+
+    At every sandbox SF the corpus footprint (n*d*8 bytes, ~3 MB at
+    sf0.1) is far inside the broadcast budget, so the selector MUST
+    route to the exact broadcast tier and the result is checkable
+    against the same exact-top-k oracle as f4 — the routing is what
+    this query adds, at zero recall risk. A misroute to an approximate
+    tier would fail loudly (the guard below), never silently pass a
+    weaker result to the hash gate. The tier-choice law itself
+    (monotone cliffs over a stats grid) is pytest-asserted in
+    tests/test_operators.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    chosen: dict = {}
+    out = sim.auto_cosine_topk(emb, k=5, chosen=chosen, corpus_key=sf_dir)
+    if chosen["tier"] != "exact_broadcast":
+        raise AssertionError(
+            f"tier selector routed a broadcast-fit corpus "
+            f"(n={chosen['n_rows']}, d={chosen['dim']}) to {chosen['tier']!r}"
+        )
+    return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank")
     )
 

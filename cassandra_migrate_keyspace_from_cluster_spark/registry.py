@@ -179,7 +179,8 @@ _DRIVER_GREEN = frozenset({
 #
 # CONCRETE r10 window plan (assemble at r10 start, once
 # CORRECTNESS_r09 is green): r10 rewrites first, then the remaining
-# never-re-ridden-since-r3 rows (e9, f15, f20, f22, g5, g7, g8), then
+# never-re-ridden-since-r3 rows (e7, e9, f15, f20, f22, g5, g7, g8;
+# e7 displaced by r9's new f4d), then
 # oldest r4 rows alphabetical (a17-a21, b37, c8, c9, d9, d18, e16,
 # e21, e22, e23, f1, f9, f10, f11, f44, f48, f50, f8?=r5 ...), then
 # oldest r5 rows to the 50 cap. Every subsequent round repeats the
@@ -206,10 +207,15 @@ _WINDOW = frozenset({
     "f17d_jpeg_decode_features", "f17e_png_decode_features",
     "f17f_video_frame_sample", "f17g_image_resize_features",
     "g4_grouped_map",
-    # oldest-r3 staleness padding (12)
+    # NEW in r9 (1): the auto-tier routing demonstration (r8 VERDICT
+    # item 6) — a new query has no prior green row, so it rides now;
+    # its slot displaces e7_event_funnel (last of the padding pool's
+    # (round, name) order) to the r10 rotation.
+    "f4d_auto_tier",
+    # oldest-r3 staleness padding (11)
     "d3_string_distance", "d5_math", "d7_map_json", "d8_hash",
     "e1_tumbling", "e2_sliding", "e3_session", "e4_watermark_late",
-    "e5_stream_dedup", "e6_stateful_runagg", "e7_event_funnel",
+    "e5_stream_dedup", "e6_stateful_runagg",
     "e10_stream_stream_join",
 })
 

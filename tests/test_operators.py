@@ -1262,6 +1262,23 @@ def test_auto_cosine_topk_dispatches_and_matches_exact(spark):
     assert out.count() > 0
 
 
+def test_f4d_auto_tier_routes_exact_and_matches_f4(spark):
+    """The REGISTERED auto-tier query (f4d) must route the sandbox
+    corpus to the exact broadcast tier end to end and return exactly
+    f4's rows — the driver-path proof that the selector's dispatch
+    adds routing, not a silent recall trade (r8 VERDICT item 6)."""
+    from cassandra_migrate_keyspace_from_cluster_spark.queries.part_f_llm import (
+        f4_cosine_topk,
+        f4d_auto_tier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = f4d_auto_tier(spark, sf).collect()
+    want = f4_cosine_topk(spark, sf).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
 def test_exact_mean6_matches_rational_truth(spark):
     """functions/rounding.exact_mean6 (Spark), sql_exact_mean6 (DuckDB),
     and multimodal.exact_mean6 (numpy path) must all equal the true
