@@ -1342,9 +1342,18 @@ def auto_cosine_topk(
     if executor_mem_bytes is None:
         conf = embeddings.sparkSession.conf.get("spark.executor.memory", "1g")
         executor_mem_bytes = parse_spark_mem_bytes(conf)
-    tier = choose_similarity_tier(
-        row.n, row.d, executor_mem_bytes, exact_required=exact_required
-    )
+    if row.n == 0:
+        # Empty corpus (a pruned keyspace, a quiet-day partition):
+        # every tier degenerates to "no neighbors", so route to the
+        # exact tier — its empty-staging path returns a 0-row frame
+        # with the contract schema — rather than asking the selector
+        # to reason about a 0-byte footprint (ValueError by law; the
+        # stats row also carries dim=None with no first row to size).
+        tier = "exact_broadcast"
+    else:
+        tier = choose_similarity_tier(
+            row.n, row.d, executor_mem_bytes, exact_required=exact_required
+        )
     if chosen is not None:
         chosen.update({"tier": tier, "n_rows": row.n, "dim": row.d})
     return SIMILARITY_TIERS[tier](embeddings, k=k, id_col=id_col, **tier_kwargs)

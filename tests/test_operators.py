@@ -1279,6 +1279,23 @@ def test_f4d_auto_tier_routes_exact_and_matches_f4(spark):
     assert len(got) > 0
 
 
+def test_auto_cosine_topk_empty_corpus_degrades_gracefully(spark):
+    """An empty corpus must route to the exact tier's empty-staging
+    path (0 rows, contract schema) — not reach choose_similarity_tier,
+    whose n_rows=0 ValueError is a law about sizing a corpus that
+    does not exist (the empty-input gate's quiet-day shape)."""
+    emb = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    )
+    chosen: dict = {}
+    out = sim.auto_cosine_topk(emb, k=3, chosen=chosen)
+    assert chosen["tier"] == "exact_broadcast"
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cos_sim", "rank",
+    ]
+
+
 def test_exact_mean6_matches_rational_truth(spark):
     """functions/rounding.exact_mean6 (Spark), sql_exact_mean6 (DuckDB),
     and multimodal.exact_mean6 (numpy path) must all equal the true
