@@ -102,7 +102,17 @@ def dec_sum(term: Column) -> Column:
     sum(decimal(38,0)) at decimal(38,0)). Use for every exact-unit sum
     whose magnitude grows with data volume — a bigint accumulator of
     micro-dollar charge terms saturates int64 near TPC-H SF160. The
-    DuckDB mirror is a plain ``sum``: HUGEINT by default."""
+    DuckDB mirror is a plain ``sum``: HUGEINT by default.
+
+    Accumulator-bound rule (r9): the lift costs ~2x on the agg
+    operator (measured at sf0.1), so apply it per SITE by worst-case
+    sum at the declared design point (SF1e5 ~ 100 TB ~ 6e11 lineitem
+    rows, single-group worst case): price-involving terms (>=1e7
+    units/row -> sums cross 6e18) lift; quantity-cents (<=5e3/row ->
+    3e15) and discount/tax-cents (<=1e2/row -> 6e13) keep plain
+    bigint ``F.sum`` with >=3000x headroom — downstream rounding is
+    safe either way because :func:`exact_round_ratio` lifts ``s``
+    itself before its blow-up."""
     return F.sum(term.cast("decimal(38,0)"))
 
 

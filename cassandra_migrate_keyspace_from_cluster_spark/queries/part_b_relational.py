@@ -219,9 +219,15 @@ def b5_agg_groupby(spark, sf_dir):
             ).alias("__ch6"),
             # the three avgs average exact 2dp multiples -> exact cents
             # sums + integer rounding (functions/rounding; see b4)
-            dec_sum((F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")).alias("__sq"),
+            # quantity-cents (<=5e3/row) and discount-cents (<=1e2/row)
+            # stay bigint: even at SF1e5 (~6e11 lineitem rows, 100 TB)
+            # the worst-case sums are 3e15 / 6e13 — >=3000x int64
+            # headroom, so the decimal lift would buy nothing and
+            # decimal sums measure ~2x the agg cost. Price-cents
+            # (<=1e7/row -> 6e18, 1.5x headroom) keeps the lift.
+            F.sum((F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")).alias("__sq"),
             dec_sum((F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")).alias("__sp"),
-            dec_sum((F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")).alias("__sd"),
+            F.sum((F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")).alias("__sd"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .withColumn("sum_disc_price", exact_round_ratio("__dp4", "10000", dp=2))

@@ -743,7 +743,9 @@ def c20_unpivot(spark, sf_dir):
         .agg(
             r2(F.sum("l_quantity")).alias("sum_qty"),
             r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            dec_sum((F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")).alias("__sd"),
+            # discount-cents <=1e2/row -> <=6e13 even at SF1e5: >=1e5x
+            # int64 headroom, no decimal lift needed (b5 bound note)
+            F.sum((F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")).alias("__sd"),
             F.count(F.lit(1)).alias("__n"),
         )
         .withColumn("avg_disc", exact_round_ratio("__sd", "(100 * __n)", dp=6))
