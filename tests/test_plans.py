@@ -59,6 +59,13 @@ def test_cosine_topk_is_shuffle_free(spark):
     assert "Exchange" not in plan, f"unexpected shuffle in f4 plan:\n{plan}"
 
 
+def test_auto_tier_plan_is_f4_plan(spark):
+    """f4d must produce f4's physical shape at broadcast-fit scale —
+    the selector adds routing, not a plan change: still shuffle-free."""
+    plan = physical_plan(q(spark, "f4d_auto_tier"))
+    assert "Exchange" not in plan, f"unexpected shuffle in f4d plan:\n{plan}"
+
+
 def test_partitioned_copy_prunes_partitions(spark):
     """A filter on the partition column of a4d's layout must prune at
     planning time (PartitionFilters), not scan-and-discard."""
