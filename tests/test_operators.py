@@ -1262,6 +1262,35 @@ def test_auto_cosine_topk_dispatches_and_matches_exact(spark):
     assert out.count() > 0
 
 
+def test_auto_cosine_topk_chunked_and_pq_routes_run(spark):
+    """The two remaining dispatch routes end to end: exact_required
+    under squeezed memory must route to the chunked tier and still
+    reproduce the exact result (recall 1.0 is the tier's contract);
+    a footprint past the IVF spill bound must route to PQ and return
+    k candidates per query."""
+    emb = sim.with_double_embedding(
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    )
+    n, d = emb.count(), len(emb.select("embedding").first()[0])
+    footprint = n * d * 8
+    squeezed = int(footprint / 0.25) // 2
+    chosen: dict = {}
+    got = sim.auto_cosine_topk(
+        emb, k=3, executor_mem_bytes=squeezed, chosen=chosen,
+        exact_required=True, chunk_size=max(200, n // 3),
+    ).collect()
+    assert chosen["tier"] == "exact_chunked"
+    want = sim.cosine_topk(emb, k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    chosen2: dict = {}
+    out = sim.auto_cosine_topk(
+        emb, k=3, executor_mem_bytes=max(1, footprint // 128), chosen=chosen2
+    )
+    assert chosen2["tier"] == "pq"
+    assert out.groupBy("query_id").count().filter("count > 3").count() == 0
+    assert out.count() > 0
+
+
 def test_f4d_auto_tier_routes_exact_and_matches_f4(spark):
     """The REGISTERED auto-tier query (f4d) must route the sandbox
     corpus to the exact broadcast tier end to end and return exactly
