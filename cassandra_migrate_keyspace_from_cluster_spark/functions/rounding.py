@@ -116,6 +116,28 @@ def dec_sum(term: Column) -> Column:
     return F.sum(term.cast("decimal(38,0)"))
 
 
+def _dec_intdiv(n_expr: str, d_expr: str) -> str:
+    """Exact integral division of a DECIMAL(38,0) numerator by a
+    positive bigint denominator, STAYING decimal end to end.
+
+    Spark's ``div`` always returns BIGINT, and on decimal operands the
+    decimal->long conversion of the quotient silently WRAPS past int64
+    (hypothesis counterexample, r9: s=923127972428176, m=1, dp=4 ->
+    the sign-flipped -921546434942779.1; DuckDB's HUGEINT ``//`` is
+    exact on the same inputs). So the numerator lift alone (r8 advice
+    closure) was not sufficient — the QUOTIENT must also stay 128-bit.
+    ``(n - n % d) / d`` is exact here: n % d is exact decimal pmod
+    (n >= 0, d > 0 at every call site — the CASE guards m = 0), the
+    difference is an exact multiple of d, and the decimal division of
+    an integral-valued quotient <= 1e32 is representable well inside
+    DECIMAL(38,6), so Spark's BigDecimal divide introduces no
+    rounding. The final CAST back to DECIMAL(38,0) is integral."""
+    return (
+        f"CAST((({n_expr}) - ({n_expr}) % ({d_expr})) / ({d_expr})"
+        f" AS DECIMAL(38,0))"
+    )
+
+
 def exact_round_ratio(s_name: str, m_name: str, dp: int = 6) -> Column:
     """Spark column: exact ``round(s/m, dp)`` (half-away) from
     integer-typed column NAMES / SQL expressions (names, not Columns —
@@ -129,15 +151,17 @@ def exact_round_ratio(s_name: str, m_name: str, dp: int = 6) -> Column:
     note); a no-op when the site already sums via :func:`dec_sum`."""
     p = 10 ** dp
     s128 = f"CAST({s_name} AS DECIMAL(38,0))"
+    q = _dec_intdiv(f"2 * abs({s128}) * {p} + {m_name}", f"2 * ({m_name})")
     # m = 0 (empty input / empty group) → NULL, not an ANSI
-    # DIVIDE_BY_ZERO: CASE short-circuits, so the div never evaluates.
+    # DIVIDE_BY_ZERO: CASE short-circuits, so the division never
+    # evaluates. The quotient stays DECIMAL (see _dec_intdiv) and is
+    # cast to DOUBLE only at the end — the same exact-integer-then-
+    # double-round path DuckDB's HUGEINT mirror takes.
     return (
         F.expr(
             f"CAST(CASE WHEN {m_name} = 0 THEN NULL"
-            f" WHEN {s_name} < 0 THEN"
-            f" -((2 * abs({s128}) * {p} + {m_name}) div (2 * {m_name}))"
-            f" ELSE ((2 * abs({s128}) * {p} + {m_name})"
-            f" div (2 * {m_name})) END AS DOUBLE)"
+            f" WHEN {s_name} < 0 THEN -({q})"
+            f" ELSE ({q}) END AS DOUBLE)"
         )
         / F.lit(float(p))
     )
@@ -163,19 +187,18 @@ def sql_exact_round_ratio(s: str, m: str, dp: int = 6) -> str:
 
 def exact_mean6(sum_name: str, n_name: str, pre_scaled: bool = False) -> Column:
     """Spark column: exact ``round(s/n, 6)`` from integer-typed column
-    NAMES (names, not Columns — the integer division must go through
-    SQL ``div``, which has no Column-API operator). ``s`` rides the
-    same DECIMAL(38,0) lift as :func:`exact_round_ratio`."""
+    NAMES (names, not Columns). ``s`` rides the same DECIMAL(38,0)
+    lift — and the same decimal-exact quotient (:func:`_dec_intdiv`)
+    — as :func:`exact_round_ratio`."""
     mult = "" if pre_scaled else " * 1000000"
     s128 = f"CAST({sum_name} AS DECIMAL(38,0))"
+    q = _dec_intdiv(f"2 * abs({s128}){mult} + {n_name}", f"2 * ({n_name})")
     # n = 0 → NULL (see exact_round_ratio).
     return (
         F.expr(
             f"CAST(CASE WHEN {n_name} = 0 THEN NULL"
-            f" WHEN {sum_name} < 0 THEN"
-            f" -((2 * abs({s128}){mult} + {n_name}) div (2 * {n_name}))"
-            f" ELSE ((2 * abs({s128}){mult} + {n_name})"
-            f" div (2 * {n_name})) END AS DOUBLE)"
+            f" WHEN {sum_name} < 0 THEN -({q})"
+            f" ELSE ({q}) END AS DOUBLE)"
         )
         / F.lit(1e6)
     )

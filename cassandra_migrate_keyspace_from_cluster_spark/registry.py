@@ -180,7 +180,8 @@ _DRIVER_GREEN = frozenset({
 # CONCRETE r10 window plan (assemble at r10 start, once
 # CORRECTNESS_r09 is green): r10 rewrites first, then the remaining
 # never-re-ridden-since-r3 rows (e7, e9, f15, f20, f22, g5, g7, g8;
-# e7 displaced by r9's new f4d), then
+# e7 displaced by r9's new f4d; e3, e4, e5, e6 displaced by the
+# late-r9 _dec_intdiv consumer swap), then
 # oldest r4 rows alphabetical (a17-a21, b37, c8, c9, d9, d18, e16,
 # e21, e22, e23, f1, f9, f10, f11, f44, f48, f50, f8?=r5 ...), then
 # oldest r5 rows to the 50 cap. Every subsequent round repeats the
@@ -212,10 +213,19 @@ _WINDOW = frozenset({
     # its slot displaces e7_event_funnel (last of the padding pool's
     # (round, name) order) to the r10 rotation.
     "f4d_auto_tier",
-    # oldest-r3 staleness padding (11)
+    # late-r9 law rewrite (4): the _dec_intdiv quotient fix (a
+    # hypothesis property found Spark's decimal `div` silently
+    # wrapping past int64) changes the PLAN of every exact_round_ratio
+    # / exact_mean6 consumer; all ride the window already via the
+    # advice-closure groups above except these four, which swap in —
+    # rewrites-first outranks staleness padding (displacing e3-e6 to
+    # r10). Value-neutral at gate SFs (parity suite green), like the
+    # r8 d17/f6/f19/f46 precedent, but slots were available here.
+    "c16_ntile_pctrank", "f10_lang_stats", "f12_doc_length_dedup_rate",
+    "f51_ngram_novelty",
+    # oldest-r3 staleness padding (7)
     "d3_string_distance", "d5_math", "d7_map_json", "d8_hash",
-    "e1_tumbling", "e2_sliding", "e3_session", "e4_watermark_late",
-    "e5_stream_dedup", "e6_stateful_runagg",
+    "e1_tumbling", "e2_sliding",
     "e10_stream_stream_join",
 })
 

@@ -295,3 +295,39 @@ def test_df_cap_lossless_property(spark, docs, thr, cap):
         ).collect()
     }
     assert capped == base, (thr, cap, sorted(rows))
+
+
+@given(
+    s=st.integers(min_value=-(10**20), max_value=10**20),
+    m=st.integers(min_value=1, max_value=10**9),
+    dp=st.sampled_from([2, 4, 6]),
+)
+@settings(**SETTINGS)
+def test_exact_round_ratio_matches_fraction_property(spark, s, m, dp):
+    """The exact-rounding algebra as a PROPERTY over the full lifted
+    domain (|s| to 1e20 — past int64, where the r9 DECIMAL(38,0)/
+    HUGEINT lift carries it): for ANY integer sum, modulus, and dp,
+    both engines' forms must equal round-half-away-from-zero of the
+    true rational s/m at dp — the law every money/mean output rides
+    (functions/rounding.py; ADVICE r8 high-item closure)."""
+    import duckdb
+    from decimal import Decimal
+
+    from cassandra_migrate_keyspace_from_cluster_spark.functions.rounding import (
+        exact_round_ratio,
+        sql_exact_round_ratio,
+    )
+
+    p = 10**dp
+    q = (2 * abs(s) * p + m) // (2 * m)
+    expected = float(-q if s < 0 else q) / float(p)
+
+    df = spark.createDataFrame([(Decimal(s), m)], "s decimal(38,0), m bigint")
+    got_spark = df.select(exact_round_ratio("s", "m", dp=dp).alias("r")).first()[0]
+    assert got_spark == expected, (s, m, dp, got_spark, expected)
+
+    got_duck = duckdb.sql(
+        f"SELECT {sql_exact_round_ratio('s', 'm', dp=dp)} AS r"
+        f" FROM (SELECT {s}::HUGEINT AS s, {m}::BIGINT AS m)"
+    ).fetchone()[0]
+    assert got_duck == expected, (s, m, dp, got_duck, expected)
