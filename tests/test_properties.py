@@ -331,3 +331,39 @@ def test_exact_round_ratio_matches_fraction_property(spark, s, m, dp):
         f" FROM (SELECT {s}::HUGEINT AS s, {m}::BIGINT AS m)"
     ).fetchone()[0]
     assert got_duck == expected, (s, m, dp, got_duck, expected)
+
+
+@given(
+    s=st.integers(min_value=-(10**20), max_value=10**20),
+    n=st.integers(min_value=1, max_value=10**12),
+    pre_scaled=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_exact_mean6_matches_fraction_property(spark, s, n, pre_scaled):
+    """exact_mean6's algebra over the lifted domain, both engines —
+    same law as exact_round_ratio's property, covering the mult-folded
+    form (pre_scaled=False multiplies s by 1e6 INSIDE the lifted
+    numerator) whose quotient rides the same _dec_intdiv fix."""
+    import duckdb
+    from decimal import Decimal
+
+    from cassandra_migrate_keyspace_from_cluster_spark.functions.rounding import (
+        exact_mean6,
+        sql_exact_mean6,
+    )
+
+    mult = 1 if pre_scaled else 10**6
+    q = (2 * abs(s) * mult + n) // (2 * n)
+    expected = float(-q if s < 0 else q) / 1e6
+
+    df = spark.createDataFrame([(Decimal(s), n)], "s decimal(38,0), n bigint")
+    got_spark = df.select(
+        exact_mean6("s", "n", pre_scaled=pre_scaled).alias("r")
+    ).first()[0]
+    assert got_spark == expected, (s, n, pre_scaled, got_spark, expected)
+
+    got_duck = duckdb.sql(
+        f"SELECT {sql_exact_mean6('s', 'n', pre_scaled=pre_scaled)} AS r"
+        f" FROM (SELECT {s}::HUGEINT AS s, {n}::BIGINT AS n)"
+    ).fetchone()[0]
+    assert got_duck == expected, (s, n, pre_scaled, got_duck, expected)
