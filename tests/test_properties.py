@@ -367,3 +367,32 @@ def test_exact_mean6_matches_fraction_property(spark, s, n, pre_scaled):
         f" FROM (SELECT {s}::HUGEINT AS s, {n}::BIGINT AS n)"
     ).fetchone()[0]
     assert got_duck == expected, (s, n, pre_scaled, got_duck, expected)
+
+
+@given(ks=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_cents_cross_engine_on_contract_domain(spark, ks):
+    """cents (Spark floor(x*100+0.5)) and sql_cents (DuckDB
+    round(x*100)) take DIFFERENT half-handling paths, so they only
+    agree by the ingress contract: x is a non-negative 2dp-multiple
+    double (price/discount/tax domains). Pin that on the contract
+    domain both recover the exact integer hundredths k for any k to
+    1e12 (|x*100 - k| stays ~1e-4 ulp-scale there, far from every
+    half boundary — the divergence window needs |x*100-k| ~ 0.5)."""
+    import duckdb
+
+    from cassandra_migrate_keyspace_from_cluster_spark.functions.rounding import (
+        cents,
+        sql_cents,
+    )
+
+    xs = [k / 100 for k in ks]
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    got_spark = [r[0] for r in df.select(cents("x").alias("c")).collect()]
+    assert got_spark == ks, list(zip(xs, got_spark, ks))
+
+    got_duck = [
+        duckdb.sql(f"SELECT {sql_cents('x')} FROM (SELECT {x!r}::DOUBLE AS x)").fetchone()[0]
+        for x in xs
+    ]
+    assert got_duck == ks, list(zip(xs, got_duck, ks))
