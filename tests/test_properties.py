@@ -396,3 +396,99 @@ def test_cents_cross_engine_on_contract_domain(spark, ks):
         for x in xs
     ]
     assert got_duck == ks, list(zip(xs, got_duck, ks))
+
+
+_li_row_st = st.tuples(
+    st.integers(min_value=1, max_value=99),            # orderkey
+    st.integers(min_value=1, max_value=50),            # qty
+    st.integers(min_value=90, max_value=10**7),        # price cents
+    st.integers(min_value=0, max_value=10),            # disc cents
+    st.integers(min_value=0, max_value=8),             # tax cents
+    st.sampled_from(["A", "N", "R"]),
+    st.sampled_from(["O", "F"]),
+    st.integers(min_value=0, max_value=1),             # past filter cutoff?
+)
+
+
+def _write_micro_lineitem(d, rows):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(rows)
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([i + 1 for i in range(n)], pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array(list(range(1, n + 1)), pa.int32()),
+            "l_quantity": pa.array([float(r[1]) for r in rows], pa.float64()),
+            "l_extendedprice": pa.array([r[2] / 100 for r in rows], pa.float64()),
+            "l_discount": pa.array([r[3] / 100 for r in rows], pa.float64()),
+            "l_tax": pa.array([r[4] / 100 for r in rows], pa.float64()),
+            "l_returnflag": pa.array([r[5] for r in rows], pa.string()),
+            "l_linestatus": pa.array([r[6] for r in rows], pa.string()),
+            "l_shipdate": pa.array(
+                [
+                    # straddle b5's <= 2000-12-01 cutoff, incl. the
+                    # boundary instant itself
+                    {0: 978307200_000_000, 1: 975628800_000_000}[r[7]]
+                    for r in rows
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "lineitem.parquet"))
+
+
+def _assert_micro_driver_parity(spark, tmp_path_factory, rows, qname):
+    import os
+
+    import duckdb
+
+    from cassandra_migrate_keyspace_from_cluster_spark import registry
+    from tests.parity import compare_frames
+
+    d = str(tmp_path_factory.mktemp("microfix"))
+    _write_micro_lineitem(d, rows)
+    registry.load_all()
+    got = registry.QUERIES[qname].fn(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'lineitem.parquet')}')"
+    )
+    want = con.execute(registry.QUERIES[qname].oracle).df()
+    compare_frames(got, want, f"{qname}_microfixture")
+
+
+@given(rows=st.lists(_li_row_st, min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_b5_driver_parity_on_generated_microfixtures(spark, rows, tmp_path_factory):
+    """Randomized micro-driver: the REGISTERED flagship query (b5) vs
+    its REGISTERED oracle on hypothesis-generated lineitem tables —
+    the money pipeline (cents -> dec_sum / bigint sums ->
+    exact_round_ratio) exercised end to end on BOTH engines over
+    shapes the fixtures never produce (single-row groups, all-zero
+    discounts, filter-boundary shipdates, repeated orderkeys)."""
+    _assert_micro_driver_parity(spark, tmp_path_factory, rows, "b5_agg_groupby")
+
+
+@given(
+    rows=st.lists(_li_row_st, min_size=1, max_size=25),
+    qname=st.sampled_from(
+        ["b4_agg_global", "c1_rollup", "c20_unpivot", "c3_grouping_sets",
+         "b36_skew_profile"]
+    ),
+)
+@settings(**SETTINGS)
+def test_lineitem_money_queries_driver_parity_microfixtures(
+    spark, rows, qname, tmp_path_factory
+):
+    """The same randomized micro-driver over the other lineitem-only
+    money queries (global agg, rollup and grouping-sets NULL grouping
+    keys, unpivot, skew profile) — each example picks one query, so
+    hypothesis explores (data x query) jointly."""
+    _assert_micro_driver_parity(spark, tmp_path_factory, rows, qname)
