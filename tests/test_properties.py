@@ -492,3 +492,77 @@ def test_lineitem_money_queries_driver_parity_microfixtures(
     keys, unpivot, skew profile) — each example picks one query, so
     hypothesis explores (data x query) jointly."""
     _assert_micro_driver_parity(spark, tmp_path_factory, rows, qname)
+
+
+_ev_row_st = st.tuples(
+    st.integers(min_value=0, max_value=9),              # user_id
+    st.sampled_from(["signup", "click", "purchase", "error", "view"]),
+    # event-time micros: a ~3-day span around an hour boundary, plus a
+    # generator-reachable pre-1970 band (negative epoch — the tsedge
+    # floor-vs-truncate class) and exact window-boundary instants
+    st.one_of(
+        st.integers(min_value=1_704_067_200_000_000, max_value=1_704_326_400_000_000),
+        st.integers(min_value=-259_200_000_000, max_value=259_200_000_000),
+        st.sampled_from([0, -3_600_000_000, 1_704_067_200_000_000]),
+    ),
+    st.integers(min_value=1, max_value=40_000),         # value cents
+    st.integers(min_value=0, max_value=99),             # props k
+)
+
+
+def _write_micro_events(d, rows):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(rows)
+    tbl = pa.table(
+        {
+            # unique event_id IS the determinism-law tie-break contract
+            "event_id": pa.array(list(range(1, n + 1)), pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[3] / 100 for r in rows], pa.float64()),
+            "props": pa.array(['{"k": %d}' % r[4] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+
+
+@given(
+    rows=st.lists(_ev_row_st, min_size=1, max_size=25),
+    qname=st.sampled_from(
+        ["e1_tumbling", "e2_sliding", "e3_session", "e7_event_funnel",
+         "e12_out_of_order_profile", "e16_peak_concurrency",
+         "c14_frame_range", "c12_lag_lead", "c17_first_last"]
+    ),
+)
+@settings(**SETTINGS)
+def test_events_queries_driver_parity_microfixtures(
+    spark, rows, qname, tmp_path_factory
+):
+    """Randomized micro-driver over the events family — the
+    timestamp-law surface (tumbling/sliding/session windows, funnels,
+    out-of-order profiling, RANGE frames) on generated tables with
+    negative epochs, exact window-boundary instants, duplicate
+    timestamps (event_id tie-break), and single-event users."""
+    import os
+
+    import duckdb
+
+    from cassandra_migrate_keyspace_from_cluster_spark import registry
+    from tests.parity import compare_frames
+
+    d = str(tmp_path_factory.mktemp("microev"))
+    _write_micro_events(d, rows)
+    registry.load_all()
+    got = registry.QUERIES[qname].fn(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'events.parquet')}')"
+    )
+    want = con.execute(registry.QUERIES[qname].oracle).df()
+    compare_frames(got, want, f"{qname}_microfixture")
