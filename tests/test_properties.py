@@ -566,3 +566,88 @@ def test_events_queries_driver_parity_microfixtures(
     )
     want = con.execute(registry.QUERIES[qname].oracle).df()
     compare_frames(got, want, f"{qname}_microfixture")
+
+
+_doc_text_st = st.one_of(
+    # full-unicode adversarial text (hypothesis excludes surrogates,
+    # which utf-8 parquet cannot carry; everything else is in-contract
+    # per the textedge ingress laws)
+    st.text(max_size=80),
+    # small-vocab word soup: forces cross-doc token/ngram/fingerprint
+    # collisions the uniform generator would almost never produce
+    st.lists(
+        st.sampled_from(["the", "cat", "sat", "on", "mat", "a", "b", "ab"]),
+        min_size=0, max_size=30,
+    ).map(" ".join),
+    # PII-shaped payloads for the redaction regexes
+    st.sampled_from([
+        "mail me at a.b+c@d-e.fr now",
+        "call +1 (555) 123-4567 or 555-987-6543",
+        "x@y.io x@y.io duplicate emails",
+        "no pii here, just text",
+    ]),
+)
+
+_doc_row_st = st.tuples(
+    _doc_text_st,
+    st.sampled_from(["en", "es", "fr", "de", "zh"]),
+    st.sampled_from(["src0", "src1", "src2"]),
+)
+
+
+def _write_micro_documents(d, rows):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+            "text": pa.array([r[0] for r in rows], pa.string()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[0]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+
+
+@given(
+    rows=st.lists(_doc_row_st, min_size=1, max_size=12),
+    qname=st.sampled_from(
+        ["f1_exact_dedup", "f7_tokenize_wordcount", "f9_ngrams",
+         "f13_langid", "f14_quality", "f15_token_count",
+         "f16_fingerprint", "f22_redact_pii", "f26_repetition",
+         "f27_rule_filters", "f35_token_spectrum",
+         "f12_doc_length_dedup_rate"]
+    ),
+)
+@settings(**SETTINGS)
+def test_documents_queries_driver_parity_microfixtures(
+    spark, rows, qname, tmp_path_factory
+):
+    """Randomized micro-driver over the text-law surface: generated
+    documents (full-unicode adversarial strings, small-vocab collision
+    soup, PII shapes) through the registered text queries vs their
+    oracles — tokenization, normalization, regex, fingerprint, and
+    quality laws on both engines over shapes beyond the textedge
+    fixture battery."""
+    import os
+
+    import duckdb
+
+    from cassandra_migrate_keyspace_from_cluster_spark import registry
+    from tests.parity import compare_frames
+
+    d = str(tmp_path_factory.mktemp("microdoc"))
+    _write_micro_documents(d, rows)
+    registry.load_all()
+    got = registry.QUERIES[qname].fn(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}')"
+    )
+    want = con.execute(registry.QUERIES[qname].oracle).df()
+    compare_frames(got, want, f"{qname}_microfixture")
