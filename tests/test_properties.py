@@ -651,3 +651,78 @@ def test_documents_queries_driver_parity_microfixtures(
     )
     want = con.execute(registry.QUERIES[qname].oracle).df()
     compare_frames(got, want, f"{qname}_microfixture")
+
+
+_emb_val_st = st.one_of(
+    st.floats(min_value=-2.0, max_value=2.0, width=32),
+    # adversarial but IN-CONTRACT float32: denormals, +/-0.0, huge
+    # finite magnitudes (the double lift makes norms/dots safe — f32
+    # max squared is ~1.2e77, far inside f64; this pins that design)
+    st.sampled_from([0.0, -0.0, 1e-40, -1e-40, 3.0e38, -3.0e38, 1e-30]),
+)
+
+_emb_row_st = st.tuples(
+    st.lists(_emb_val_st, min_size=4, max_size=4),
+    st.integers(min_value=0, max_value=3),              # label
+    st.integers(min_value=0, max_value=1),              # degrade to NULL?
+)
+
+
+def _write_micro_embeddings(d, rows):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(rows))), pa.int64()),
+            # dim 64 is a FIXTURE CONTRACT the oracles encode (f6's
+            # centroid build unnests generate_series(1, 64)), so the
+            # 4 generated values tile out to 64
+            "embedding": pa.array(
+                [None if r[2] else r[0] * 16 for r in rows],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([r[1] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+
+
+@given(
+    rows=st.lists(_emb_row_st, min_size=1, max_size=10),
+    qname=st.sampled_from(
+        ["f4_cosine_topk", "f4b_cosine_neardup", "f19_quantize_int8",
+         "f6_centroid_knn", "f46_embedding_outliers"]
+    ),
+)
+@settings(**SETTINGS)
+def test_embeddings_queries_driver_parity_microfixtures(
+    spark, rows, qname, tmp_path_factory
+):
+    """Randomized micro-driver over the vector-law surface: generated
+    float32 embeddings (denormals, signed zeros, huge-but-finite
+    magnitudes, whole-NULL vectors, all-zero vectors the validity law
+    must drop) through the exact similarity queries vs their oracles.
+    Pins that the double lift keeps norms/dot products finite across
+    the whole float32 range on BOTH engines, and that the ingress law
+    filters identically."""
+    import os
+
+    import duckdb
+
+    from cassandra_migrate_keyspace_from_cluster_spark import registry
+    from tests.parity import compare_frames
+
+    d = str(tmp_path_factory.mktemp("microemb"))
+    _write_micro_embeddings(d, rows)
+    registry.load_all()
+    got = registry.QUERIES[qname].fn(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'embeddings.parquet')}')"
+    )
+    want = con.execute(registry.QUERIES[qname].oracle).df()
+    compare_frames(got, want, f"{qname}_microfixture")
