@@ -726,3 +726,108 @@ def test_embeddings_queries_driver_parity_microfixtures(
     )
     want = con.execute(registry.QUERIES[qname].oracle).df()
     compare_frames(got, want, f"{qname}_microfixture")
+
+
+_cust_row_st = st.tuples(
+    st.integers(min_value=0, max_value=5),              # nationkey (3+ dangling)
+    st.integers(min_value=-50_000, max_value=50_000),   # acctbal cents
+    st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE", "HOUSEHOLD",
+                     "FURNITURE"]),
+)
+
+_ord_row_st = st.tuples(
+    st.integers(min_value=1, max_value=14),             # custkey (may dangle)
+    st.sampled_from(["O", "F", "P"]),
+    st.integers(min_value=100_000, max_value=49_000_000),  # totalprice cents
+    # orderdate: 1995..2001 incl. the b9/b25 filter boundaries
+    st.sampled_from([788918400, 820454400, 852076800, 883612800, 852076799,
+                     915148800, 946684800, 978307200]),
+    st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]),
+)
+
+
+def _write_micro_warehouse(d, custs, ords, lis):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def w(name, tbl):
+        pq.write_table(tbl, os.path.join(d, f"{name}.parquet"))
+
+    w("region", pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": pa.array(["ASIA", "EUROPE"], pa.string()),
+    }))
+    # nation 2 dangles to a missing region (orphan shape)
+    w("nation", pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+        "n_name": pa.array(["NATION_0", "NATION_1", "NATION_2"], pa.string()),
+        "n_regionkey": pa.array([0, 1, 9], pa.int32()),
+    }))
+    w("supplier", pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": pa.array(["Supplier#1", "Supplier#2"], pa.string()),
+        "s_nationkey": pa.array([0, 9], pa.int32()),
+        "s_acctbal": pa.array([10.0, -1.5], pa.float64()),
+    }))
+    w("customer", pa.table({
+        "c_custkey": pa.array(list(range(1, len(custs) + 1)), pa.int64()),
+        "c_name": pa.array([f"Customer#{i+1}" for i in range(len(custs))],
+                           pa.string()),
+        "c_nationkey": pa.array([c[0] for c in custs], pa.int32()),
+        "c_acctbal": pa.array([c[1] / 100 for c in custs], pa.float64()),
+        "c_mktsegment": pa.array([c[2] for c in custs], pa.string()),
+    }))
+    w("orders", pa.table({
+        "o_orderkey": pa.array(list(range(1, len(ords) + 1)), pa.int64()),
+        "o_custkey": pa.array([o[0] for o in ords], pa.int64()),
+        "o_orderstatus": pa.array([o[1] for o in ords], pa.string()),
+        "o_totalprice": pa.array([o[2] / 100 for o in ords], pa.float64()),
+        "o_orderdate": pa.array([o[3] * 1_000_000 for o in ords],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array([o[4] for o in ords], pa.string()),
+    }))
+    _write_micro_lineitem(d, lis)
+
+
+@given(
+    custs=st.lists(_cust_row_st, min_size=1, max_size=8),
+    ords=st.lists(_ord_row_st, min_size=0, max_size=10),
+    lis=st.lists(_li_row_st, min_size=1, max_size=15),
+    qname=st.sampled_from(
+        ["b8_join_inner_eq", "b9_join_multiway_star", "b10_join_outer",
+         "b11_join_semi", "b12_join_anti", "b25_tpch_q3_shaped",
+         "b26_tpch_q10_shaped", "a18_referential_check"]
+    ),
+)
+@settings(**SETTINGS)
+def test_join_queries_driver_parity_microfixtures(
+    spark, custs, ords, lis, qname, tmp_path_factory
+):
+    """Randomized micro-driver over the join surface: a generated
+    micro-warehouse with dangling FKs at every level (customer->nation,
+    orders->customer, lineitem->orders, nation->region), empty orders
+    tables, and filter-boundary orderdates — inner/outer/semi/anti/
+    star joins and the referential-check report vs their oracles.
+    Outer-join NULL extensions and orphan semantics are exactly where
+    engines' defaults differ."""
+    import os
+
+    import duckdb
+
+    from cassandra_migrate_keyspace_from_cluster_spark import registry
+    from tests.parity import compare_frames
+
+    d = str(tmp_path_factory.mktemp("microwh"))
+    _write_micro_warehouse(d, custs, ords, lis)
+    registry.load_all()
+    got = registry.QUERIES[qname].fn(spark, d).toPandas()
+    con = duckdb.connect()
+    for t in ["region", "nation", "supplier", "customer", "orders", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{os.path.join(d, t + '.parquet')}')"
+        )
+    want = con.execute(registry.QUERIES[qname].oracle).df()
+    compare_frames(got, want, f"{qname}_microfixture")
