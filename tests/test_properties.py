@@ -831,3 +831,89 @@ def test_join_queries_driver_parity_microfixtures(
         )
     want = con.execute(registry.QUERIES[qname].oracle).df()
     compare_frames(got, want, f"{qname}_microfixture")
+
+
+_part_row_st = st.tuples(
+    st.sampled_from(["Brand#1", "Brand#2", "Brand#3"]),
+    st.integers(min_value=1, max_value=50),             # size
+    st.integers(min_value=90, max_value=2_000_000),     # retailprice cents
+)
+
+_keyspace_st = st.tuples(
+    st.lists(_cust_row_st, min_size=1, max_size=6),
+    st.lists(_ord_row_st, min_size=1, max_size=8),
+    st.lists(_li_row_st, min_size=1, max_size=10),
+    st.lists(_ev_row_st, min_size=1, max_size=10),
+    st.lists(_doc_row_st, min_size=1, max_size=8),
+    st.lists(_emb_row_st, min_size=1, max_size=8),
+    st.lists(_part_row_st, min_size=1, max_size=6),
+)
+
+
+def _write_micro_keyspace(d, ks):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    custs, ords, lis, evs, docs, embs, parts = ks
+    _write_micro_warehouse(d, custs, ords, lis)
+    _write_micro_events(d, evs)
+    _write_micro_documents(d, docs)
+    _write_micro_embeddings(d, embs)
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(list(range(1, len(parts) + 1)), pa.int64()),
+                "p_name": pa.array([f"part {i}" for i in range(len(parts))],
+                                   pa.string()),
+                "p_brand": pa.array([p[0] for p in parts], pa.string()),
+                "p_type": pa.array(["STANDARD"] * len(parts), pa.string()),
+                "p_size": pa.array([p[1] for p in parts], pa.int32()),
+                "p_retailprice": pa.array([p[2] / 100 for p in parts],
+                                          pa.float64()),
+            }
+        ),
+        os.path.join(d, "part.parquet"),
+    )
+
+
+@given(
+    ks=_keyspace_st,
+    qname=st.sampled_from(
+        ["a5_range_partition_counts", "a7_table_counts",
+         "a8_content_checksum", "b14_join_theta_range", "d4_datetime",
+         "f11_multimodal_join", "f36_cross_source_dups",
+         "f25_contamination", "f48_split_leakage"]
+    ),
+)
+@settings(**SETTINGS)
+def test_keyspace_queries_driver_parity_microfixtures(
+    spark, ks, qname, tmp_path_factory
+):
+    """Randomized micro-driver over a GENERATED FULL KEYSPACE (all 10
+    tables, mutually ragged) — migration validation (range counts,
+    table counts, content checksums), theta joins, datetime scalars,
+    and the cross-table f-pipeline (multimodal join, cross-source
+    dups, contamination, split leakage) vs their oracles. Closes the
+    loop: any registered query can now be hunted on generated data."""
+    import os
+
+    import duckdb
+
+    from cassandra_migrate_keyspace_from_cluster_spark import registry
+    from tests.parity import compare_frames
+
+    d = str(tmp_path_factory.mktemp("microks"))
+    _write_micro_keyspace(d, ks)
+    registry.load_all()
+    got = registry.QUERIES[qname].fn(spark, d).toPandas()
+    con = duckdb.connect()
+    for t in ["region", "nation", "supplier", "customer", "orders",
+              "lineitem", "part", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{os.path.join(d, t + '.parquet')}')"
+        )
+    want = con.execute(registry.QUERIES[qname].oracle).df()
+    compare_frames(got, want, f"{qname}_microfixture")
