@@ -917,3 +917,66 @@ def test_keyspace_queries_driver_parity_microfixtures(
         )
     want = con.execute(registry.QUERIES[qname].oracle).df()
     compare_frames(got, want, f"{qname}_microfixture")
+
+
+@given(
+    ks=_keyspace_st,
+    pnames=st.lists(
+        st.sampled_from(
+            ["arrow_batch_7", "aqe_off", "shuffle_5", "tz_utc_plus8",
+             "codegen_off", "ansi_off", "broadcast_off", "parquet_rowwise",
+             "tiny_splits"]
+        ),
+        min_size=1, max_size=3, unique=True,
+    ),
+    qname=st.sampled_from(
+        ["b5_agg_groupby", "b9_join_multiway_star", "e3_session",
+         "c14_frame_range", "f7_tokenize_wordcount", "f4_cosine_topk",
+         "b25_tpch_q3_shaped", "d4_datetime", "a8_content_checksum",
+         "f25_contamination"]
+    ),
+)
+@settings(**SETTINGS)
+def test_conf_perturbed_driver_parity_microfixtures(
+    spark, ks, pnames, qname, tmp_path_factory
+):
+    """Joint conf x data randomization: generated keyspaces run under a
+    random 1-3-perturbation CONF combination (the axes from
+    tools/conf_invariance.py) and must still match the DuckDB oracle
+    cell-exact. Composes two gates that each hold alone — conf
+    invariance is probed only on the fixed fixtures, and the micro
+    families above run only at build_session confs — so a per-batch /
+    per-partition dependence that needs BOTH an unusual data shape and
+    an unusual physical plan is visible only here. Deep budget lives in
+    tools/property_hunt.py (family `confs`)."""
+    import os
+
+    import duckdb
+
+    from cassandra_migrate_keyspace_from_cluster_spark import registry
+    from tests.parity import compare_frames
+    from tools.conf_invariance import PERTURBATIONS
+
+    merged: dict[str, str] = {}
+    for p in pnames:
+        merged.update(PERTURBATIONS[p])
+    saved = {k: spark.conf.get(k) for k in merged}
+    for k, v in merged.items():
+        spark.conf.set(k, v)
+    try:
+        d = str(tmp_path_factory.mktemp("microconf"))
+        _write_micro_keyspace(d, ks)
+        registry.load_all()
+        got = registry.QUERIES[qname].fn(spark, d).toPandas()
+        con = duckdb.connect()
+        for t in ["region", "nation", "supplier", "customer", "orders",
+                  "lineitem", "part", "events", "documents", "embeddings"]:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'{os.path.join(d, t + '.parquet')}')"
+            )
+        want = con.execute(registry.QUERIES[qname].oracle).df()
+        compare_frames(got, want, f"{qname}_confperturbed")
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -13,7 +13,8 @@ of fixture-derived gates could not reach.
 
 Usage: python tools/property_hunt.py [examples_per_family] [family ...]
        (defaults: 60; families: lineitem events documents embeddings
-        joins keyspace)
+        joins keyspace confs — confs draws random 1-3-perturbation
+        conf combinations on top of generated keyspaces)
 Prints one line per family; exit 1 on any failure.
 """
 
@@ -130,9 +131,66 @@ def _register_families(spark, n_examples: int) -> None:
             qname, (ks,),
         )
 
+    # confs: random CONF-perturbation combinations x generated keyspaces
+    # x the union of every family's oracle-paired query pool. Composes
+    # two gates that each hold alone (conf-invariance runs on the FIXED
+    # fixtures; the families above run at the FIXED build_session confs)
+    # into the joint space neither covers: a query whose answer depends
+    # on, say, arrow re-batching ONLY for a data shape the fixtures
+    # never produce (single-row groups, all-null batch tails) is
+    # invisible to both parents. Perturbation sets of size 1-3 also
+    # probe pairwise/triple conf interactions for the first time.
+    from tools.conf_invariance import PERTURBATIONS
+
+    conf_pool = sorted(
+        {"b5_agg_groupby", "b4_agg_global", "c1_rollup", "c20_unpivot",
+         "c3_grouping_sets", "b36_skew_profile",
+         "e1_tumbling", "e2_sliding", "e3_session", "e7_event_funnel",
+         "e12_out_of_order_profile", "e16_peak_concurrency",
+         "c14_frame_range", "c12_lag_lead", "c17_first_last",
+         "f1_exact_dedup", "f7_tokenize_wordcount", "f9_ngrams",
+         "f13_langid", "f14_quality", "f15_token_count",
+         "f16_fingerprint", "f22_redact_pii", "f26_repetition",
+         "f27_rule_filters", "f35_token_spectrum",
+         "f12_doc_length_dedup_rate",
+         "f4_cosine_topk", "f4b_cosine_neardup", "f19_quantize_int8",
+         "f6_centroid_knn", "f46_embedding_outliers",
+         "b8_join_inner_eq", "b9_join_multiway_star", "b10_join_outer",
+         "b11_join_semi", "b12_join_anti", "b25_tpch_q3_shaped",
+         "b26_tpch_q10_shaped", "a18_referential_check",
+         "a5_range_partition_counts", "a7_table_counts",
+         "a8_content_checksum", "b14_join_theta_range", "d4_datetime",
+         "f11_multimodal_join", "f36_cross_source_dups",
+         "f25_contamination", "f48_split_leakage"}
+    )
+
+    @given(ks=tp._keyspace_st,
+           pnames=st.lists(st.sampled_from(sorted(PERTURBATIONS)),
+                           min_size=1, max_size=3, unique=True),
+           qname=st.sampled_from(conf_pool))
+    @settings(**hard)
+    def confs(ks, pnames, qname):
+        merged: dict[str, str] = {}
+        for p in pnames:
+            merged.update(PERTURBATIONS[p])
+        saved = {k: spark.conf.get(k) for k in merged}
+        for k, v in merged.items():
+            spark.conf.set(k, v)
+        try:
+            _parity(
+                spark, tp._write_micro_keyspace,
+                ["region", "nation", "supplier", "customer", "orders",
+                 "lineitem", "part", "events", "documents", "embeddings"],
+                qname, (ks,),
+            )
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
     FAMILIES.update(
         lineitem=lineitem, events=events, documents=documents,
         embeddings=embeddings, joins=joins, keyspace=keyspace,
+        confs=confs,
     )
 
 
