@@ -30,6 +30,12 @@ containment pytest laws, not in byte equality.
 
 Usage: python tools/conf_invariance.py [sf_dir] [perturbation ...]
        (defaults: /root/testdata/sf0.001, all perturbations)
+       A '+'-joined name (e.g. shuffle_5+tiny_splits+aqe_off) applies
+       the perturbations TOGETHER — interaction probing: each axis
+       holding alone does not imply the combination holds (e.g. AQE-off
+       removes the coalescing that masks a tiny-splits-sensitive
+       accumulator). The deep randomized version of this axis lives in
+       tools/property_hunt.py (family `confs`).
 Prints one line per (perturbation, divergence) and a final summary.
 """
 
@@ -112,9 +118,18 @@ PERTURBATIONS = {
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     wanted = sys.argv[2:] or list(PERTURBATIONS)
-    unknown = [w for w in wanted if w not in PERTURBATIONS]
+    unknown = [w for w in wanted
+               if any(p not in PERTURBATIONS for p in w.split("+"))]
     if unknown:
         sys.exit(f"unknown perturbation(s): {unknown}; have {list(PERTURBATIONS)}")
+    # resolve '+'-combos into merged conf dicts (later axes win on a
+    # conf-key collision, which cannot happen today — axes are disjoint)
+    resolved = {}
+    for w in wanted:
+        merged: dict[str, str] = {}
+        for p in w.split("+"):
+            merged.update(PERTURBATIONS[p])
+        resolved[w] = merged
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from cassandra_migrate_keyspace_from_cluster_spark.registry import specs
@@ -141,7 +156,7 @@ def main() -> None:
     fails: list[str] = []
     warns: list[str] = []
     for pname in wanted:
-        confs = PERTURBATIONS[pname]
+        confs = resolved[pname]
         saved = {k: spark.conf.get(k) for k in confs}
         for k, v in confs.items():
             spark.conf.set(k, v)
