@@ -194,11 +194,24 @@ def prestage_cosine_corpus(
     sel = drop_null_vectors(embeddings).select(
         F.col(id_col).alias("id"), "embedding"
     ).distinct()
+    # File count = scan parallelism. cosine_topk's query side reads this
+    # layout back, and FileSourceScan's split math (openCostInBytes
+    # padding + files.minPartitionNum) gives each small staged file its
+    # own partition — so the file count here IS the matmul's task count.
+    # Left alone, AQE coalesces the distinct to ONE file at small n and
+    # the whole search serializes onto one core (measured 2.6-4.6 s for
+    # a 1-task 2000x2000 search vs ~0.4 s at 32 tasks). defaultParallelism
+    # files keeps every core busy; the exact tier's memory contract
+    # (corpus fits one executor) bounds the per-worker open cost this
+    # adds. One extra exchange, paid once per content key at staging.
+    sel = sel.repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     return _stage(
         sel,
         "f4_corpus",
         content_key=(
-            "kdist2:" + content_fingerprint(corpus_key)
+            # "kdist3" versions the staged layout (parallel file fan-out
+            # + replay-law distinct); earlier stagings can't be reused
+            "kdist3:" + content_fingerprint(corpus_key)
             if corpus_key is not None
             else None
         ),
@@ -374,6 +387,15 @@ def cosine_topk_chunked(
     )
     n = src.count()
     n_chunks = max(1, math.ceil(n / chunk_size))
+    # Task sizing for the per-pass matmul: the cached distinct pins the
+    # session's shuffle-partition count (AQE cannot re-coalesce a cached
+    # plan under the default canChangeCachedPlanOutputPartitioning), so
+    # at small n every pass would fire shuffle.partitions near-empty
+    # Python workers. Coalesce (narrow, no shuffle, reads the same
+    # cached blocks) to ~8k query rows per task, floored at the
+    # cluster's parallelism so every core still gets work at scale.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    pass_src = src.coalesce(max(par, math.ceil(n / 8192)) if n else 1)
     staged = False
     if work_dir is None and corpus_key is not None:
         base = scratch_dir("f4c_corpus")
@@ -394,8 +416,11 @@ def cosine_topk_chunked(
         corpus_path = f"{root}/corpus"
         cand_path = f"{root}/cand"
     if not staged:
+        # written from the coalesced layout: ≤ n_parts files per chunk
+        # dir instead of shuffle.partitions near-empty ones — fewer
+        # footer reads for every _load_normalized_corpus call below
         (
-            src.withColumn(
+            pass_src.withColumn(
                 "chunk", F.pmod(F.xxhash64("id"), F.lit(n_chunks)).cast("int")
             )
             .write.partitionBy("chunk")
@@ -455,7 +480,7 @@ def cosine_topk_chunked(
         # when the next pass hands them a new path (_worker_load keeps
         # one entry), so per-worker memory stays O(chunk)
         (
-            src.mapInPandas(chunk_topk, out_schema)
+            pass_src.mapInPandas(chunk_topk, out_schema)
             .write.mode("overwrite" if first else "append")
             .parquet(cand_path)
         )
