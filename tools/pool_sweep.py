@@ -96,15 +96,19 @@ def main() -> None:
         want = con.execute(registry.QUERIES[qname].oracle).df()
         compare_frames(got, want, f"{qname}_sweep")
 
+    def make_probe(qname):
+        # close over qname via factory — @given rejects default args
+        @given(ks=tp._keyspace_st)
+        @settings(max_examples=n, deadline=None)
+        def probe(ks):
+            one_example(ks, qname)
+
+        return probe
+
     passes, fails = [], []
     for qname in wanted:
         t0 = time.time()
-
-        @given(ks=tp._keyspace_st)
-        @settings(max_examples=n, deadline=None)
-        def probe(ks, _q=qname):
-            one_example(ks, _q)
-
+        probe = make_probe(qname)
         try:
             probe()
             passes.append(qname)
