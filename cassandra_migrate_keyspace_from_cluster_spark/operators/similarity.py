@@ -1361,8 +1361,18 @@ def auto_cosine_topk(
         if "embedding" in embeddings.columns:
             embeddings = embeddings.drop("embedding")
         embeddings = embeddings.withColumnRenamed(embedding_col, "embedding")
-    row = embeddings.select(
-        F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("d")
+    # Stats over the VALID vectors (the corpus the tiers actually
+    # search — every tier drops invalid vectors at ingress): a raw
+    # count would oversize the footprint with rows the search never
+    # holds, and a raw first() returns d=None whenever the first row's
+    # embedding is NULL (pool-sweep find: None <= int crash in the
+    # selector on any generated keyspace whose row 0 is a null vector;
+    # ignorenulls alone still leaves d=None on an all-null corpus,
+    # which the n==0 branch below now owns because the filtered count
+    # is 0 there too).
+    row = drop_null_vectors(embeddings).select(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size("embedding"), ignorenulls=True).alias("d"),
     ).collect()[0]
     if executor_mem_bytes is None:
         conf = embeddings.sparkSession.conf.get("spark.executor.memory", "1g")

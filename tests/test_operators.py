@@ -1325,6 +1325,37 @@ def test_auto_cosine_topk_empty_corpus_degrades_gracefully(spark):
     ]
 
 
+def test_auto_cosine_topk_null_leading_vectors(spark):
+    """Corpus stats must be computed over the VALID vectors: with a
+    NULL embedding in row 0, a raw first(size(embedding)) returns
+    d=None and the selector crashes on None <= int (pool-sweep find,
+    r9 — any generated keyspace whose first row is a null vector);
+    with ALL vectors invalid the filtered count is 0 and the empty
+    branch owns the route. Results must equal the same search with
+    the invalid rows pre-dropped (the tiers drop them anyway)."""
+    rows = [
+        (1, None),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    chosen: dict = {}
+    got = sim.auto_cosine_topk(emb, k=2, chosen=chosen)
+    assert chosen["tier"] == "exact_broadcast"
+    assert chosen["n_rows"] == 3 and chosen["dim"] == 4
+    want = sim.auto_cosine_topk(emb.filter("embedding IS NOT NULL"), k=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id bigint, embedding array<float>"
+    )
+    chosen2: dict = {}
+    out = sim.auto_cosine_topk(all_null, k=2, chosen=chosen2)
+    assert chosen2["tier"] == "exact_broadcast"
+    assert out.count() == 0
+
+
 def test_exact_mean6_matches_rational_truth(spark):
     """functions/rounding.exact_mean6 (Spark), sql_exact_mean6 (DuckDB),
     and multimodal.exact_mean6 (numpy path) must all equal the true
