@@ -839,6 +839,24 @@ _part_row_st = st.tuples(
     st.integers(min_value=90, max_value=2_000_000),     # retailprice cents
 )
 
+def _oracle_paired_pool():
+    """Every oracle-paired registered query — the keyspace-family hunt
+    pool. Grown from the original hand-picked 9 after the r9
+    pool-expansion sweep (tools/pool_sweep.py) proved the whole
+    oracle-paired inventory rides generated keyspaces: 149/150 passed
+    as-is and the one failure (f4d's tier-selector stats on a
+    null-leading corpus) was a real bug, fixed with its own regression
+    test. Rows-only queries stay out — there is no oracle to compare."""
+    from cassandra_migrate_keyspace_from_cluster_spark import registry
+
+    registry.load_all()
+    return sorted(
+        n for n, s in registry.QUERIES.items() if s.oracle is not None
+    )
+
+
+KEYSPACE_POOL = _oracle_paired_pool()
+
 _keyspace_st = st.tuples(
     st.lists(_cust_row_st, min_size=1, max_size=6),
     st.lists(_ord_row_st, min_size=1, max_size=8),
@@ -880,23 +898,19 @@ def _write_micro_keyspace(d, ks):
 
 @given(
     ks=_keyspace_st,
-    qname=st.sampled_from(
-        ["a5_range_partition_counts", "a7_table_counts",
-         "a8_content_checksum", "b14_join_theta_range", "d4_datetime",
-         "f11_multimodal_join", "f36_cross_source_dups",
-         "f25_contamination", "f48_split_leakage"]
-    ),
+    qname=st.sampled_from(KEYSPACE_POOL),
 )
 @settings(**SETTINGS)
 def test_keyspace_queries_driver_parity_microfixtures(
     spark, ks, qname, tmp_path_factory
 ):
     """Randomized micro-driver over a GENERATED FULL KEYSPACE (all 10
-    tables, mutually ragged) — migration validation (range counts,
-    table counts, content checksums), theta joins, datetime scalars,
-    and the cross-table f-pipeline (multimodal join, cross-source
-    dups, contamination, split leakage) vs their oracles. Closes the
-    loop: any registered query can now be hunted on generated data."""
+    tables, mutually ragged): qname samples the ENTIRE oracle-paired
+    inventory (KEYSPACE_POOL — pool-sweep-proven, r9), so any
+    registered query can be hunted on generated data. The in-suite
+    budget draws a thin random slice per run; tools/property_hunt.py
+    re-runs this family at 60-120 examples for the round-close deep
+    hunt."""
     import os
 
     import duckdb

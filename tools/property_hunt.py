@@ -117,11 +117,8 @@ def _register_families(spark, n_examples: int) -> None:
         )
 
     @given(ks=tp._keyspace_st,
-           qname=st.sampled_from(
-               ["a5_range_partition_counts", "a7_table_counts",
-                "a8_content_checksum", "b14_join_theta_range", "d4_datetime",
-                "f11_multimodal_join", "f36_cross_source_dups",
-                "f25_contamination", "f48_split_leakage"]))
+           # the full oracle-paired inventory (pool-sweep-proven, r9)
+           qname=st.sampled_from(tp.KEYSPACE_POOL))
     @settings(**hard)
     def keyspace(ks, qname):
         _parity(
