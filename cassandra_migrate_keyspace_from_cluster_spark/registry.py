@@ -177,6 +177,13 @@ _DRIVER_GREEN = frozenset({
 #   oldest staleness padding, last-ridden r3, alphabetical (12): d3,
 #     d5, d7, d8, e1, e2, e3, e4, e5, e6, e7, e10.
 #
+# Continuation-session note for the r10 assembler: the late-r9
+# operator rewrites (f4 staged-layout fan-out + f4c pass-layout
+# task sizing + f4d/auto_cosine_topk valid-vector stats) all landed
+# BEFORE the r9 driver run and all three names already ride this
+# window, so their r9 rows cover current code — no forced r10
+# re-ride on their account.
+#
 # CONCRETE r10 window plan (assemble at r10 start, once
 # CORRECTNESS_r09 is green): r10 rewrites first, then the remaining
 # never-re-ridden-since-r3 rows (e7, e9, f15, f20, f22, g5, g7, g8;
