@@ -847,12 +847,23 @@ def e18_bounded_funnel(spark, sf_dir):
     oracle="""
     WITH ordered AS (
       SELECT ts,
-             max(ts) OVER (PARTITION BY event_id % 8 ORDER BY event_id
+             -- (event_id, ts): duplicate arrival ids make ORDER BY
+             -- event_id alone a peer-order lottery for the running
+             -- max (r9 pool-sweep find); ts as tie-break pins the
+             -- canonical arrival order on both engines
+             max(ts) OVER (PARTITION BY event_id % 8 ORDER BY event_id, ts
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS max_ts_so_far
       FROM events),
     lateness AS (
-      SELECT date_diff('second', ts, max_ts_so_far) AS late_s FROM ordered)
+      -- floor-then-diff: see e14 (negative-epoch fractional endpoints
+      -- otherwise shift date_diff by one — r9 pool-sweep find: a ts in
+      -- the open second below epoch 0 whose running max sits at/after
+      -- epoch 0 reads late_s=1 in Spark's floor form, 0 in raw
+      -- date_diff's toward-zero second partitions)
+      SELECT date_diff('second', date_trunc('second', ts),
+                       date_trunc('second', max_ts_so_far)) AS late_s
+      FROM ordered)
     SELECT delay_min,
            CAST((SELECT count(*) FROM lateness WHERE late_s > delay_min * 60)
                 AS BIGINT) AS n_dropped
@@ -869,11 +880,21 @@ def e19_watermark_whatif(spark, sf_dir):
     the per-partition watermark input, computed in a SHARD-PARTITIONED
     window (ordered by arrival id) — exactly the per-partition shape
     the streaming engine uses, and no global single-reducer window.
-    The tiny threshold table rides a broadcast cross join."""
+    The tiny threshold table rides a broadcast cross join.
+
+    Multiset law (r9 pool-sweep find): arrival order is (event_id,
+    ts), not event_id alone — with DUPLICATE arrival ids carrying
+    different event-times (at-least-once delivery, replayed batches)
+    a bare ORDER BY event_id leaves the running max at the mercy of
+    peer order inside the ROWS frame, and the two engines' internal
+    row orders legitimately differ (Spark's exchange feed vs DuckDB's
+    scan order). The ts tie-break makes same-id events count in
+    event-time order, so the answer is a pure function of the input
+    multiset."""
     ev = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy(F.col("event_id") % 8)
-        .orderBy("event_id")
+        .orderBy("event_id", "ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     late = ev.select(

@@ -179,10 +179,11 @@ _DRIVER_GREEN = frozenset({
 #
 # Continuation-session note for the r10 assembler: the late-r9
 # operator rewrites (f4 staged-layout fan-out + f4c pass-layout
-# task sizing + f4d/auto_cosine_topk valid-vector stats) all landed
-# BEFORE the r9 driver run and all three names already ride this
-# window, so their r9 rows cover current code — no forced r10
-# re-ride on their account.
+# task sizing + f4d/auto_cosine_topk valid-vector stats, and the e19
+# lateness-law rewrite below) all landed BEFORE the r9 driver run and
+# all four names ride this window, so their r9 rows cover current
+# code — no forced r10 re-ride on their account. e10_stream_stream_join
+# joins the r10 padding pool (displaced by e19).
 #
 # CONCRETE r10 window plan (assemble at r10 start, once
 # CORRECTNESS_r09 is green): r10 rewrites first, then the remaining
@@ -230,10 +231,18 @@ _WINDOW = frozenset({
     # r8 d17/f6/f19/f46 precedent, but slots were available here.
     "c16_ntile_pctrank", "f10_lang_stats", "f12_doc_length_dedup_rate",
     "f51_ngram_novelty",
-    # oldest-r3 staleness padding (7)
+    # late-r9 law rewrite #2 (1): e19's lateness laws — the first
+    # full pool-expansion sweep caught raw date_diff('second')
+    # partitioning negative epochs toward zero (Spark's date_trunc
+    # form floors; divergent only when a ts and its shard running-max
+    # straddle epoch 0 inside one second), and the fix batch also
+    # pinned the duplicate-arrival-id multiset law ((event_id, ts)
+    # window order, both sides). Rewrites-first: swaps in, displacing
+    # e10_stream_stream_join (last of the remaining padding) to r10.
+    "e19_watermark_whatif",
+    # oldest-r3 staleness padding (6)
     "d3_string_distance", "d5_math", "d7_map_json", "d8_hash",
     "e1_tumbling", "e2_sliding",
-    "e10_stream_stream_join",
 })
 
 

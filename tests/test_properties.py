@@ -994,3 +994,70 @@ def test_conf_perturbed_driver_parity_microfixtures(
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_e19_lateness_laws_on_adversarial_arrivals(spark, tmp_path_factory):
+    """Two e19 laws the fixture battery cannot reach (r9 pool-sweep
+    finds, both shipped as engine+oracle rewrites):
+
+    1. NEGATIVE-EPOCH FLOOR: a ts in the open second below epoch 0
+       whose shard running-max sits at/after epoch 0 must read
+       late_s = floor(max) - floor(ts) (Spark's date_trunc form) on
+       BOTH engines — raw DuckDB date_diff('second') partitions
+       negative epochs toward zero and undercounts by one.
+    2. DUPLICATE ARRIVAL IDS: with the same event_id carrying two
+       different event-times, the running max must not depend on peer
+       order — the (event_id, ts) law makes the answer a pure
+       function of the input multiset, so both FILE ORDERS of the
+       tied pair give identical results on both engines.
+    """
+    import datetime as dt
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_migrate_keyspace_from_cluster_spark import registry
+    from tests.parity import compare_frames
+
+    registry.load_all()
+    spec = registry.QUERIES["e19_watermark_whatif"]
+
+    def run(events):
+        d = str(tmp_path_factory.mktemp("e19law"))
+        n = len(events)
+        tbl = pa.table({
+            "event_id": pa.array([e[0] for e in events], pa.int64()),
+            "ts": pa.array([e[1] for e in events], pa.timestamp("us")),
+            "user_id": pa.array([0] * n, pa.int64()),
+            "event_type": pa.array(["signup"] * n, pa.string()),
+            "value": pa.array([0.01] * n, pa.float64()),
+            "props": pa.array(['{"k": 0}'] * n, pa.string()),
+        })
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        got = spec.fn(spark, d).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{os.path.join(d, 'events.parquet')}')"
+        )
+        want = con.execute(spec.oracle).df()
+        compare_frames(got, want, "e19_adversarial")
+        return sorted(map(tuple, got.values.tolist()))
+
+    # (1) epoch-straddle: shard 1 sees epoch 0 (id 1) before -1 us
+    # (id 9) -> one event a full floored second late at delay 0
+    straddle = run([
+        (1, dt.datetime(1970, 1, 1, 0, 0, 0)),
+        (9, dt.datetime(1969, 12, 31, 23, 59, 59, 999999)),
+    ])
+    assert (0, 1) in straddle, straddle
+
+    # (2) duplicate arrival id, both file orders -> identical answers
+    early, late = (dt.datetime(2024, 1, 1, 0, 0, 10),
+                   dt.datetime(2024, 1, 1, 0, 5, 0))
+    a = run([(7, early), (7, late)])
+    b = run([(7, late), (7, early)])
+    assert a == b, (a, b)
+    assert (0, 0) in a, a  # event-time order: nothing late
