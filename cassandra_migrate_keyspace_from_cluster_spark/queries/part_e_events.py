@@ -711,10 +711,15 @@ def e16_peak_concurrency(spark, sf_dir):
     oracle="""
     WITH g AS (
       SELECT event_type,
+             -- floor-then-diff: see e14/e19 (negative-epoch fractional
+             -- endpoints otherwise shift date_diff by one when a
+             -- consecutive pair straddles epoch 0 — same class the r9
+             -- pool sweep caught in e19; latent here by data luck)
              date_diff('second',
-                       lag(ts) OVER (PARTITION BY user_id, event_type
-                                     ORDER BY ts, event_id),
-                       ts) AS gap_s
+                       date_trunc('second',
+                                  lag(ts) OVER (PARTITION BY user_id, event_type
+                                                ORDER BY ts, event_id)),
+                       date_trunc('second', ts)) AS gap_s
       FROM events)
     SELECT event_type,
            CAST(least(floor(gap_s / 3600.0), 48) AS BIGINT) AS gap_hours_bucket,

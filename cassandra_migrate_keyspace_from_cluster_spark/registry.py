@@ -240,9 +240,15 @@ _WINDOW = frozenset({
     # window order, both sides). Rewrites-first: swaps in, displacing
     # e10_stream_stream_join (last of the remaining padding) to r10.
     "e19_watermark_whatif",
-    # oldest-r3 staleness padding (6)
+    # late-r9 law rewrite #3 (1): e15 carried the SAME raw-date_diff
+    # negative-epoch hazard (audit of every date_diff oracle after the
+    # e19 find; divergence proven on an hour-boundary epoch-straddle
+    # pair — old oracle bucket 0, Spark+new oracle bucket 1). Swaps
+    # in, displacing e2_sliding (last remaining padding) to r10.
+    "e15_interarrival_histogram",
+    # oldest-r3 staleness padding (5)
     "d3_string_distance", "d5_math", "d7_map_json", "d8_hash",
-    "e1_tumbling", "e2_sliding",
+    "e1_tumbling",
 })
 
 

@@ -1061,3 +1061,47 @@ def test_e19_lateness_laws_on_adversarial_arrivals(spark, tmp_path_factory):
     b = run([(7, late), (7, early)])
     assert a == b, (a, b)
     assert (0, 0) in a, a  # event-time order: nothing late
+
+
+def test_e15_gap_floor_law_on_epoch_straddle(spark, tmp_path_factory):
+    """e15's gap law at the epoch-0 straddle (r9 audit find, same
+    class as e19): a consecutive pair whose earlier ts sits at a
+    fractional pre-epoch instant exactly an hour-boundary-crossing
+    gap away must bucket by the FLOOR-form gap (Spark's
+    unix_timestamp(date_trunc)) on both engines — the oracle's raw
+    date_diff('second') partitioned negative epochs toward zero and
+    read gap 3599 (bucket 0) where the floor form reads 3600
+    (bucket 1)."""
+    import datetime as dt
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_migrate_keyspace_from_cluster_spark import registry
+    from tests.parity import compare_frames
+
+    registry.load_all()
+    spec = registry.QUERIES["e15_interarrival_histogram"]
+    d = str(tmp_path_factory.mktemp("e15law"))
+    ts = [dt.datetime(1969, 12, 31, 23, 0, 0, 500000),
+          dt.datetime(1970, 1, 1, 0, 0, 0)]
+    tbl = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([0, 0], pa.int64()),
+        "event_type": pa.array(["signup", "signup"], pa.string()),
+        "value": pa.array([0.01, 0.01], pa.float64()),
+        "props": pa.array(['{"k": 0}'] * 2, pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    got = spec.fn(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'events.parquet')}')"
+    )
+    want = con.execute(spec.oracle).df()
+    compare_frames(got, want, "e15_straddle")
+    assert sorted(map(tuple, got.values.tolist())) == [("signup", 1, 1)]
