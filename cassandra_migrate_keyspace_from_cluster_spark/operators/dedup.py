@@ -10,8 +10,9 @@ Four tiers, trading exactness for scale (SURVEY.md §2 Part F):
     path: candidate pairs come from band-bucket joins, not a cross
     join. Hash seeds are engine-specific → rows-only + recall-tested
     against jaccard_pairs (tests/test_operators.py).
-  - simhash: 64-bit SimHash per doc as pure column expressions; near-dup
-    = small Hamming distance. Also engine-specific (xxhash64 seeds).
+  - simhash: 60-bit SimHash per doc as pure column expressions; near-dup
+    = small Hamming distance. Pinned md5-derived token hashes (the f24
+    idiom) → cross-engine reproducible, hash-checked against DuckDB.
 """
 
 from __future__ import annotations
@@ -580,25 +581,30 @@ def neardup_clusters_star(
     return labels.select(F.col("doc").alias(id_col), "cluster_id")
 
 
-def simhash63(text_col: str = "text") -> F.Column:
-    """63-bit SimHash as a single pure column expression (no UDF).
+def simhash60_pinned(text_col: str = "text") -> F.Column:
+    """60-bit SimHash as a single pure column expression (no UDF),
+    built on the PINNED md5-derived token hash (``_pinned_hash60``, the
+    f24 idiom) so ANY engine reproduces the exact integer — this is
+    what makes f3b hash-checkable against DuckDB instead of rows-only.
 
-    Per token: xxhash64; per bit position 0..62: majority vote of token
-    bits (+1/-1 fold via getbit); the sign vector is assembled as a
-    binary string and converted with conv(,2,10) — 63 bits so the BIGINT
-    never overflows into the sign bit. Engine-specific (xxhash64 seeds)
-    → rows-only; semantics tested by property (near-identical docs ⇒
-    small Hamming distance) in tests/test_operators.py.
+    Per token: pinned 60-bit hash (seed 0); per bit position 0..59:
+    majority vote of token bits (+1/-1 fold via getbit); the sign
+    vector is assembled as a binary string (bit 0 first = most
+    significant, weight 2^(59-i)) and converted with conv(,2,10) —
+    60 bits keeps the BIGINT far from the sign bit. Locality property
+    (near-identical docs ⇒ small Hamming distance) in
+    tests/test_operators.py.
     """
     from ..functions.hof import let
 
     hashes_expr = F.transform(
-        F.array_distinct(F.split(F.col(text_col), " ")), lambda x: F.xxhash64(x)
+        F.array_distinct(F.split(F.col(text_col), " ")),
+        lambda x: _pinned_hash60(x, 0),
     )
 
-    # let-bind the token-hash array: the 63 per-bit votes then fold
+    # let-bind the token-hash array: the 60 per-bit votes then fold
     # over a BOUND variable (O(1) per reference) instead of re-running
-    # split+distinct+hash per bit (O(63·tokens²) per row — measured
+    # split+distinct+hash per bit (O(60·tokens²) per row — measured
     # 9x slower on the sf0.1 corpus).
     def body(hashes):
         def vote(i):
@@ -609,7 +615,7 @@ def simhash63(text_col: str = "text") -> F.Column:
             )
 
         bits = F.transform(
-            F.sequence(F.lit(0), F.lit(62)),
+            F.sequence(F.lit(0), F.lit(59)),
             lambda i: F.when(vote(i) > 0, F.lit("1")).otherwise(F.lit("0")),
         )
         return F.conv(F.array_join(bits, ""), 2, 10).cast("bigint")

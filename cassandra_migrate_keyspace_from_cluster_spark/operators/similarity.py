@@ -188,9 +188,10 @@ def prestage_cosine_corpus(
     ingress. The distinct rides the staging write (paid once per
     content key); the query side then READS THE STAGED LAYOUT, so it
     inherits the dedup without a second exchange and the search
-    stage itself stays shuffle-free. ("kdist2" in the content key
-    versions the staged semantics — a pre-law staging can never be
-    reused for the post-law operator.)"""
+    stage itself stays shuffle-free. (The "kdist…" prefix in the
+    content key below versions the staged semantics+layout — a
+    staging written under an older law/layout can never be reused
+    for the current operator.)"""
     sel = drop_null_vectors(embeddings).select(
         F.col(id_col).alias("id"), "embedding"
     ).distinct()
@@ -394,8 +395,17 @@ def cosine_topk_chunked(
     # Python workers. Coalesce (narrow, no shuffle, reads the same
     # cached blocks) to ~8k query rows per task, floored at the
     # cluster's parallelism so every core still gets work at scale.
+    # coalesce() can only REDUCE the partition count — when the cached
+    # distinct landed BELOW the floor (shuffle.partitions set under the
+    # core count, as the conf-invariance shuffle_5 axis does), fall
+    # back to repartition: one small exchange per pass, read from
+    # cached blocks, beats running every matmul pass under-parallel.
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    pass_src = src.coalesce(max(par, math.ceil(n / 8192)) if n else 1)
+    target = max(par, math.ceil(n / 8192)) if n else 1
+    if src.rdd.getNumPartitions() < target:
+        pass_src = src.repartition(target)
+    else:
+        pass_src = src.coalesce(target)
     staged = False
     if work_dir is None and corpus_key is not None:
         base = scratch_dir("f4c_corpus")

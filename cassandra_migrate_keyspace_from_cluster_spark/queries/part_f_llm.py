@@ -197,13 +197,47 @@ def f3_minhash_lsh(spark, sf_dir):
     return dd.minhash_lsh_pairs(docs, threshold=0.6)
 
 
-@register("f3b_simhash", oracle=None)  # xxhash64 is Spark-specific
+@register(
+    "f3b_simhash",
+    oracle="""
+    -- Pinned 60-bit SimHash (operators/dedup.py::simhash60_pinned):
+    -- per distinct token, the md5-derived 60-bit hash (f24 idiom,
+    -- seed 0 baked into the hashed string); per bit i in 0..59 a
+    -- majority vote over token hashes; bit i carries weight 2^(59-i)
+    -- (bit 0 = most significant, matching the Spark conv(,2,10)
+    -- binary-string assembly order).
+    WITH d AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(toks, t ->
+               CAST(('0x' || substr(md5(concat('0:', t)), 1, 15)) AS BIGINT)
+             ) AS hs
+      FROM d),
+    s AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(60), i ->
+               CASE WHEN list_sum(list_transform(hs,
+                            x -> ((x >> i) & 1) * 2 - 1)) > 0
+                    THEN CAST(1 AS BIGINT) << (59 - i)
+                    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+      FROM h)
+    SELECT s.doc_id, s.simhash,
+           CAST(bit_count(xor(s.simhash, r.ref_hash)) AS INT) AS hamming_to_doc0
+    FROM s
+    CROSS JOIN (SELECT simhash AS ref_hash FROM s
+                ORDER BY doc_id LIMIT 1) r
+    """,
+)
 def f3b_simhash(spark, sf_dir):
-    """63-bit SimHash per document (pure column expressions) + Hamming
-    distance to a fixed reference doc — rows-only (xxhash64 seeds);
-    locality property tested in pytest."""
+    """60-bit SimHash per document (pure column expressions, PINNED
+    md5-derived token hashes — the f24 idiom) + Hamming distance to a
+    fixed reference doc. Cross-engine reproducible → hash-checked
+    against the DuckDB oracle (was rows-only under xxhash64 until r10);
+    locality property additionally tested in pytest."""
     docs = t(spark, sf_dir, "documents")
-    with_sim = docs.select("doc_id", dd.simhash63("text").alias("simhash"))
+    with_sim = docs.select("doc_id", dd.simhash60_pinned("text").alias("simhash"))
     ref = with_sim.orderBy("doc_id").limit(1).select(
         F.col("simhash").alias("ref_hash")
     )

@@ -58,12 +58,12 @@ def load_all() -> None:
     from .queries import ALL_MODULES  # noqa: F401  (import side effect)
 
 
-# Queries already driver-verified green (CORRECTNESS_r01 ∪ … ∪ r07 —
-# all 207 names have ridden a driver window at least once; zero driver
-# failures ever recorded against current code. Rounds 6 and 7 re-rode
-# their 50-name staleness windows 49/49 hash + 1/1 rows-only each —
-# every r6/r7 name was already green in an earlier round, so the set
-# below is unchanged by them).
+# Queries already driver-verified green (CORRECTNESS_r01 ∪ … ∪ r09 —
+# all 208 names have ridden a driver window at least once; zero driver
+# failures ever recorded against current code. Rounds 6-9 re-rode
+# their 50-name staleness/rewrite windows with zero fails each; the
+# only name first seen after r5 is r9's new f4d_auto_tier, appended
+# below).
 # The driver's per-round correctness harness caps at the first 50
 # registry entries, so ordering is coverage policy: this round's explicit
 # window FIRST, then the remaining never-driver-checked queries,
@@ -145,110 +145,71 @@ _DRIVER_GREEN = frozenset({
     "f42_semantic_dedup", "f47_cluster_quality",
     "c6_approx_quantile", "c7_approx_cd", "f3_minhash_lsh", "f3b_simhash",
     "f5_ann_lsh", "f5b_ivf_topk", "f42b_semantic_dedup_kmeans",
+    # --- CORRECTNESS_r09.json (round 9) — only new name of r6-r9 ---
+    "f4d_auto_tier",
 })
 
-# Round-9 driver window (exactly 50 names), assembled at r9 start per
-# the standing rule — REWRITES FIRST (any query whose Spark code or
-# oracle changed since the last recorded CORRECTNESS), then the
-# deferred pristine-value-neutral r8 law rewrites, then oldest-row
-# staleness padding — and pre-flighted by tools/window_sim.py. For the
-# record, the r8 window (CORRECTNESS_r08: 45 hash + 5 rows-only, zero
-# fails) was the 47 mid/late-r8 data-shift rewrites + c4/c5/e8
-# extremes-probe rows + 3 oldest r3 rows; its full composition is in
-# git history at this file, r8 vintage.
+# Round-10 driver window (exactly 50 names), assembled at r10 start
+# per the standing rule — REWRITES FIRST (any query whose Spark code
+# or oracle changed since its last recorded CORRECTNESS row), then
+# oldest-row staleness rotation — and pre-flighted by
+# tools/window_sim.py. For the record, the r9 window (CORRECTNESS_r09:
+# 48 hash + 2 rows-only-by-design, zero fails) was the 25 r8
+# advice-closure rewrites + 13 deferred r8 law rewrites + f4d (new) +
+# 6 late-r9 law rewrites + 5 oldest-r3 padding; its full composition
+# is in git history at this file, r9 vintage.
 #
-#   rewritten since the r8 record (25) — the ADVICE-closure commit
-#     ("Close r8 advice items") touched three classes AFTER
-#     CORRECTNESS_r08 was written, so every consumer re-rides:
-#     (a) decimal-lift exact rounding (rounding.py dec_sum /
-#         exact_round_ratio DECIMAL(38,0) lift): b4, b5, b9, b25, b26,
-#         b34, b35, b36, c1, c20;
-#     (b) null-element vector-validity clause (valid_vector +
-#         sql_valid_vector + inlined oracle copies): f4, f4b, f4c, f5,
-#         f6, f19, f34, f42, f46, f52, f3b, f18, f29, f43;
-#     (c) g3 zero-weight guard: g3.
-#     The r9 bench-warmup prestage refactor (prestage_cosine_corpus
-#     extraction) also touches f4/f4c — already riding via (b).
-#   deferred r8 law rewrites, pristine-value-neutral by construction,
-#     promised this window by the r8 plan (13): c22 (ROWS->RANGE),
-#     d14/e14/e18 (negative-epoch floor forms), d17, g4 (oracle law),
-#     d11 (gated left shift) and the f17b-f17g pmod-form oracles.
-#     (f6/f19/f46 of that list already ride via (b).)
-#   oldest staleness padding, last-ridden r3, alphabetical (12): d3,
-#     d5, d7, d8, e1, e2, e3, e4, e5, e6, e7, e10.
+#   rewritten in r10 (3):
+#     (a) f3b_simhash — GRADUATED to hash-checkable (VERDICT r9 item
+#         3): simhash now rides the pinned md5-derived 60-bit token
+#         hash (f24's idiom, dedup.py::simhash60_pinned) with a full
+#         DuckDB oracle, retiring the only rows-only entry whose
+#         weaker contract was a choice rather than a necessity.
+#     (b) f4c_cosine_topk_chunked + f4d_auto_tier — ADVICE r9 low
+#         item: the pass-layout sizing now falls back to repartition
+#         when the cached distinct lands below the parallelism floor
+#         (coalesce can only shrink), so under-parallel confs get a
+#         real fan-out; f4d rides as the auto-tier consumer of the
+#         same operator.
+#   never-re-ridden-since-r3 rows (14) — the full r3-vintage backlog,
+#     incl. e2/e10 displaced TWICE by r9's rewrites-first swaps:
+#     e2, e3, e4, e5, e6, e7, e9, e10, f15, f20, f22, g5, g7, g8.
+#   oldest-r4 rows (20) — the complete r4 vintage: a17-a21, b37, c8,
+#     c9, d9, d18, e16, e21-e23, f9, f11, f44, f48, f50, g11.
+#   oldest-r5 rows alphabetical to the 50 cap (13): a13, a1, a2, a3,
+#     a4, a5, a7, a8, b10, b14, b18, b1, b21.
 #
-# Continuation-session note for the r10 assembler: the late-r9
-# operator rewrites (f4 staged-layout fan-out + f4c pass-layout
-# task sizing + f4d/auto_cosine_topk valid-vector stats, and the e19
-# lateness-law rewrite below) all landed BEFORE the r9 driver run and
-# all four names ride this window, so their r9 rows cover current
-# code — no forced r10 re-ride on their account. e10_stream_stream_join
-# joins the r10 padding pool (displaced by e19).
-#
-# CONCRETE r10 window plan (assemble at r10 start, once
-# CORRECTNESS_r09 is green): r10 rewrites first, then the remaining
-# never-re-ridden-since-r3 rows (e7, e9, f15, f20, f22, g5, g7, g8;
-# e7 displaced by r9's new f4d; e3, e4, e5, e6 displaced by the
-# late-r9 _dec_intdiv consumer swap), then
-# oldest r4 rows alphabetical (a17-a21, b37, c8, c9, d9, d18, e16,
-# e21, e22, e23, f1, f9, f10, f11, f44, f48, f50, f8?=r5 ...), then
-# oldest r5 rows to the 50 cap. Every subsequent round repeats the
-# same rule: rewrites first, then oldest-row rotation.
+# CONCRETE r11 window plan (assemble at r11 start, once
+# CORRECTNESS_r10 is green): r11 rewrites first, then the remaining
+# r5 rows (b2, b3, b6, b7, b8, c11, c6, c7, f14, f1, f21, f21b, f23,
+# f24, f36, f40, f45, f49, f8 — f1 last rode r5 despite the VERDICT
+# r9 table's r5 note), then oldest-r6 rows alphabetical to the cap.
+# Every subsequent round repeats the same rule: rewrites first, then
+# oldest-row rotation.
 _WINDOW = frozenset({
-    # (a) decimal-lift exact-rounding consumers (10)
-    "b4_agg_global", "b5_agg_groupby", "b9_join_multiway_star",
-    "b25_tpch_q3_shaped", "b26_tpch_q10_shaped",
-    "b34_bloom_semi_reduction", "b35_salted_join", "b36_skew_profile",
-    "c1_rollup", "c20_unpivot",
-    # (b) null-element vector law consumers (14)
-    "f3b_simhash", "f4_cosine_topk", "f4b_cosine_neardup",
-    "f4c_cosine_topk_chunked", "f5_ann_lsh", "f6_centroid_knn",
-    "f18_pipeline_report", "f19_quantize_int8", "f29_train_split",
-    "f34_hybrid_rrf_search", "f42_semantic_dedup",
-    "f43_chunk_dedup_rewrite", "f46_embedding_outliers",
-    "f52_dataset_card",
-    # (c) g3 zero-weight guard (1)
-    "g3_grouped_agg_udaf",
-    # deferred pristine-neutral r8 law rewrites (13)
-    "c22_window_count_distinct", "d11_bitwise", "d14_timestamp_arith",
-    "d17_trig", "e14_session_shape", "e18_bounded_funnel",
-    "f17b_wav_decode_features", "f17c_bmp_decode_features",
-    "f17d_jpeg_decode_features", "f17e_png_decode_features",
-    "f17f_video_frame_sample", "f17g_image_resize_features",
-    "g4_grouped_map",
-    # NEW in r9 (1): the auto-tier routing demonstration (r8 VERDICT
-    # item 6) — a new query has no prior green row, so it rides now;
-    # its slot displaces e7_event_funnel (last of the padding pool's
-    # (round, name) order) to the r10 rotation.
-    "f4d_auto_tier",
-    # late-r9 law rewrite (4): the _dec_intdiv quotient fix (a
-    # hypothesis property found Spark's decimal `div` silently
-    # wrapping past int64) changes the PLAN of every exact_round_ratio
-    # / exact_mean6 consumer; all ride the window already via the
-    # advice-closure groups above except these four, which swap in —
-    # rewrites-first outranks staleness padding (displacing e3-e6 to
-    # r10). Value-neutral at gate SFs (parity suite green), like the
-    # r8 d17/f6/f19/f46 precedent, but slots were available here.
-    "c16_ntile_pctrank", "f10_lang_stats", "f12_doc_length_dedup_rate",
-    "f51_ngram_novelty",
-    # late-r9 law rewrite #2 (1): e19's lateness laws — the first
-    # full pool-expansion sweep caught raw date_diff('second')
-    # partitioning negative epochs toward zero (Spark's date_trunc
-    # form floors; divergent only when a ts and its shard running-max
-    # straddle epoch 0 inside one second), and the fix batch also
-    # pinned the duplicate-arrival-id multiset law ((event_id, ts)
-    # window order, both sides). Rewrites-first: swaps in, displacing
-    # e10_stream_stream_join (last of the remaining padding) to r10.
-    "e19_watermark_whatif",
-    # late-r9 law rewrite #3 (1): e15 carried the SAME raw-date_diff
-    # negative-epoch hazard (audit of every date_diff oracle after the
-    # e19 find; divergence proven on an hour-boundary epoch-straddle
-    # pair — old oracle bucket 0, Spark+new oracle bucket 1). Swaps
-    # in, displacing e2_sliding (last remaining padding) to r10.
-    "e15_interarrival_histogram",
-    # oldest-r3 staleness padding (5)
-    "d3_string_distance", "d5_math", "d7_map_json", "d8_hash",
-    "e1_tumbling",
+    # r10 rewrites (3)
+    "f3b_simhash", "f4c_cosine_topk_chunked", "f4d_auto_tier",
+    # r3-vintage backlog (14)
+    "e2_sliding", "e3_session", "e4_watermark_late", "e5_stream_dedup",
+    "e6_stateful_runagg", "e7_event_funnel", "e9_retention_cohort",
+    "e10_stream_stream_join", "f15_token_count", "f20_stratified_sample",
+    "f22_redact_pii", "g5_map_in_pandas", "g7_map_in_arrow",
+    "g8_pandas_udf_iter",
+    # r4-vintage (20)
+    "a17_scd2_history", "a18_referential_check",
+    "a19_migration_plan_estimate", "a20_schema_drift_report",
+    "a21_data_expectations", "b37_join_asof_forward", "c8_collect",
+    "c9_pivot", "d9_conditional_null", "d18_url_parse",
+    "e16_peak_concurrency", "e21_commitlog_replay", "e22_stream_enrich",
+    "e23_foreachbatch_sink", "f9_ngrams", "f11_multimodal_join",
+    "f44_token_packing", "f48_split_leakage", "f50_domain_quota_sample",
+    "g11_apply_in_arrow",
+    # oldest-r5 alphabetical padding (13)
+    "a13_full_keyspace_copy", "a1_cluster_scan", "a2_schema_manifest",
+    "a3_ddl_manifest", "a4_copy_roundtrip", "a5_range_partition_counts",
+    "a7_table_counts", "a8_content_checksum", "b10_join_outer",
+    "b14_join_theta_range", "b18_intersect", "b1_scan_project",
+    "b21_limit_topk",
 })
 
 

@@ -258,7 +258,7 @@ def test_simhash_locality(spark):
     df = spark.createDataFrame(rows, ["name", "text"])
     got = {
         r["name"]: r["h"]
-        for r in df.select("name", dd.simhash63("text").alias("h")).collect()
+        for r in df.select("name", dd.simhash60_pinned("text").alias("h")).collect()
     }
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(got["base"], got["near"]) < ham(got["base"], got["far"])
@@ -1132,7 +1132,8 @@ def test_registry_window_is_the_first_fifty():
     entries, so the rotation mechanism is ordering: the declared window
     must be exactly the first 50 names queries() yields, every window
     name must resolve, and the rows-only set (no oracle) must stay the
-    7 declared engine-specific ops plus c24/f33 from earlier rounds."""
+    8 declared engine-specific ops (f3b graduated to hash-checkable in
+    r10 via the pinned md5 simhash)."""
     from cassandra_migrate_keyspace_from_cluster_spark import registry
 
     registry.load_all()
@@ -1143,7 +1144,7 @@ def test_registry_window_is_the_first_fifty():
     no_oracle = {n for n, s in registry.specs().items() if s.oracle is None}
     assert no_oracle == {
         "c6_approx_quantile", "c7_approx_cd", "c24_hll_mergeable",
-        "f3_minhash_lsh", "f3b_simhash", "f5_ann_lsh", "f5b_ivf_topk",
+        "f3_minhash_lsh", "f5_ann_lsh", "f5b_ivf_topk",
         "f33_pq_topk", "f42b_semantic_dedup_kmeans",
     }
     # oracle_sql only carries hash-checkable queries, same order

@@ -22,7 +22,7 @@ cell-exact with the SAME normalization as every other gate
 across gates).
 
 Oracle-paired queries must match cell-exact. Rows-only queries
-(c6/c7/c24/f3/f3b/f5/f5b/f33/f42b — seeded sketches whose exact output
+(c6/c7/c24/f3/f5/f5b/f33/f42b — seeded sketches whose exact output
 legitimately depends on merge/partition order, which is precisely what
 these perturbations change) are reported as WARN on drift and FAIL only
 on error/empty: their semantic floors live in dedicated recall/
