@@ -312,35 +312,88 @@ def d6_array(spark, sf_dir):
 @register(
     "d7_map_json",
     oracle="""
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INT)       AS k,
-           json_extract_string(props, '$.k')             AS k_str,
-           CAST(json_extract(props, '$.k') AS INT) * 2   AS k2,
-           CAST(json_extract(props, '$.missing') AS INT) AS k_missing,
-           array_to_string(map_keys(
-             MAP {'a': CAST(json_extract(props, '$.k') AS INT),
-                  'b': CAST(json_extract(props, '$.k') AS INT) * 2}), ',')
-                                                         AS mkeys,
-           CAST(list_reduce(map_values(
-             MAP {'a': CAST(json_extract(props, '$.k') AS INT),
-                  'b': CAST(json_extract(props, '$.k') AS INT) * 2}),
+    -- Guarded-extraction law (r10, found by the adversarial-props
+    -- probe): a raw CAST of an extracted JSON value crashes the whole
+    -- job under ANSI on any non-integral payload (one weird row in
+    -- 1e12 kills a 100-TB scan), and engines disagree on coercions
+    -- (DuckDB rounds '1.5'->2, Spark ANSI throws). Pinned law:
+    --   * malformed JSON (json_valid false / parser reject) -> NULL;
+    --   * k_str = the extracted text ONLY where both engines provably
+    --     render it identically: a pure integral literal of <= 18
+    --     digits, or a scalar that neither starts numeric nor is an
+    --     Infinity/NaN rendering (engines re-serialize floats and
+    --     out-of-range numbers in engine-specific text: Spark Jackson
+    --     gives '"Infinity"' for 1e309 where DuckDB gives 'Infinity',
+    --     and 2e19 stays integral in Spark but becomes '1e20'-double
+    --     text in DuckDB), and non-scalars (starting '[' or '{') are
+    --     NULL;
+    --   * k = int ONLY when the extracted text is a pure integral
+    --     literal (^-?[0-9]+$) in int32 range, else NULL (TRY_CAST
+    --     both sides — no rounding, no crash).
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS s,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.missing') END AS sm
+      FROM events),
+    g AS (
+      SELECT event_id,
+             CASE WHEN regexp_matches(s, '^-?[0-9]{1,18}$')
+                    OR (NOT regexp_matches(s, '^[-+.0-9\\[{]')
+                        AND NOT regexp_matches(s, 'Infinity|NaN'))
+                  THEN s END AS k_str,
+             CASE WHEN regexp_matches(s, '^-?[0-9]+$')
+                  THEN TRY_CAST(s AS INT) END AS k,
+             CASE WHEN regexp_matches(sm, '^-?[0-9]+$')
+                  THEN TRY_CAST(sm AS INT) END AS k_missing
+      FROM e)
+    SELECT event_id, k, k_str, k * 2 AS k2, k_missing,
+           array_to_string(map_keys(MAP {'a': k, 'b': k * 2}), ',') AS mkeys,
+           CAST(list_reduce(map_values(MAP {'a': k, 'b': k * 2}),
              (x, y) -> x + y) AS BIGINT)                 AS mval_sum
-    FROM events
+    FROM g
     """,
 )
 def d7_map_json(spark, sf_dir):
-    """Map & JSON: get_json_object/from_json extraction with explicit
-    INT casts (DuckDB json_extract returns JSON, Spark returns string —
-    §5.4), map construction + keys/values."""
+    """Map & JSON: get_json_object/from_json extraction + map
+    construction/keys/values — under the r10 guarded-extraction law
+    (see the oracle text): non-integral, non-scalar, overflowing, or
+    malformed payloads yield NULL on BOTH engines instead of an ANSI
+    cast crash (Spark) or a rounding coercion (DuckDB). ``k2`` rides
+    the from_json(schema) path, consulted only on the guarded domain
+    where its Jackson coercions provably agree with the textual law
+    (tests/test_properties.py::props battery)."""
     ev = t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    s = F.get_json_object("props", "$.k")
+    sm = F.get_json_object("props", "$.missing")
+    integral = s.rlike("^-?[0-9]+$")
+    k = F.when(integral, F.expr(
+        "try_cast(get_json_object(props, '$.k') AS INT)"))
+    k_missing = F.when(sm.rlike("^-?[0-9]+$"), F.expr(
+        "try_cast(get_json_object(props, '$.missing') AS INT)"))
+    # from_json (PERMISSIVE) demo: consulted only on the guarded
+    # integral domain, where a non-null parse provably equals k
+    # (Jackson nulls — never wraps — on int32 overflow, and nulls
+    # quoted numerals, where the coalesce falls back to k*2), so the
+    # schema path stays in the plan without importing Jackson's
+    # coercion quirks into the law
+    k2 = F.when(
+        integral,
+        F.coalesce(F.from_json("props", "k INT").getField("k") * 2, k * 2),
+    )
     m = F.create_map(F.lit("a"), k, F.lit("b"), k * 2)
+    k_str = F.when(
+        s.rlike("^-?[0-9]{1,18}$")
+        | (~s.rlike(r"^[-+.0-9\[{]") & ~s.rlike("Infinity|NaN")),
+        s,
+    )
     return ev.select(
         "event_id",
         k.alias("k"),
-        F.get_json_object("props", "$.k").alias("k_str"),
-        (F.from_json("props", "k INT").getField("k") * 2).alias("k2"),
-        F.get_json_object("props", "$.missing").cast("int").alias("k_missing"),
+        k_str.alias("k_str"),
+        k2.alias("k2"),
+        k_missing.alias("k_missing"),
         F.array_join(F.map_keys(m), ",").alias("mkeys"),
         F.aggregate(
             F.map_values(m), F.lit(0).cast("bigint"), lambda a, x: a + x
@@ -524,8 +577,18 @@ def d12_string_parts(spark, sf_dir):
     oracle="""
     SELECT event_id,
            CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_nums,
-           CAST(regexp_extract_all(props, '[0-9]+')[1] AS BIGINT) AS first_num,
-           array_to_string(regexp_extract_all(props, '[0-9]+'), ',') AS nums_csv,
+           -- TRY_CAST (r10): a digit run longer than int64 (20+ chars
+           -- in a log line) must yield NULL, not abort the scan — the
+           -- raw ANSI cast was a whole-job crash on one bad row
+           TRY_CAST(regexp_extract_all(props, '[0-9]+')[1] AS BIGINT)
+             AS first_num,
+           -- COALESCE (r10): DuckDB renders a zero-match extract list
+           -- as NULL through array_to_string where Spark's array_join
+           -- gives '' — same empty-match row, two spellings
+           CASE WHEN props IS NULL THEN NULL
+                ELSE coalesce(
+                  array_to_string(regexp_extract_all(props, '[0-9]+'), ','),
+                  '') END AS nums_csv,
            regexp_extract_all(lower(props), '[a-z]+')[1] AS first_word
     FROM events
     """,
@@ -535,16 +598,24 @@ def d13_regex_array(spark, sf_dir):
     size / array_join over the extracted arrays (the pattern behind
     log-field and entity extraction). Pure codegen exprs; arrays are
     emitted as CSV (array cells are not portably hashable across the
-    comparison harness)."""
+    comparison harness). first_num/first_word ride try_element_at +
+    try_cast (r10, both found by the adversarial-props probe): under
+    ANSI, element_at on a zero-match array and CAST of an over-int64
+    digit run are each whole-job crashes — one digitless or 20-digit
+    payload in 1e12 rows would abort a 100-TB scan. DuckDB's []-index
+    already NULLs out of bounds, so only the cast needs TRY there."""
     ev = t(spark, sf_dir, "events")
     nums = F.regexp_extract_all("props", F.lit("[0-9]+"), 0)
     words = F.regexp_extract_all(F.lower("props"), F.lit("[a-z]+"), 0)
     return ev.select(
         "event_id",
         F.size(nums).alias("n_nums"),
-        F.element_at(nums, 1).cast("bigint").alias("first_num"),
+        F.expr(
+            "try_cast(try_element_at(regexp_extract_all(props, '[0-9]+', 0),"
+            " 1) AS BIGINT)"
+        ).alias("first_num"),
         F.array_join(nums, ",").alias("nums_csv"),
-        F.element_at(words, 1).alias("first_word"),
+        F.try_element_at(words, F.lit(1)).alias("first_word"),
     )
 
 

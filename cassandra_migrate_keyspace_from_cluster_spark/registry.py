@@ -159,7 +159,7 @@ _DRIVER_GREEN = frozenset({
 # 6 late-r9 law rewrites + 5 oldest-r3 padding; its full composition
 # is in git history at this file, r9 vintage.
 #
-#   rewritten in r10 (3):
+#   rewritten in r10 (5):
 #     (a) f3b_simhash — GRADUATED to hash-checkable (VERDICT r9 item
 #         3): simhash now rides the pinned md5-derived 60-bit token
 #         hash (f24's idiom, dedup.py::simhash60_pinned) with a full
@@ -171,6 +171,14 @@ _DRIVER_GREEN = frozenset({
 #         (coalesce can only shrink), so under-parallel confs get a
 #         real fan-out; f4d rides as the auto-tier consumer of the
 #         same operator.
+#     (c) d7_map_json + d13_regex_array — the new adversarial-props
+#         family's probe found THREE latent ANSI whole-job crash
+#         classes (element_at on zero-match arrays, CAST of over-int64
+#         digit runs, CAST of non-integral JSON values) and two
+#         cross-engine render divergences; both queries now carry the
+#         guarded-extraction law (try_element_at/try_cast + textual
+#         guards, pinned in tests/test_properties.py::PROPS_BATTERY).
+#         They displace the last two r5 padding rows (b1, b21) to r11.
 #   never-re-ridden-since-r3 rows (14) — the full r3-vintage backlog,
 #     incl. e2/e10 displaced TWICE by r9's rewrites-first swaps:
 #     e2, e3, e4, e5, e6, e7, e9, e10, f15, f20, f22, g5, g7, g8.
@@ -181,14 +189,17 @@ _DRIVER_GREEN = frozenset({
 #
 # CONCRETE r11 window plan (assemble at r11 start, once
 # CORRECTNESS_r10 is green): r11 rewrites first, then the remaining
-# r5 rows (b2, b3, b6, b7, b8, c11, c6, c7, f14, f1, f21, f21b, f23,
-# f24, f36, f40, f45, f49, f8 — f1 last rode r5 despite the VERDICT
-# r9 table's r5 note), then oldest-r6 rows alphabetical to the cap.
+# r5 rows (b1_scan_project + b21_limit_topk displaced from this
+# window, then b2, b3, b6, b7, b8, c11, c6, c7, f14, f1, f21, f21b,
+# f23, f24, f36, f40, f45, f49, f8 — f1 last rode r5 despite the
+# VERDICT r9 table's r5 note), then oldest-r6 rows alphabetical to
+# the cap.
 # Every subsequent round repeats the same rule: rewrites first, then
 # oldest-row rotation.
 _WINDOW = frozenset({
-    # r10 rewrites (3)
+    # r10 rewrites (5)
     "f3b_simhash", "f4c_cosine_topk_chunked", "f4d_auto_tier",
+    "d7_map_json", "d13_regex_array",
     # r3-vintage backlog (14)
     "e2_sliding", "e3_session", "e4_watermark_late", "e5_stream_dedup",
     "e6_stateful_runagg", "e7_event_funnel", "e9_retention_cohort",
@@ -204,12 +215,11 @@ _WINDOW = frozenset({
     "e23_foreachbatch_sink", "f9_ngrams", "f11_multimodal_join",
     "f44_token_packing", "f48_split_leakage", "f50_domain_quota_sample",
     "g11_apply_in_arrow",
-    # oldest-r5 alphabetical padding (13)
+    # oldest-r5 alphabetical padding (11; b1/b21 displaced by (c))
     "a13_full_keyspace_copy", "a1_cluster_scan", "a2_schema_manifest",
     "a3_ddl_manifest", "a4_copy_roundtrip", "a5_range_partition_counts",
     "a7_table_counts", "a8_content_checksum", "b10_join_outer",
-    "b14_join_theta_range", "b18_intersect", "b1_scan_project",
-    "b21_limit_topk",
+    "b14_join_theta_range", "b18_intersect",
 })
 
 

@@ -1105,3 +1105,129 @@ def test_e15_gap_floor_law_on_epoch_straddle(spark, tmp_path_factory):
     want = con.execute(spec.oracle).df()
     compare_frames(got, want, "e15_straddle")
     assert sorted(map(tuple, got.values.tolist())) == [("signup", 1, 1)]
+
+
+# --- props family: adversarial JSON payloads through the d7/d13 scalar
+# surface (r10 — VERDICT r9 item 6: the one scalar surface with no
+# generated-data tier). Its first probe session found THREE latent
+# whole-job crash classes under ANSI (d13 element_at on a zero-match
+# array, d13 CAST of an over-int64 digit run, d7 CAST of non-integral
+# JSON values) plus two cross-engine render divergences (Infinity/
+# huge-number re-serialization, empty-extract '' vs NULL) — all now
+# pinned by the guarded-extraction law in the d7/d13 oracles.
+
+_props_scalar_st = st.one_of(
+    st.integers(min_value=-(10 ** 25), max_value=10 ** 25),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=20),
+    st.booleans(),
+    st.none(),
+    st.lists(st.integers(min_value=0, max_value=9), max_size=3),
+    st.dictionaries(
+        st.sampled_from(["x", "y"]),
+        st.integers(min_value=0, max_value=9),
+        max_size=2,
+    ),
+)
+
+_props_st = st.one_of(
+    # well-formed objects around the contract shape {"k": ...}: optional
+    # extra keys (including a REAL "missing" key, so '$.missing' is not
+    # always absent) and both ascii-escaped and raw-unicode dumps
+    st.tuples(
+        st.fixed_dictionaries(
+            {},
+            optional={
+                "k": _props_scalar_st,
+                "missing": _props_scalar_st,
+                "extra": st.text(max_size=10),
+            },
+        ),
+        st.booleans(),
+    ).map(lambda t: __import__("json").dumps(t[0], ensure_ascii=t[1])),
+    # malformed / non-object payloads (parser-reject law: all-NULL)
+    st.sampled_from([
+        "", "{", "not json", "[1,2,3]", "null", '"str"', '{"k":}',
+        '{"k": 007}', "plain text 123 abc", '  {"k": 5}', '{"k": 5}  ',
+    ]),
+    # raw adversarial unicode (the d13 regex surface takes ANY string)
+    st.text(max_size=40),
+)
+
+PROPS_POOL = ["d7_map_json", "d13_regex_array"]
+
+# The 40-case deterministic battery that pinned the law (kept verbatim
+# as the regression record; the hypothesis family extends it).
+PROPS_BATTERY = [
+    '{"k": 5}', '{"k": -3}', '{"k": 0}',
+    '{"k": 1.5}', '{"k": -0.0}', '{"k": 1e3}', '{"k": 1e309}',
+    '{"k": 99999999999999999999}', '{"k": 2147483648}', '{"k": -2147483649}',
+    '{"k": "7"}', '{"k": "7abc"}', '{"k": ""}', '{"k": null}', '{"k": true}',
+    '{"k": [1,2]}', '{"k": {"x": 1}}', '{"K": 1}', '{}',
+    '{"k": 5, "extra": "\\u00e9\\u4e2d"}', '{"k": 5, "t": "café 42"}',
+    '', '{', 'not json', '[1,2,3]', 'null', '"str"', '{"k":}', '{"k": 007}',
+    'plain text 123 abc', '{"k": 5}  ', '  {"k": 5}',
+    '{"k": "[1"}', '{"k": "{x"}', '{"k": "a\\"b"}', '{"k": "-5"}',
+    '{"k": "007"}', '{"k": 00123}', '{"missing": 9, "k": 1}', '{"k": -0}',
+]
+
+
+def _write_micro_props(d, payloads):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(payloads)
+    tbl = pa.table({
+        "event_id": pa.array(list(range(1, n + 1)), pa.int64()),
+        "ts": pa.array([1_704_067_200_000_000] * n, pa.timestamp("us")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(payloads, pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+
+
+def _props_parity(spark, tmp_path_factory, payloads, qname, tag):
+    import os
+
+    import duckdb
+
+    from cassandra_migrate_keyspace_from_cluster_spark import registry
+    from tests.parity import compare_frames
+
+    d = str(tmp_path_factory.mktemp("microprops"))
+    _write_micro_props(d, payloads)
+    registry.load_all()
+    got = registry.QUERIES[qname].fn(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'events.parquet')}')"
+    )
+    want = con.execute(registry.QUERIES[qname].oracle).df()
+    compare_frames(got, want, f"{qname}_{tag}")
+
+
+def test_props_guarded_extraction_battery(spark, tmp_path_factory):
+    """The pinned 40-case battery: every crash/divergence class the r10
+    probe found must stay cell-exact (and crash-free) on both engines."""
+    for qname in PROPS_POOL:
+        _props_parity(spark, tmp_path_factory, PROPS_BATTERY, qname, "battery")
+
+
+@given(
+    payloads=st.lists(_props_st, min_size=1, max_size=20),
+    qname=st.sampled_from(PROPS_POOL),
+)
+@settings(**SETTINGS)
+def test_props_queries_driver_parity_microfixtures(
+    spark, payloads, qname, tmp_path_factory
+):
+    """Randomized micro-driver over the props family: generated JSON
+    (nested, unicode-escaped, huge numbers, quoted numerals, null/bool/
+    array/object values), malformed payloads, and raw unicode, each run
+    through the registered query vs its registered oracle."""
+    _props_parity(spark, tmp_path_factory, payloads, qname, "microfixture")

@@ -13,8 +13,10 @@ of fixture-derived gates could not reach.
 
 Usage: python tools/property_hunt.py [examples_per_family] [family ...]
        (defaults: 60; families: lineitem events documents embeddings
-        joins keyspace confs — confs draws random 1-3-perturbation
-        conf combinations on top of generated keyspaces)
+        joins props keyspace confs — props generates adversarial JSON
+        payloads through the d7/d13 scalar surface; confs draws random
+        1-3-perturbation conf combinations on top of generated
+        keyspaces)
 Prints one line per family; exit 1 on any failure.
 """
 
@@ -116,6 +118,12 @@ def _register_families(spark, n_examples: int) -> None:
             qname, (custs, ords, lis),
         )
 
+    @given(payloads=st.lists(tp._props_st, min_size=1, max_size=20),
+           qname=st.sampled_from(tp.PROPS_POOL))
+    @settings(**hard)
+    def props(payloads, qname):
+        _parity(spark, tp._write_micro_props, ["events"], qname, (payloads,))
+
     @given(ks=tp._keyspace_st,
            # the full oracle-paired inventory (pool-sweep-proven, r9)
            qname=st.sampled_from(tp.KEYSPACE_POOL))
@@ -157,6 +165,7 @@ def _register_families(spark, n_examples: int) -> None:
          "b26_tpch_q10_shaped", "a18_referential_check",
          "a5_range_partition_counts", "a7_table_counts",
          "a8_content_checksum", "b14_join_theta_range", "d4_datetime",
+         "d7_map_json", "d13_regex_array",
          "f11_multimodal_join", "f36_cross_source_dups",
          "f25_contamination", "f48_split_leakage"}
     )
@@ -186,8 +195,8 @@ def _register_families(spark, n_examples: int) -> None:
 
     FAMILIES.update(
         lineitem=lineitem, events=events, documents=documents,
-        embeddings=embeddings, joins=joins, keyspace=keyspace,
-        confs=confs,
+        embeddings=embeddings, joins=joins, props=props,
+        keyspace=keyspace, confs=confs,
     )
 
 
