@@ -330,6 +330,14 @@ def d6_array(spark, sf_dir):
     --   * k = int ONLY when the extracted text is a pure integral
     --     literal (^-?[0-9]+$) in int32 range, else NULL (TRY_CAST
     --     both sides — no rounding, no crash).
+    -- Out of contract (parser-leniency gray zone, probed r10):
+    -- duplicate keys (Jackson's from_json is last-wins where
+    -- get_json_object and DuckDB are first-wins), trailing commas
+    -- (DuckDB accepts, Jackson rejects), single-quoted JSON (Jackson's
+    -- get_json_object accepts, DuckDB rejects) — spec-undefined or
+    -- invalid inputs where engine leniency differs textually
+    -- undetectably; strict-JSON and cleanly-malformed payloads (the
+    -- PROPS_BATTERY domain) are the declared contract.
     WITH e AS (
       SELECT event_id,
              CASE WHEN json_valid(props)
@@ -348,9 +356,15 @@ def d6_array(spark, sf_dir):
              CASE WHEN regexp_matches(sm, '^-?[0-9]+$')
                   THEN TRY_CAST(sm AS INT) END AS k_missing
       FROM e)
-    SELECT event_id, k, k_str, k * 2 AS k2, k_missing,
-           array_to_string(map_keys(MAP {'a': k, 'b': k * 2}), ',') AS mkeys,
-           CAST(list_reduce(map_values(MAP {'a': k, 'b': k * 2}),
+    -- k2 and the map values multiply in BIGINT: k at int32 min/max
+    -- times 2 overflows int32 — an ANSI whole-job crash on Spark
+    -- (exotic-battery find, r10), so the law widens before the product
+    SELECT event_id, k, k_str, CAST(k AS BIGINT) * 2 AS k2, k_missing,
+           array_to_string(map_keys(
+             MAP {'a': CAST(k AS BIGINT), 'b': CAST(k AS BIGINT) * 2}), ',')
+             AS mkeys,
+           CAST(list_reduce(map_values(
+             MAP {'a': CAST(k AS BIGINT), 'b': CAST(k AS BIGINT) * 2}),
              (x, y) -> x + y) AS BIGINT)                 AS mval_sum
     FROM g
     """,
@@ -377,12 +391,18 @@ def d7_map_json(spark, sf_dir):
     # (Jackson nulls — never wraps — on int32 overflow, and nulls
     # quoted numerals, where the coalesce falls back to k*2), so the
     # schema path stays in the plan without importing Jackson's
-    # coercion quirks into the law
+    # coercion quirks into the law. All products run in BIGINT: k at
+    # int32 min/max times 2 overflows int32 — an ANSI whole-job crash
+    # (exotic-battery find, r10)
+    k_l = k.cast("bigint")
     k2 = F.when(
         integral,
-        F.coalesce(F.from_json("props", "k INT").getField("k") * 2, k * 2),
+        F.coalesce(
+            F.from_json("props", "k INT").getField("k").cast("bigint") * 2,
+            k_l * 2,
+        ),
     )
-    m = F.create_map(F.lit("a"), k, F.lit("b"), k * 2)
+    m = F.create_map(F.lit("a"), k_l, F.lit("b"), k_l * 2)
     k_str = F.when(
         s.rlike("^-?[0-9]{1,18}$")
         | (~s.rlike(r"^[-+.0-9\[{]") & ~s.rlike("Infinity|NaN")),

@@ -1169,6 +1169,21 @@ PROPS_BATTERY = [
     'plain text 123 abc', '{"k": 5}  ', '  {"k": 5}',
     '{"k": "[1"}', '{"k": "{x"}', '{"k": "a\\"b"}', '{"k": "-5"}',
     '{"k": "007"}', '{"k": 00123}', '{"missing": 9, "k": 1}', '{"k": -0}',
+    # exotic extension (r10 second probe) — the int32-min/max rows are
+    # the regression record for the k*2 ANSI overflow crash (the law
+    # widens every product to BIGINT). NOT in the battery, declared out
+    # of contract in the d7 oracle (parser-leniency gray zone):
+    # duplicate keys, trailing commas, single-quoted JSON.
+    '{"k": {"k": 9}}', '{"a": {"k": 9}, "k": 3}', '{"k": [{"k": 1}]}',
+    '{"k": "\\u0041"}', '{"k": "\\u0000"}', '{"k": "\\ud800"}',
+    '{"k": "\\ud83d\\ude00"}', '\ufeff{"k": 5}', '{"k"\t:\n 5}',
+    '{"k": +5}', '{"k": .5}', '{"k": 5.}',
+    '{"k": "line\\nbreak"}', '{"k": "tab\\there"}', '{"k": "back\\\\slash"}',
+    '{"k": "sol\\/idus"}', '{"deep": {"deep": {"deep": {"k": 1}}}}',
+    '{"k": 5, "missing": "\\u4e2d\\u6587"}', '{"missing": [1, {"x": 2}]}',
+    '{"k": 1234567890123456789}', '{"k": -1234567890123456789}',
+    '{"k": 9223372036854775807}', '{"k": -9223372036854775808}',
+    '{"k": 2147483647}', '{"k": -2147483648}',
 ]
 
 
