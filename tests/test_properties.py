@@ -1227,10 +1227,38 @@ def _props_parity(spark, tmp_path_factory, payloads, qname, tag):
 
 
 def test_props_guarded_extraction_battery(spark, tmp_path_factory):
-    """The pinned 40-case battery: every crash/divergence class the r10
-    probe found must stay cell-exact (and crash-free) on both engines."""
+    """The pinned battery: every crash/divergence class the r10 probes
+    found must stay cell-exact (and crash-free) on both engines."""
     for qname in PROPS_POOL:
         _props_parity(spark, tmp_path_factory, PROPS_BATTERY, qname, "battery")
+
+
+def test_props_battery_conf_invariant(spark, tmp_path_factory):
+    """The guarded-extraction law is CONF-independent: the battery's
+    answers must not move under the axes that could plausibly interact
+    with it — ansi_off (try_cast/try_element_at must already be the
+    semantics, not a conf accident), codegen_off (interpreted-path
+    twin), arrow_batch_7 (batch-boundary re-slicing of the adversarial
+    rows). The full 9-axis joint probe ran green in r10; these three
+    re-run every suite. Composes the gates that each hold alone:
+    conf-invariance runs fixtures, the props family runs at fixed
+    confs — this is the joint cell neither covers."""
+    from tools.conf_invariance import PERTURBATIONS
+
+    for pname in ("ansi_off", "codegen_off", "arrow_batch_7"):
+        confs = PERTURBATIONS[pname]
+        saved = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            for qname in PROPS_POOL:
+                _props_parity(
+                    spark, tmp_path_factory, PROPS_BATTERY, qname,
+                    f"battery_{pname}",
+                )
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
 
 
 @given(
