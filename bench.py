@@ -165,7 +165,13 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
     load_after = [round(x, 2) for x in os.getloadavg()]
 
-    calib = _duckdb_calibration(sf_dir)
+    # The calibration is provenance, not the metric: never let a
+    # DuckDB-side failure (import error, missing view, oracle change)
+    # destroy the Spark numbers that were already measured (ADVICE r10).
+    try:
+        calib: dict = _duckdb_calibration(sf_dir)
+    except Exception as exc:  # pragma: no cover - degraded-anchor path
+        calib = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

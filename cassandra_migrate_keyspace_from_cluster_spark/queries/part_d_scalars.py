@@ -815,25 +815,46 @@ def d17_trig(spark, sf_dir):
     oracle="""
     WITH u AS (
       SELECT doc_id,
+             regexp_matches(lang, '\\A[A-Za-z0-9._~-]*\\z') AS lang_ok,
              'https://site-' || CAST(doc_id % 13 AS VARCHAR)
                || '.example.org/p/' || CAST(doc_id % 7 AS VARCHAR)
                || '/page?q=' || CAST(doc_id % 5 AS VARCHAR)
                || '&lang=' || lang AS url
       FROM documents)
     SELECT doc_id,
-           regexp_extract(url, 'https?://([^/]+)', 1) AS host,
-           regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
-           regexp_extract(url, '\\?(.*)$', 1) AS query,
-           regexp_extract(url, '[?&]q=([^&]*)', 1) AS q_param
+           CASE WHEN lang_ok
+                THEN regexp_extract(url, 'https?://([^/]+)', 1) END AS host,
+           CASE WHEN lang_ok
+                THEN regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1)
+                END AS path,
+           CASE WHEN lang_ok
+                THEN regexp_extract(url, '\\?(.*)$', 1) END AS query,
+           CASE WHEN lang_ok
+                THEN regexp_extract(url, '[?&]q=([^&]*)', 1) END AS q_param
     FROM u
     """,
 )
 def d18_url_parse(spark, sf_dir):
-    """URL decomposition via Spark's codegen ``parse_url`` (HOST, PATH,
-    QUERY, and keyed QUERY parameter) over deterministic synthetic URLs
-    — the scalar family behind f37's domain rollups. DuckDB 1.0 has no
-    parse_url, so the oracle replays RFC-shaped regexes; the hash-match
-    pins Spark's parser to the regex semantics for these URL shapes."""
+    """URL decomposition via Spark's codegen URL parser (HOST, PATH,
+    QUERY, and keyed QUERY parameter) over synthetic URLs carrying the
+    raw ``lang`` column as a query value — the scalar family behind
+    f37's domain rollups. DuckDB 1.0 has no parse_url, so the oracle
+    replays RFC-shaped regexes; the hash-match pins Spark's parser to
+    the regex semantics for these URL shapes.
+
+    Guarded-extraction law (r11, the URL twin of d7/d13's r10 law):
+    ``lang`` is raw data, and under ANSI mode ``parse_url`` RAISES
+    java.net.URISyntaxException on any URL it makes illegal — probed:
+    a single row whose lang holds a space aborts the whole job, i.e.
+    one weird payload in 1e12 rows kills a 100-TB scan. The pinned
+    law: lang must be RFC-3986 unreserved ([A-Za-z0-9._~-]*, full-
+    string via \\A..\\z — $ would diverge across engines on a trailing
+    newline, Java matches before a final line terminator, RE2 does
+    not); out-of-guard rows keep doc_id and NULL all four extractions,
+    identically on both engines. ``try_parse_url`` backs the guard as
+    defense-in-depth so any residual parser-reject degrades to NULL
+    instead of aborting the scan. Battery: tests/test_properties.py::
+    URL_BATTERY."""
     docs = t(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("https://site-"), (F.col("doc_id") % 13).cast("string"),
@@ -841,11 +862,17 @@ def d18_url_parse(spark, sf_dir):
         F.lit("/page?q="), (F.col("doc_id") % 5).cast("string"),
         F.lit("&lang="), F.col("lang"),
     )
-    u = docs.select("doc_id", url.alias("url"))
+    lang_ok = F.col("lang").rlike(r"\A[A-Za-z0-9._~-]*\z")
+    u = docs.select("doc_id", lang_ok.alias("lang_ok"), url.alias("url"))
+
+    def part(kind, extra=None):
+        args = ["url", F.lit(kind)] + ([F.lit(extra)] if extra else [])
+        return F.when(F.col("lang_ok"), F.try_parse_url(*args))
+
     return u.select(
         "doc_id",
-        F.parse_url("url", F.lit("HOST")).alias("host"),
-        F.parse_url("url", F.lit("PATH")).alias("path"),
-        F.parse_url("url", F.lit("QUERY")).alias("query"),
-        F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        part("HOST").alias("host"),
+        part("PATH").alias("path"),
+        part("QUERY").alias("query"),
+        part("QUERY", "q").alias("q_param"),
     )

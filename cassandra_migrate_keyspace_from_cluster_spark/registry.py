@@ -184,8 +184,9 @@ _DRIVER_GREEN = frozenset({
 #     e2, e3, e4, e5, e6, e7, e9, e10, f15, f20, f22, g5, g7, g8.
 #   oldest-r4 rows (20) — the complete r4 vintage: a17-a21, b37, c8,
 #     c9, d9, d18, e16, e21-e23, f9, f11, f44, f48, f50, g11.
-#   oldest-r5 rows alphabetical to the 50 cap (13): a13, a1, a2, a3,
-#     a4, a5, a7, a8, b10, b14, b18, b1, b21.
+#   oldest-r5 rows alphabetical to the 50 cap (11): a13, a1, a2, a3,
+#     a4, a5, a7, a8, b10, b14, b18 — b1/b21 displaced to r11 by the
+#     (c) rewrites, matching the in-set comment below.
 #
 # CONCRETE r11 window plan (assemble at r11 start, once
 # CORRECTNESS_r10 is green): r11 rewrites first, then the remaining
