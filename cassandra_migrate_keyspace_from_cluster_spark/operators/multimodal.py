@@ -62,6 +62,46 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _guarded_feature_batches(decode_row, columns):
+    """Corrupt-payload quarantine law (r11, the binary twin of the d18/
+    d7/d13 guarded-extraction law): at 100 TB a truncated or bit-flipped
+    RIFF/BMP/PNG/JPEG blob is routine, and an unguarded decoder raising
+    inside mapInPandas aborts the WHOLE scan — one bad blob in 1e12 rows
+    kills the job. The pinned law: a payload that fails to decode (or
+    is NULL — missing modality) keeps its doc_id and NULLs every feature
+    column; nothing raises past the row. Decode errors are ValueError/
+    struct.error/zlib.error/IndexError shapes scattered through the pure-
+    python codecs, so the quarantine boundary is Exception — the law is
+    about the row, not the error taxonomy.
+
+    ``decode_row(payload: bytes) -> tuple`` returns one value per entry
+    in ``columns`` ([(name, pandas_nullable_dtype), ...]); any raise →
+    all-NULL features for that row. Battery: tests/test_operators.py::
+    test_corrupt_payload_quarantine_*.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nulls = (None,) * len(columns)
+        for pdf in it:
+            rows = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    rows.append(nulls)
+                    continue
+                try:
+                    rows.append(decode_row(bytes(payload)))
+                except Exception:
+                    rows.append(nulls)
+            data = {"doc_id": pdf["doc_id"]}
+            for j, (name, dtype) in enumerate(columns):
+                data[name] = pd.Series(
+                    [r[j] for r in rows], dtype=dtype, index=pdf.index
+                )
+            yield pd.DataFrame(data)
+
+    return batches
+
+
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
     """Simulate a multimodal table: utf-8 bytes of the text as the
     opaque payload + typed metadata. On a real corpus this column comes
@@ -215,32 +255,29 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL decode of WAV payloads → waveform features
     (rate/length from the parsed header, mean/rms/peak from the PCM
     samples). Same execution shape as extract_features: one narrow
-    mapInPandas stage, payload bytes never leave the executor."""
+    mapInPandas stage, payload bytes never leave the executor. Corrupt
+    payloads NULL their feature row (_guarded_feature_batches law)."""
     import numpy as np
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rates, lens, means, rmss, peaks = [], [], [], [], []
-            for payload in pdf["payload"]:
-                rate, _ch, s = decode_wav_pcm16(bytes(payload))
-                x = s.astype(np.float64)
-                rates.append(rate)
-                lens.append(len(s))
-                means.append(exact_mean6(x))
-                rmss.append(round(float(np.sqrt((x * x).mean())), 6))
-                peaks.append(int(np.abs(s).max()))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "sample_rate": pd.Series(rates, dtype="int64"),
-                    "n_samples": pd.Series(lens, dtype="int64"),
-                    "mean_amp": pd.Series(means, dtype="float64"),
-                    "rms": pd.Series(rmss, dtype="float64"),
-                    "peak": pd.Series(peaks, dtype="int64"),
-                }
-            )
+    def decode_row(payload):
+        rate, _ch, s = decode_wav_pcm16(payload)
+        x = s.astype(np.float64)
+        return (
+            rate,
+            len(s),
+            exact_mean6(x),
+            round(float(np.sqrt((x * x).mean())), 6),
+            int(np.abs(s).max()),
+        )
 
-    return media.mapInPandas(batches, schema=WAV_FEATURE_SCHEMA)
+    return media.mapInPandas(
+        _guarded_feature_batches(decode_row, [
+            ("sample_rate", "Int64"), ("n_samples", "Int64"),
+            ("mean_amp", "Float64"), ("rms", "Float64"),
+            ("peak", "Int64"),
+        ]),
+        schema=WAV_FEATURE_SCHEMA,
+    )
 
 
 # --- image: REAL pure-python 24-bit BMP codec ---------------------------
@@ -344,36 +381,42 @@ def attach_bmp_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+_IMAGE_FEATURE_COLS = [
+    ("width", "Int64"), ("height", "Int64"),
+    ("mean_r", "Float64"), ("mean_g", "Float64"), ("mean_b", "Float64"),
+]
+
+
+def _image_feature_row(decode):
+    """(w, h, per-channel exact means) from one decoded HxWx3 image —
+    the shared feature row for the BMP/JPEG/PNG/resize branches."""
+    import numpy as np
+
+    def row(payload):
+        img = decode(payload)
+        h, w, _ = img.shape
+        x = img.astype(np.float64)
+        return (
+            w, h,
+            exact_mean6(x[:, :, 0]),
+            exact_mean6(x[:, :, 1]),
+            exact_mean6(x[:, :, 2]),
+        )
+
+    return row
+
+
 def extract_bmp_features(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL decode of BMP payloads → image features
     (dimensions from the parsed header, per-channel means from the
-    pixel array). Same narrow mapInPandas shape as the other branches."""
-    import numpy as np
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            ws, hs, mr, mg, mb = [], [], [], [], []
-            for payload in pdf["payload"]:
-                img = decode_bmp_24(bytes(payload))
-                h, w, _ = img.shape
-                x = img.astype(np.float64)
-                ws.append(w)
-                hs.append(h)
-                mr.append(exact_mean6(x[:, :, 0]))
-                mg.append(exact_mean6(x[:, :, 1]))
-                mb.append(exact_mean6(x[:, :, 2]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": pd.Series(ws, dtype="int64"),
-                    "height": pd.Series(hs, dtype="int64"),
-                    "mean_r": pd.Series(mr, dtype="float64"),
-                    "mean_g": pd.Series(mg, dtype="float64"),
-                    "mean_b": pd.Series(mb, dtype="float64"),
-                }
-            )
-
-    return media.mapInPandas(batches, schema=BMP_FEATURE_SCHEMA)
+    pixel array). Same narrow mapInPandas shape as the other branches.
+    Corrupt payloads NULL their feature row (quarantine law)."""
+    return media.mapInPandas(
+        _guarded_feature_batches(
+            _image_feature_row(decode_bmp_24), _IMAGE_FEATURE_COLS
+        ),
+        schema=BMP_FEATURE_SCHEMA,
+    )
 
 
 def resize_bmp_features(media: DataFrame, factor: int = 2) -> DataFrame:
@@ -384,33 +427,17 @@ def resize_bmp_features(media: DataFrame, factor: int = 2) -> DataFrame:
     ceil(w/f) x ceil(h/f), sampling the top-left pixel of each block) —
     chosen over box-average because its arithmetic replays exactly in
     the SQL oracle; a production variant swaps one numpy line for the
-    box filter without touching the dataflow."""
-    import numpy as np
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            ws, hs, mr, mg, mb = [], [], [], [], []
-            for payload in pdf["payload"]:
-                img = decode_bmp_24(bytes(payload))[::factor, ::factor]
-                h, w, _ = img.shape
-                x = img.astype(np.float64)
-                ws.append(w)
-                hs.append(h)
-                mr.append(exact_mean6(x[:, :, 0]))
-                mg.append(exact_mean6(x[:, :, 1]))
-                mb.append(exact_mean6(x[:, :, 2]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": pd.Series(ws, dtype="int64"),
-                    "height": pd.Series(hs, dtype="int64"),
-                    "mean_r": pd.Series(mr, dtype="float64"),
-                    "mean_g": pd.Series(mg, dtype="float64"),
-                    "mean_b": pd.Series(mb, dtype="float64"),
-                }
-            )
-
-    return media.mapInPandas(batches, schema=BMP_FEATURE_SCHEMA)
+    box filter without touching the dataflow. Corrupt payloads NULL
+    their feature row (quarantine law)."""
+    return media.mapInPandas(
+        _guarded_feature_batches(
+            _image_feature_row(
+                lambda payload: decode_bmp_24(payload)[::factor, ::factor]
+            ),
+            _IMAGE_FEATURE_COLS,
+        ),
+        schema=BMP_FEATURE_SCHEMA,
+    )
 
 
 # --- image: REAL pure-numpy baseline JPEG codec -------------------------
@@ -1044,33 +1071,14 @@ def attach_jpeg_payload(docs: DataFrame, quality: int = 90) -> DataFrame:
 def extract_jpeg_features(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL JPEG decode → image features (dimensions from
     the parsed SOF0 header, per-channel means from the reconstructed
-    pixels). Same narrow mapInPandas shape as the WAV/BMP branches."""
-    import numpy as np
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            ws, hs, mr, mg, mb = [], [], [], [], []
-            for payload in pdf["payload"]:
-                img = decode_jpeg_baseline(bytes(payload))
-                h, w, _ = img.shape
-                x = img.astype(np.float64)
-                ws.append(w)
-                hs.append(h)
-                mr.append(exact_mean6(x[:, :, 0]))
-                mg.append(exact_mean6(x[:, :, 1]))
-                mb.append(exact_mean6(x[:, :, 2]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": pd.Series(ws, dtype="int64"),
-                    "height": pd.Series(hs, dtype="int64"),
-                    "mean_r": pd.Series(mr, dtype="float64"),
-                    "mean_g": pd.Series(mg, dtype="float64"),
-                    "mean_b": pd.Series(mb, dtype="float64"),
-                }
-            )
-
-    return media.mapInPandas(batches, schema=JPEG_FEATURE_SCHEMA)
+    pixels). Same narrow mapInPandas shape as the WAV/BMP branches.
+    Corrupt payloads NULL their feature row (quarantine law)."""
+    return media.mapInPandas(
+        _guarded_feature_batches(
+            _image_feature_row(decode_jpeg_baseline), _IMAGE_FEATURE_COLS
+        ),
+        schema=JPEG_FEATURE_SCHEMA,
+    )
 
 
 PNG_FEATURE_SCHEMA = (
@@ -1123,33 +1131,14 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
 def extract_png_features(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL PNG decode (CRC walk, inflate, unfilter) →
     dimensions + per-channel means; same mapInPandas shape as the
-    other media branches."""
-    import numpy as np
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            ws, hs, mr, mg, mb = [], [], [], [], []
-            for payload in pdf["payload"]:
-                img = decode_png_rgb8(bytes(payload))
-                h, w, _ = img.shape
-                x = img.astype(np.float64)
-                ws.append(w)
-                hs.append(h)
-                mr.append(exact_mean6(x[:, :, 0]))
-                mg.append(exact_mean6(x[:, :, 1]))
-                mb.append(exact_mean6(x[:, :, 2]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": pd.Series(ws, dtype="int64"),
-                    "height": pd.Series(hs, dtype="int64"),
-                    "mean_r": pd.Series(mr, dtype="float64"),
-                    "mean_g": pd.Series(mg, dtype="float64"),
-                    "mean_b": pd.Series(mb, dtype="float64"),
-                }
-            )
-
-    return media.mapInPandas(batches, schema=PNG_FEATURE_SCHEMA)
+    other media branches. Corrupt payloads NULL their feature row
+    (quarantine law)."""
+    return media.mapInPandas(
+        _guarded_feature_batches(
+            _image_feature_row(decode_png_rgb8), _IMAGE_FEATURE_COLS
+        ),
+        schema=PNG_FEATURE_SCHEMA,
+    )
 
 
 # --- video decoder: stub (libs not in container) ------------------------
@@ -1328,34 +1317,28 @@ def extract_video_features(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Arrow-batched REAL video decode: demux the AVI, sample every
     ``every_n``-th frame, JPEG-decode the samples, and emit container
     metadata (frame count + dimensions from avih) with per-channel
-    means over the SAMPLED frames only."""
+    means over the SAMPLED frames only. Corrupt payloads (bad
+    container, bad avih, or any sampled frame's JPEG failing) NULL
+    their feature row (quarantine law)."""
     import numpy as np
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            nf, ns, ws, hs, mr, mg, mb = [], [], [], [], [], [], []
-            for payload in pdf["payload"]:
-                n, w, h, _frames = demux_avi_mjpeg(bytes(payload))
-                sampled = sample_video_frames(bytes(payload), every_n)
-                stack = np.stack([f for _i, f in sampled]).astype(np.float64)
-                nf.append(n)
-                ns.append(len(sampled))
-                ws.append(w)
-                hs.append(h)
-                mr.append(exact_mean6(stack[:, :, :, 0]))
-                mg.append(exact_mean6(stack[:, :, :, 1]))
-                mb.append(exact_mean6(stack[:, :, :, 2]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_frames": pd.Series(nf, dtype="int64"),
-                    "n_sampled": pd.Series(ns, dtype="int64"),
-                    "width": pd.Series(ws, dtype="int64"),
-                    "height": pd.Series(hs, dtype="int64"),
-                    "mean_r": pd.Series(mr, dtype="float64"),
-                    "mean_g": pd.Series(mg, dtype="float64"),
-                    "mean_b": pd.Series(mb, dtype="float64"),
-                }
-            )
+    def decode_row(payload):
+        n, w, h, _frames = demux_avi_mjpeg(payload)
+        sampled = sample_video_frames(payload, every_n)
+        stack = np.stack([f for _i, f in sampled]).astype(np.float64)
+        return (
+            n, len(sampled), w, h,
+            exact_mean6(stack[:, :, :, 0]),
+            exact_mean6(stack[:, :, :, 1]),
+            exact_mean6(stack[:, :, :, 2]),
+        )
 
-    return media.mapInPandas(batches, schema=VIDEO_FEATURE_SCHEMA)
+    return media.mapInPandas(
+        _guarded_feature_batches(decode_row, [
+            ("n_frames", "Int64"), ("n_sampled", "Int64"),
+            ("width", "Int64"), ("height", "Int64"),
+            ("mean_r", "Float64"), ("mean_g", "Float64"),
+            ("mean_b", "Float64"),
+        ]),
+        schema=VIDEO_FEATURE_SCHEMA,
+    )

@@ -2135,3 +2135,221 @@ def test_valid_vector_null_element_parity(spark):
         ).fetchall()
     )
     assert kept_spark == kept_duck == [7]
+
+
+# ---------------------------------------------------------------------------
+# r11 corrupt-payload quarantine law (multimodal._guarded_feature_batches):
+# at 100 TB a truncated/bit-flipped media blob is routine — one bad blob
+# must NULL its own feature row, never abort the scan. The expectation is
+# computed by REPLAYING the law single-node (guarded decode of the same
+# bytes), so a bit flip that still decodes is expected to produce the
+# decoded features, and one that raises is expected to produce NULLs.
+
+
+def _corrupt_variants(payload: bytes, seed: int):
+    """Deterministic corruption family for one valid payload: header-,
+    mid-, and tail-truncations, single bit flips at seeded offsets,
+    empty bytes, pure junk, and a wrong-magic swap."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out = [
+        payload[: len(payload) // 4],          # truncate in the header region
+        payload[: len(payload) // 2],          # truncate mid-payload
+        payload[:-1],                          # drop the last byte
+        b"",                                   # empty blob
+        b"garbage-not-a-media-file",           # junk
+        b"XXXX" + payload[4:],                 # wrong magic
+    ]
+    for _ in range(4):                         # seeded single bit flips
+        pos = int(rng.integers(0, len(payload)))
+        bit = int(rng.integers(0, 8))
+        flipped = bytearray(payload)
+        flipped[pos] ^= 1 << bit
+        out.append(bytes(flipped))
+    return out
+
+
+def _quarantine_check(spark, extractor, payloads, decode_row, n_features):
+    """Run the extractor over good + corrupt + NULL payloads and assert
+    the law row-for-row against the single-node guarded replay."""
+    rows, want = [], {}
+    for i, p in enumerate(payloads):
+        rows.append((i, bytearray(p) if p is not None else None, "media"))
+        if p is None:
+            want[i] = (None,) * n_features
+        else:
+            try:
+                want[i] = tuple(decode_row(bytes(p)))
+            except Exception:
+                want[i] = (None,) * n_features
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, payload binary, mime string"
+    )
+    got = {r[0]: tuple(r[1:]) for r in extractor(df).collect()}
+    assert set(got) == set(want), "row set changed (rows dropped or added)"
+    n_null = 0
+    for i in sorted(want):
+        assert got[i] == want[i], (
+            f"doc {i}: got {got[i]} want {want[i]}"
+        )
+        n_null += got[i] == (None,) * n_features
+    # the family must actually exercise BOTH arms of the law
+    assert 0 < n_null < len(want), (n_null, len(want))
+
+
+def test_corrupt_payload_quarantine_wav(spark):
+    import numpy as np
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import (
+        multimodal as mm,
+    )
+
+    rng = np.random.default_rng(7)
+    good = [
+        mm.encode_wav_pcm16(
+            rng.integers(-32768, 32767, size=n, dtype=np.int16), 8000
+        )
+        for n in (5, 32, 1)
+    ]
+    payloads = good + _corrupt_variants(good[0], 101) + [None]
+
+    def decode_row(p):
+        rate, _ch, s = mm.decode_wav_pcm16(p)
+        x = s.astype(np.float64)
+        return (
+            rate, len(s), mm.exact_mean6(x),
+            round(float(np.sqrt((x * x).mean())), 6),
+            int(np.abs(s).max()),
+        )
+
+    _quarantine_check(spark, mm.extract_wav_features, payloads, decode_row, 5)
+
+
+def _image_replay(decode):
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import (
+        multimodal as mm,
+    )
+
+    return mm._image_feature_row(decode)
+
+
+def test_corrupt_payload_quarantine_bmp(spark):
+    import numpy as np
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import (
+        multimodal as mm,
+    )
+
+    rng = np.random.default_rng(13)
+    good = [
+        mm.encode_bmp_24(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+        for w, h in ((4, 3), (5, 2))
+    ]
+    payloads = good + _corrupt_variants(good[0], 103) + [None]
+    _quarantine_check(
+        spark, mm.extract_bmp_features, payloads,
+        _image_replay(mm.decode_bmp_24), 5,
+    )
+
+
+def test_corrupt_payload_quarantine_jpeg(spark):
+    import numpy as np
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import (
+        multimodal as mm,
+    )
+
+    # constant 8x8 tiles (the f17d exactness domain)
+    imgs = [
+        np.full((8, 16, 3), (40 * k + 9, 70 * k + 3, 11 * k) , np.uint8)
+        for k in range(2)
+    ]
+    good = [mm.encode_jpeg_baseline(img) for img in imgs]
+    payloads = good + _corrupt_variants(good[0], 107) + [None]
+    _quarantine_check(
+        spark, mm.extract_jpeg_features, payloads,
+        _image_replay(mm.decode_jpeg_baseline), 5,
+    )
+
+
+def test_corrupt_payload_quarantine_png(spark):
+    import numpy as np
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import (
+        multimodal as mm,
+    )
+
+    rng = np.random.default_rng(17)
+    good = [
+        mm.encode_png_rgb8(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+        for w, h in ((6, 4), (3, 5))
+    ]
+    payloads = good + _corrupt_variants(good[0], 109) + [None]
+    _quarantine_check(
+        spark, mm.extract_png_features, payloads,
+        _image_replay(mm.decode_png_rgb8), 5,
+    )
+
+
+def test_corrupt_payload_quarantine_video(spark):
+    import numpy as np
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import (
+        multimodal as mm,
+    )
+
+    def mkframes(k, n):
+        frames = []
+        for fi in range(n):
+            img = np.zeros((8, 16, 3), np.uint8)
+            for tx in range(2):
+                img[:, tx * 8:(tx + 1) * 8] = (
+                    (k + 37 * tx + 19 * fi) % 256,
+                    (2 * k + 11 * tx + 23 * fi) % 256,
+                    (3 * k + 17 * tx + 29 * fi) % 256,
+                )
+            frames.append(img)
+        return frames
+
+    good = [mm.encode_avi_mjpeg(mkframes(k, 2 + k)) for k in range(2)]
+    payloads = good + _corrupt_variants(good[0], 113) + [None]
+
+    def decode_row(p):
+        n, w, h, _frames = mm.demux_avi_mjpeg(p)
+        sampled = mm.sample_video_frames(p, 2)
+        stack = np.stack([f for _i, f in sampled]).astype(np.float64)
+        return (
+            n, len(sampled), w, h,
+            mm.exact_mean6(stack[:, :, :, 0]),
+            mm.exact_mean6(stack[:, :, :, 1]),
+            mm.exact_mean6(stack[:, :, :, 2]),
+        )
+
+    _quarantine_check(
+        spark,
+        lambda df: mm.extract_video_features(df, every_n=2),
+        payloads, decode_row, 7,
+    )
+
+
+def test_quarantine_preserves_valid_rows_exactly(spark):
+    """The law must be a no-op on an all-valid corpus: the guarded
+    extractor over the f17c generative payloads equals the pre-law
+    unguarded decode, row for row (the queries' oracle contract is
+    untouched by the quarantine)."""
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import (
+        multimodal as mm,
+    )
+
+    docs = spark.range(40).withColumnRenamed("id", "doc_id")
+    media = mm.attach_bmp_payload(docs)
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["mean_r"], r["mean_g"],
+                      r["mean_b"])
+        for r in mm.extract_bmp_features(media).collect()
+    }
+    replay = _image_replay(mm.decode_bmp_24)
+    for r in media.collect():
+        assert got[r["doc_id"]] == replay(bytes(r["payload"]))
+    assert len(got) == 40
