@@ -146,3 +146,47 @@ def percent_rank_from_rn(rn: Column, total: Column) -> Column:
 def cume_dist_from_rn(rn: Column, total: Column) -> Column:
     """cume_dist over a total order: rn/N (every prefix is unique)."""
     return rn.cast("double") / total.cast("double")
+
+
+def keyset_page(df, keys, last_seen=None, page_size: int = 10):
+    """Keyset (seek) pagination — the executable form of b31's scale
+    note. LIMIT k OFFSET n is O(n+k) EVERY page: TakeOrdered still
+    heap-selects the first n+k rows in every partition, so page 10^6
+    of a 100-TB table reads and ranks a million rows per partition to
+    throw them away. The keyset form carries the last row of the
+    previous page and turns the offset into a lexicographic seek
+    PREDICATE, which (a) reaches the parquet scan as a pushed filter —
+    row groups wholly before the page are skipped via min/max stats —
+    and (b) leaves TakeOrdered a heap of only page_size per partition.
+    Every page costs the same shallow scan; no page is deeper than any
+    other.
+
+    ``keys``: [(column_name, ascending: bool), ...] — must be a TOTAL
+    order over non-null columns (include a unique tie-break key, the
+    same §5.4 rule every registry query follows) or page boundaries
+    are nondeterministic and the seek predicate can skip or repeat
+    rows. ``last_seen``: tuple of the previous page's final row values
+    in ``keys`` order (None → first page).
+
+    The seek predicate for mixed-direction keys is the standard
+    lexicographic disjunction, e.g. for (price DESC, key ASC) after
+    (lp, lk):  price < lp  OR  (price = lp AND key > lk).
+    """
+    cols = [(F.col(name), asc) for name, asc in keys]
+    if last_seen is not None:
+        if len(last_seen) != len(keys):
+            raise ValueError(
+                f"last_seen has {len(last_seen)} values for {len(keys)} keys"
+            )
+        clauses = []
+        for i, (c, asc) in enumerate(cols):
+            strict = (c > F.lit(last_seen[i])) if asc else (c < F.lit(last_seen[i]))
+            for j in range(i - 1, -1, -1):
+                strict = (cols[j][0] == F.lit(last_seen[j])) & strict
+            clauses.append(strict)
+        pred = clauses[0]
+        for cl in clauses[1:]:
+            pred = pred | cl
+        df = df.filter(pred)
+    order = [c.asc() if asc else c.desc() for c, asc in cols]
+    return df.orderBy(*order).limit(page_size)

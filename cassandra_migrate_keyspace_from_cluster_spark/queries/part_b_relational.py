@@ -1100,8 +1100,10 @@ def b31_limit_offset(spark, sf_dir):
     under a total order — hence the orderkey tie-break (§5.4). At
     scale, OFFSET still computes the first n+k rows (TakeOrdered over
     n+k per partition); deep pagination should keyset-paginate
-    (WHERE key > last_seen) instead — documented here, demonstrated
-    with the shallow page."""
+    (WHERE key > last_seen) instead — shipped as the executable twin
+    ``operators/rank.py::keyset_page`` (seek predicate pushed to the
+    parquet scan, page-for-page equality with LIMIT/OFFSET asserted in
+    tests/test_operators.py; plan proof in tests/test_plans.py)."""
     o = t(spark, sf_dir, "orders")
     return (
         o.select("o_orderkey", "o_totalprice")

@@ -2353,3 +2353,35 @@ def test_quarantine_preserves_valid_rows_exactly(spark):
     for r in media.collect():
         assert got[r["doc_id"]] == replay(bytes(r["payload"]))
     assert len(got) == 40
+
+
+def test_keyset_pagination_equals_limit_offset(spark):
+    """Walking pages with keyset_page must reproduce LIMIT k OFFSET n
+    page-for-page under the same total order (price DESC, orderkey ASC
+    tie-break) — the equality that makes the keyset form a drop-in
+    replacement for b31-style pagination at any depth."""
+    import os
+
+    from tests.conftest import SF_SMOKE
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators.rank import (
+        keyset_page,
+    )
+
+    o = spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    keys = [("o_totalprice", False), ("o_orderkey", True)]
+    k = 7
+    last = None
+    for pageno in range(5):
+        want = [
+            (r["o_orderkey"], r["o_totalprice"])
+            for r in o.orderBy(
+                o.o_totalprice.desc(), o.o_orderkey.asc()
+            ).offset(pageno * k).limit(k).collect()
+        ]
+        got_rows = keyset_page(o, keys, last_seen=last, page_size=k).collect()
+        got = [(r["o_orderkey"], r["o_totalprice"]) for r in got_rows]
+        assert got == want, f"page {pageno}: keyset != offset"
+        last = (got_rows[-1]["o_totalprice"], got_rows[-1]["o_orderkey"])

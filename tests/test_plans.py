@@ -470,3 +470,30 @@ def test_hybrid_rrf_final_cut_is_take_ordered(spark):
     the RRF fusion needs full rankings for both source lists, but the
     final cut only needs k rows."""
     assert_contains(q(spark, "f34_hybrid_rrf_search"), "TakeOrderedAndProject")
+
+
+def test_keyset_pagination_seeks_and_pushes_down(spark):
+    """b31's scale note, executable (operators/rank.py::keyset_page):
+    the seek predicate must reach the parquet scan as a pushed filter
+    (row groups wholly before the page skip via min/max stats) and the
+    page itself must plan as TakeOrderedAndProject — every page a
+    shallow top-k, no offset-deep heap."""
+    import os
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators.rank import (
+        keyset_page,
+    )
+
+    o = spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    page = keyset_page(
+        o, [("o_totalprice", False), ("o_orderkey", True)],
+        last_seen=(50000.0, 3), page_size=10,
+    )
+    plan = physical_plan(page)
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "o_totalprice" in pushed[0], (
+        f"seek predicate not pushed to the scan:\n{plan}"
+    )
