@@ -76,9 +76,33 @@ def test_brp_lsh_recall_vs_exact_euclidean(spark):
     approx = _pair_set(ALL["f5_ann_lsh"].fn(spark, SF_T2), "vec_a", "vec_b")
     assert exact, "no exact close pairs below threshold"
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.8, f"BRP-LSH recall {recall:.3f} < 0.8 ({len(exact)} pairs)"
+    # floor raised r11 (VERDICT r10 item 5): seed=42 makes the measured
+    # recall a deterministic constant of the dataset (0.9716 at this
+    # fixture); 0.9 keeps a regeneration buffer without being trivially
+    # loose.
+    assert recall >= 0.9, f"BRP-LSH recall {recall:.3f} < 0.9 ({len(exact)} pairs)"
     # no hallucinated pairs: every approx pair really is under threshold
     assert approx <= exact, "approxSimilarityJoin returned pairs above threshold"
+    # second operating point (r11): the p1-ish tail (threshold 1.2 →
+    # ~1.5k exact pairs, 10x the 1.12 sample, so far less sample noise)
+    # must hold the same floor — the floor is a property of the
+    # operator's parameter geometry, not of one threshold's luck
+    # (measured 0.9555 here).
+    exact2 = _pair_set(
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("d", dist)
+        .filter(F.col("d") < 1.2),
+        "vec_a",
+        "vec_b",
+    )
+    approx2 = _pair_set(
+        sim.brp_lsh_neighbors(emb, distance_threshold=1.2), "vec_a", "vec_b"
+    )
+    recall2 = len(exact2 & approx2) / len(exact2)
+    assert recall2 >= 0.9, (
+        f"BRP-LSH recall@1.2 {recall2:.3f} < 0.9 ({len(exact2)} pairs)"
+    )
 
 
 def test_int8_quantization_error_bound(spark):
