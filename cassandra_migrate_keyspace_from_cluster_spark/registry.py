@@ -149,78 +149,78 @@ _DRIVER_GREEN = frozenset({
     "f4d_auto_tier",
 })
 
-# Round-10 driver window (exactly 50 names), assembled at r10 start
+# Round-11 driver window (exactly 50 names), assembled at r11 start
 # per the standing rule — REWRITES FIRST (any query whose Spark code
 # or oracle changed since its last recorded CORRECTNESS row), then
 # oldest-row staleness rotation — and pre-flighted by
-# tools/window_sim.py. For the record, the r9 window (CORRECTNESS_r09:
-# 48 hash + 2 rows-only-by-design, zero fails) was the 25 r8
-# advice-closure rewrites + 13 deferred r8 law rewrites + f4d (new) +
-# 6 late-r9 law rewrites + 5 oldest-r3 padding; its full composition
-# is in git history at this file, r9 vintage.
+# tools/window_sim.py. For the record, the r10 window (CORRECTNESS_r10:
+# 50/50 hash green, the first window with zero rows-only members) was
+# the 5 r10 rewrites (f3b graduation, f4c/f4d repartition-floor fix,
+# d7/d13 guarded-extraction laws) + 14 r3-vintage + 20 r4-vintage + 11
+# oldest-r5 alphabetical; its full composition is in git history at
+# this file, r10 vintage.
 #
-#   rewritten in r10 (5):
-#     (a) f3b_simhash — GRADUATED to hash-checkable (VERDICT r9 item
-#         3): simhash now rides the pinned md5-derived 60-bit token
-#         hash (f24's idiom, dedup.py::simhash60_pinned) with a full
-#         DuckDB oracle, retiring the only rows-only entry whose
-#         weaker contract was a choice rather than a necessity.
-#     (b) f4c_cosine_topk_chunked + f4d_auto_tier — ADVICE r9 low
-#         item: the pass-layout sizing now falls back to repartition
-#         when the cached distinct lands below the parallelism floor
-#         (coalesce can only shrink), so under-parallel confs get a
-#         real fan-out; f4d rides as the auto-tier consumer of the
-#         same operator.
-#     (c) d7_map_json + d13_regex_array — the new adversarial-props
-#         family's probe found THREE latent ANSI whole-job crash
-#         classes (element_at on zero-match arrays, CAST of over-int64
-#         digit runs, CAST of non-integral JSON values) and two
-#         cross-engine render divergences; both queries now carry the
-#         guarded-extraction law (try_element_at/try_cast + textual
-#         guards, pinned in tests/test_properties.py::PROPS_BATTERY).
-#         They displace the last two r5 padding rows (b1, b21) to r11.
-#   never-re-ridden-since-r3 rows (14) — the full r3-vintage backlog,
-#     incl. e2/e10 displaced TWICE by r9's rewrites-first swaps:
-#     e2, e3, e4, e5, e6, e7, e9, e10, f15, f20, f22, g5, g7, g8.
-#   oldest-r4 rows (20) — the complete r4 vintage: a17-a21, b37, c8,
-#     c9, d9, d18, e16, e21-e23, f9, f11, f44, f48, f50, g11.
-#   oldest-r5 rows alphabetical to the 50 cap (11): a13, a1, a2, a3,
-#     a4, a5, a7, a8, b10, b14, b18 — b1/b21 displaced to r11 by the
-#     (c) rewrites, matching the in-set comment below.
+#   rewritten in r11 (7):
+#     (a) d18_url_parse — the props-family extension (VERDICT r10
+#         item 2) found the FIFTH latent ANSI whole-job crash class:
+#         parse_url RAISES java.net.URISyntaxException when the raw
+#         ``lang`` column (embedded as a URL query value) holds e.g. a
+#         space — one weird payload aborts the scan. Now carries the
+#         guarded-extraction law: \A[A-Za-z0-9._~-]*\z unreserved
+#         guard (full-string anchors — Java $ matches before a final
+#         line terminator, RE2 $ does not) + try_parse_url as defense
+#         in depth, replayed in the DuckDB oracle; batteries in
+#         tests/test_properties.py (URL_LANG_BATTERY + hypothesis
+#         family + conf-invariance joint cell). d16/f37/f22 probed
+#         clean as written — battery-pinned, not rewritten.
+#     (b) f17b-f17g — the corrupt-payload quarantine law (VERDICT r10
+#         item 3, the binary twin of (a)): every media extractor now
+#         rides multimodal._guarded_feature_batches (a truncated/
+#         bit-flipped/NULL payload keeps doc_id and NULLs its feature
+#         columns instead of raising past the row and aborting the
+#         scan). Query results on valid payloads are proven unchanged
+#         (tests/test_operators.py::test_quarantine_preserves_valid_
+#         rows_exactly + f17 parity suite), but the backing Spark code
+#         changed -> rewrites-first applies.
+#   remaining r5 rows (21) — the complete r5 vintage, incl. b1/b21
+#     displaced twice (r9, r10): b1, b21, b2, b3, b6, b7, b8, c11,
+#     c6, c7, f14, f1, f21, f21b, f23, f24, f36, f40, f45, f49, f8.
+#   oldest-r6 rows alphabetical to the 50 cap (22): a10, a11, a4b,
+#     a4c, a4d, a4e, a9, b11, b12, b13, b15, b15b, b16, b17, b19,
+#     b22, b23, b24, c10, c12, c13, c15 — deferring c17, c18, c19,
+#     f3, f41, f47 to r12 (they ride first there by the same rule).
 #
-# CONCRETE r11 window plan (assemble at r11 start, once
-# CORRECTNESS_r10 is green): r11 rewrites first, then the remaining
-# r5 rows (b1_scan_project + b21_limit_topk displaced from this
-# window, then b2, b3, b6, b7, b8, c11, c6, c7, f14, f1, f21, f21b,
-# f23, f24, f36, f40, f45, f49, f8 — f1 last rode r5 despite the
-# VERDICT r9 table's r5 note), then oldest-r6 rows alphabetical to
-# the cap.
+# CONCRETE r12 window plan (assemble at r12 start, once
+# CORRECTNESS_r11 is green): r12 rewrites first, then the six
+# deferred r6 rows (c17_first_last, c18_forward_fill,
+# c19_filtered_agg, f3_minhash_lsh, f41_perplexity_buckets,
+# f47_cluster_quality), then oldest-r7 rows alphabetical to the cap.
 # Every subsequent round repeats the same rule: rewrites first, then
 # oldest-row rotation.
 _WINDOW = frozenset({
-    # r10 rewrites (5)
-    "f3b_simhash", "f4c_cosine_topk_chunked", "f4d_auto_tier",
-    "d7_map_json", "d13_regex_array",
-    # r3-vintage backlog (14)
-    "e2_sliding", "e3_session", "e4_watermark_late", "e5_stream_dedup",
-    "e6_stateful_runagg", "e7_event_funnel", "e9_retention_cohort",
-    "e10_stream_stream_join", "f15_token_count", "f20_stratified_sample",
-    "f22_redact_pii", "g5_map_in_pandas", "g7_map_in_arrow",
-    "g8_pandas_udf_iter",
-    # r4-vintage (20)
-    "a17_scd2_history", "a18_referential_check",
-    "a19_migration_plan_estimate", "a20_schema_drift_report",
-    "a21_data_expectations", "b37_join_asof_forward", "c8_collect",
-    "c9_pivot", "d9_conditional_null", "d18_url_parse",
-    "e16_peak_concurrency", "e21_commitlog_replay", "e22_stream_enrich",
-    "e23_foreachbatch_sink", "f9_ngrams", "f11_multimodal_join",
-    "f44_token_packing", "f48_split_leakage", "f50_domain_quota_sample",
-    "g11_apply_in_arrow",
-    # oldest-r5 alphabetical padding (11; b1/b21 displaced by (c))
-    "a13_full_keyspace_copy", "a1_cluster_scan", "a2_schema_manifest",
-    "a3_ddl_manifest", "a4_copy_roundtrip", "a5_range_partition_counts",
-    "a7_table_counts", "a8_content_checksum", "b10_join_outer",
-    "b14_join_theta_range", "b18_intersect",
+    # r11 rewrites (7)
+    "d18_url_parse",
+    "f17b_wav_decode_features", "f17c_bmp_decode_features",
+    "f17d_jpeg_decode_features", "f17e_png_decode_features",
+    "f17f_video_frame_sample", "f17g_image_resize_features",
+    # r5-vintage backlog (21) — the complete remaining r5 set
+    "b1_scan_project", "b21_limit_topk", "b2_filter_pred",
+    "b3_case_when", "b6_count_distinct", "b7_having",
+    "b8_join_inner_eq", "c11_topk_per_group", "c6_approx_quantile",
+    "c7_approx_cd", "f14_quality", "f1_exact_dedup",
+    "f21_neardup_clusters", "f21b_neardup_clusters_star",
+    "f23_dedup_suppression", "f24_minhash_pinned_lsh",
+    "f36_cross_source_dups", "f40_incremental_dedup",
+    "f45_domain_pagerank", "f49_threshold_calibration", "f8_tfidf",
+    # oldest-r6 alphabetical padding (22)
+    "a10_throttled_copy", "a11_snapshot_diff", "a4b_copy_roundtrip_csv",
+    "a4c_copy_roundtrip_json", "a4d_copy_partitioned",
+    "a4e_copy_roundtrip_orc", "a9_resumable_copy", "b11_join_semi",
+    "b12_join_anti", "b13_join_cross", "b15_join_asof",
+    "b15b_asof_pandas_api", "b16_union_all", "b17_union_distinct",
+    "b19_except", "b22_distinct_rows", "b23_exists_subquery",
+    "b24_salted_agg", "c10_row_number", "c12_lag_lead",
+    "c13_frame_rows", "c15_running_total",
 })
 
 
