@@ -13,8 +13,11 @@ of fixture-derived gates could not reach.
 
 Usage: python tools/property_hunt.py [examples_per_family] [family ...]
        (defaults: 60; families: lineitem events documents embeddings
-        joins props keyspace confs — props generates adversarial JSON
-        payloads through the d7/d13 scalar surface; confs draws random
+        joins props url_pii encoding keyspace confs — props generates
+        adversarial JSON payloads through the d7/d13 scalar surface;
+        url_pii/encoding (r11) generate adversarial langs/texts and
+        arbitrary unicode through the d18/f37/f22 regex surfaces and
+        the d16 encode/decode round trip; confs draws random
         1-3-perturbation conf combinations on top of generated
         keyspaces)
 Prints one line per family; exit 1 on any failure.
@@ -124,6 +127,29 @@ def _register_families(spark, n_examples: int) -> None:
     def props(payloads, qname):
         _parity(spark, tp._write_micro_props, ["events"], qname, (payloads,))
 
+    # r11 surface families (VERDICT r10 item 2): adversarial langs/texts
+    # through the URL/PII regex surfaces and arbitrary unicode through
+    # the d16 encode/decode round trip — the generated tier behind
+    # URL_LANG_BATTERY / URL_TEXT_BATTERY / PII_TEXT_BATTERY /
+    # ENCODING_BATTERY.
+    @given(langs=st.lists(tp._url_lang_st, min_size=1, max_size=12),
+           texts=st.lists(tp._url_text_st, min_size=1, max_size=8),
+           qname=st.sampled_from(
+               ["d18_url_parse", "f37_url_domain_stats", "f22_redact_pii"]))
+    @settings(**hard)
+    def url_pii(langs, texts, qname):
+        n = max(len(langs), len(texts))
+        rows = [(t_, l_, "src0")
+                for t_, l_ in zip((texts * n)[:n], (langs * n)[:n])]
+        _parity(spark, tp._write_micro_documents, ["documents"], qname,
+                (rows,))
+
+    @given(pris=st.lists(st.text(max_size=120), min_size=1, max_size=15))
+    @settings(**hard)
+    def encoding(pris):
+        _parity(spark, tp._write_micro_orders, ["orders"], "d16_encoding",
+                (pris,))
+
     @given(ks=tp._keyspace_st,
            # the full oracle-paired inventory (pool-sweep-proven, r9)
            qname=st.sampled_from(tp.KEYSPACE_POOL))
@@ -196,6 +222,7 @@ def _register_families(spark, n_examples: int) -> None:
     FAMILIES.update(
         lineitem=lineitem, events=events, documents=documents,
         embeddings=embeddings, joins=joins, props=props,
+        url_pii=url_pii, encoding=encoding,
         keyspace=keyspace, confs=confs,
     )
 
