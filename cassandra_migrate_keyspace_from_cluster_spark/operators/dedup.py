@@ -24,9 +24,22 @@ from ..util import bounded_persist
 
 
 def normalized_text_hash(text_col: str = "text") -> F.Column:
-    """Canonical content hash: md5 of lower/trimmed text (md5 is
-    standardized → stable across engines and runs)."""
-    return F.md5(F.lower(F.trim(F.col(text_col))))
+    """Canonical content hash: md5 of the exact-fold of the text (md5
+    is standardized → stable across engines and runs).
+
+    Exact-fold, not bare lower(trim(..)) — the r11 case-fold law
+    (functions/casefold.py): lower() diverges across engines on 71
+    probed codepoints (İ full-maps to i+combining-dot on the JVM,
+    simple-maps to i under utf8proc, plus Unicode-version skew), so a
+    single İ in 1e12 rows silently splits a dedup group differently
+    per engine; texts containing a divergent codepoint therefore key
+    by trim(text) UNFOLDED — conservative (never merges two texts the
+    simple fold would keep apart), total, identical on both engines.
+    The SQL twin is casefold.sql_exact_fold (which also pins trim to
+    ASCII-space — DuckDB's bare trim strips unicode whitespace)."""
+    from ..functions.casefold import exact_fold
+
+    return F.md5(exact_fold(text_col))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -23,6 +23,7 @@ from ..functions.rounding import (
     sql_exact_mean6,
     sql_exact_round_ratio,
 )
+from ..functions.casefold import guarded_upper, sql_guarded_upper
 from ..registry import register
 from ..sources import register_views
 from .util import r2, r6, t
@@ -31,11 +32,14 @@ from .util import r2, r6, t
 # --------------------------------------------------------------------------
 @register(
     "b1_scan_project",
-    oracle="""
+    # flag_u rides the r11 case-fold guard (functions/casefold.py):
+    # l_returnflag is raw data, and upper() diverges across engines on
+    # 172 probed codepoints — NULL outside the agreeing domain.
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
            l_extendedprice AS base_price,
            round(l_extendedprice * (1 - l_discount), 6) AS net_price,
-           upper(l_returnflag) AS flag_u
+           {sql_guarded_upper('l_returnflag')} AS flag_u
     FROM lineitem
     """,
 )
@@ -47,7 +51,7 @@ def b1_scan_project(spark, sf_dir):
         "l_linenumber",
         F.col("l_extendedprice").alias("base_price"),
         r6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
-        F.upper("l_returnflag").alias("flag_u"),
+        guarded_upper("l_returnflag").alias("flag_u"),
     )
 
 

@@ -22,6 +22,17 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.casefold import (
+    LOWER_DIVERGENT_CLASS,
+    UPPER_DIVERGENT_CLASS,
+    _sql_quote_class,
+    guarded_lower,
+    guarded_reverse,
+    guarded_upper,
+    sql_guarded_lower,
+    sql_guarded_reverse,
+    sql_guarded_upper,
+)
 from ..functions.finite import is_finite
 from ..registry import register
 from .util import r6, t
@@ -30,7 +41,7 @@ from .util import r6, t
 # --------------------------------------------------------------------------
 @register(
     "d1_string_basic",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey,
            -- || not concat(): DuckDB's concat() SKIPS null arguments
            -- while Spark's concat() is null-propagating; || propagates
@@ -38,11 +49,19 @@ from .util import r6, t
            -- nulls data-shift probe pins the agreement)
            c_name || '|' || c_mktsegment               AS joined,
            concat_ws('-', c_name, c_mktsegment)        AS joined_ws,
-           upper(c_name)                               AS up,
-           lower(c_name)                               AS lo,
-           trim('  ' || c_name || '  ')                AS trimmed,
-           ltrim('  ' || c_name)                       AS ltrimmed,
-           rtrim(c_name || '  ')                       AS rtrimmed,
+           -- case-fold law (functions/casefold.py): upper/lower are
+           -- declared on the cross-engine-agreeing domain (Java full
+           -- case mapping vs utf8proc simple mapping + Unicode-version
+           -- skew: 172/71 probed codepoints diverge); reverse is
+           -- declared on the grapheme-safe domain (Spark reverses
+           -- codepoints, DuckDB grapheme clusters). NULL outside.
+           {sql_guarded_upper('c_name')}               AS up,
+           {sql_guarded_lower('c_name')}               AS lo,
+           -- trim(x, ' ') not trim(x): DuckDB's bare trim strips
+           -- UNICODE whitespace (NBSP etc.), Spark's ASCII space only
+           trim('  ' || c_name || '  ', ' ')           AS trimmed,
+           ltrim('  ' || c_name, ' ')                  AS ltrimmed,
+           rtrim(c_name || '  ', ' ')                  AS rtrimmed,
            substring(c_name, 10, 5)                    AS sub,
            CAST(length(c_name) AS BIGINT)              AS name_len,
            lpad(CAST(c_custkey AS VARCHAR), 10, '0')   AS key_pad,
@@ -50,21 +69,24 @@ from .util import r6, t
            CAST(instr(c_name, '#') AS BIGINT)          AS hash_pos,
            translate(c_name, '0#', 'X_')               AS translated,
            repeat(c_mktsegment, 2)                     AS seg2,
-           reverse(c_name)                             AS rev,
+           {sql_guarded_reverse('c_name')}             AS rev,
            replace(c_name, 'Customer', 'Cust')         AS repl
     FROM customer
     """,
 )
 def d1_string_basic(spark, sf_dir):
     """String basics: concat/case/trim/pad/substr/instr/translate/
-    repeat/reverse/replace. (initcap excluded: absent in DuckDB 1.0.)"""
+    repeat/reverse/replace. (initcap excluded: absent in DuckDB 1.0.)
+    up/lo/rev ride the r11 case-fold guarded-extraction law
+    (functions/casefold.py — probe-derived divergence sets; battery in
+    tests/test_properties.py::CASE_NAME_BATTERY)."""
     c = t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
         F.concat("c_name", F.lit("|"), "c_mktsegment").alias("joined"),
         F.concat_ws("-", "c_name", "c_mktsegment").alias("joined_ws"),
-        F.upper("c_name").alias("up"),
-        F.lower("c_name").alias("lo"),
+        guarded_upper("c_name").alias("up"),
+        guarded_lower("c_name").alias("lo"),
         F.trim(F.concat(F.lit("  "), "c_name", F.lit("  "))).alias("trimmed"),
         F.ltrim(F.concat(F.lit("  "), "c_name")).alias("ltrimmed"),
         F.rtrim(F.concat("c_name", F.lit("  "))).alias("rtrimmed"),
@@ -75,7 +97,7 @@ def d1_string_basic(spark, sf_dir):
         F.instr("c_name", "#").cast("bigint").alias("hash_pos"),
         F.translate("c_name", "0#", "X_").alias("translated"),
         F.repeat("c_mktsegment", 2).alias("seg2"),
-        F.reverse("c_name").alias("rev"),
+        guarded_reverse("c_name").alias("rev"),
         F.replace("c_name", F.lit("Customer"), F.lit("Cust")).alias("repl"),
     )
 
@@ -261,16 +283,21 @@ def d5_math(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "d6_array",
-    oracle="""
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+               FROM documents)
     SELECT doc_id,
            CAST(len(toks) AS BIGINT)                       AS n_toks,
            array_to_string(list_slice(toks, 1, 5), ' ')    AS first5,
            CAST(list_contains(toks, 'join') AS BIGINT)     AS has_join,
            CAST(len(list_distinct(toks)) AS BIGINT)        AS n_uniq,
            array_to_string(list_sort(list_distinct(toks)), ',') AS uniq_csv,
-           array_to_string(list_transform(list_slice(toks, 1, 3),
-                                          x -> upper(x)), ',') AS upper3,
+           -- case-fold guard (r11, coarse on the whole text — see
+           -- casefold.py): upper() diverges cross-engine on 172 cps
+           CASE WHEN NOT regexp_matches(text,
+                  '{_sql_quote_class(UPPER_DIVERGENT_CLASS)}')
+                THEN array_to_string(list_transform(list_slice(toks, 1, 3),
+                                     x -> upper(x)), ',') END AS upper3,
            CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT)
                                                            AS n_long,
            CAST(list_reduce(list_transform(toks, x -> length(x)),
@@ -283,7 +310,7 @@ def d6_array(spark, sf_dir):
     Arrays emitted as joined strings (cross-engine array dtype parity);
     distinct always sorted (DuckDB list_distinct is unordered)."""
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
+        "doc_id", "text", F.split("text", " ").alias("toks")
     )
     toks = F.col("toks")
     return d.select(
@@ -294,8 +321,11 @@ def d6_array(spark, sf_dir):
         F.array_contains(toks, "join").cast("bigint").alias("has_join"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
         F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("uniq_csv"),
-        F.array_join(
-            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), ","
+        F.when(
+            ~F.col("text").rlike(UPPER_DIVERGENT_CLASS),
+            F.array_join(
+                F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), ","
+            ),
         ).alias("upper3"),
         F.size(F.filter(toks, lambda x: F.length(x) > 4))
         .cast("bigint")
@@ -594,7 +624,7 @@ def d12_string_parts(spark, sf_dir):
 
 @register(
     "d13_regex_array",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
            CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_nums,
            -- TRY_CAST (r10): a digit run longer than int64 (20+ chars
@@ -609,7 +639,13 @@ def d12_string_parts(spark, sf_dir):
                 ELSE coalesce(
                   array_to_string(regexp_extract_all(props, '[0-9]+'), ','),
                   '') END AS nums_csv,
-           regexp_extract_all(lower(props), '[a-z]+')[1] AS first_word
+           -- case-fold guard (r11): lower() diverges across engines
+           -- on 71 probed codepoints (casefold.py) — İ in a payload
+           -- would split the [a-z]+ runs differently per engine
+           CASE WHEN NOT regexp_matches(props,
+                  '{_sql_quote_class(LOWER_DIVERGENT_CLASS)}')
+                THEN regexp_extract_all(lower(props), '[a-z]+')[1]
+                END AS first_word
     FROM events
     """,
 )
@@ -635,7 +671,10 @@ def d13_regex_array(spark, sf_dir):
             " 1) AS BIGINT)"
         ).alias("first_num"),
         F.array_join(nums, ",").alias("nums_csv"),
-        F.try_element_at(words, F.lit(1)).alias("first_word"),
+        F.when(
+            ~F.col("props").rlike(LOWER_DIVERGENT_CLASS),
+            F.try_element_at(words, F.lit(1)),
+        ).alias("first_word"),
     )
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.vector import l2_norm, to_double_array
+from ..functions.casefold import sql_exact_fold
 from ..functions.rounding import exact_mean6, sql_exact_mean6, sql_pmod
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
@@ -27,16 +28,22 @@ from .util import r6, t
 # --------------------------------------------------------------------------
 @register(
     "f1_exact_dedup",
-    oracle="""
-    SELECT doc_id, md5(lower(trim(text))) AS text_hash,
-           count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n_copies
+    # md5(sql_exact_fold(..)) not md5(lower(trim(..))): the r11
+    # case-fold law — lower() diverges across engines on 71 probed
+    # codepoints and DuckDB's bare trim strips unicode whitespace
+    # (functions/casefold.py; battery in tests/test_properties.py)
+    oracle=f"""
+    SELECT doc_id, md5({sql_exact_fold('text')}) AS text_hash,
+           count(*) OVER (PARTITION BY md5({sql_exact_fold('text')}))
+             AS n_copies
     FROM documents
-    QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+    QUALIFY row_number() OVER (PARTITION BY md5({sql_exact_fold('text')})
                                ORDER BY doc_id) = 1
     """,
 )
 def f1_exact_dedup(spark, sf_dir):
-    """Exact dedup on normalized-text hash, deterministic survivor."""
+    """Exact dedup on normalized-text hash, deterministic survivor
+    (exact-fold law: casefold.py / dedup.normalized_text_hash)."""
     docs = t(spark, sf_dir, "documents")
     return dd.exact_dedup(docs).select("doc_id", "text_hash", "n_copies")
 
@@ -78,11 +85,11 @@ def f5b_ivf_topk(spark, sf_dir):
 
 @register(
     "f18_pipeline_report",
-    oracle="""
+    oracle=f"""
     WITH kept AS (
       SELECT doc_id, text, lang, n_chars
       FROM documents
-      QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+      QUALIFY row_number() OVER (PARTITION BY md5({sql_exact_fold('text')})
                                  ORDER BY doc_id) = 1),
     b AS (
       SELECT doc_id, lang,
@@ -565,7 +572,7 @@ def f11_multimodal_join(spark, sf_dir):
         {sql_exact_mean6('sum(n_chars)', 'count(*)')} FROM documents
     UNION ALL SELECT 'exact_dup_rate',
         {sql_exact_mean6(
-            "count(*) - count(DISTINCT md5(lower(trim(text))))",
+            f"count(*) - count(DISTINCT md5({sql_exact_fold('text')}))",
             'count(*)')} FROM documents
     UNION ALL SELECT 'total_tokens',
         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) FROM documents
@@ -1616,9 +1623,9 @@ def f31_unigram_logprob(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "f32_quality_aware_dedup",
-    oracle="""
+    oracle=f"""
     WITH b AS (
-      SELECT doc_id, md5(lower(trim(text))) AS text_hash,
+      SELECT doc_id, md5({sql_exact_fold('text')}) AS text_hash,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS u,
              CAST(list_reduce(list_transform(string_split(text, ' '),

@@ -185,24 +185,42 @@ _DRIVER_GREEN = frozenset({
 #   remaining r5 rows (21) — the complete r5 vintage, incl. b1/b21
 #     displaced twice (r9, r10): b1, b21, b2, b3, b6, b7, b8, c11,
 #     c6, c7, f14, f1, f21, f21b, f23, f24, f36, f40, f45, f49, f8.
-#   oldest-r6 rows alphabetical to the 50 cap (22): a10, a11, a4b,
+#     (c) the CASE-FOLD LAW rewrites (the round's biggest find —
+#         functions/casefold.py): an exhaustive every-codepoint probe
+#         found cross-engine divergence in upper() (172 cps: Java FULL
+#         case mapping vs utf8proc SIMPLE + Unicode-version skew both
+#         directions), lower() (71 cps, dotted-capital-I flagship),
+#         reverse() (codepoints vs grapheme clusters), and bare trim()
+#         (DuckDB strips unicode whitespace — latent in f1's dedup-
+#         hash oracle since r1). Guarded extractions for d1/d6/d13/b1,
+#         ASCII-space-pinned trim, and the TOTAL exact-fold for the
+#         dedup hash consumers f1/f12/f18/f32. d1, d6, d13, f12, f18,
+#         f32 join the window (b1/f1 already ride as r5 rows),
+#         displacing the six alphabetically-last r6 rows.
+#   oldest-r6 rows alphabetical to the 50 cap (16): a10, a11, a4b,
 #     a4c, a4d, a4e, a9, b11, b12, b13, b15, b15b, b16, b17, b19,
-#     b22, b23, b24, c10, c12, c13, c15 — deferring c17, c18, c19,
+#     b22 — deferring b23, b24, c10, c12, c13, c15, c17, c18, c19,
 #     f3, f41, f47 to r12 (they ride first there by the same rule).
 #
 # CONCRETE r12 window plan (assemble at r12 start, once
-# CORRECTNESS_r11 is green): r12 rewrites first, then the six
-# deferred r6 rows (c17_first_last, c18_forward_fill,
-# c19_filtered_agg, f3_minhash_lsh, f41_perplexity_buckets,
-# f47_cluster_quality), then oldest-r7 rows alphabetical to the cap.
+# CORRECTNESS_r11 is green): r12 rewrites first, then the twelve
+# deferred r6 rows (b23_exists_subquery, b24_salted_agg,
+# c10_row_number, c12_lag_lead, c13_frame_rows, c15_running_total,
+# c17_first_last, c18_forward_fill, c19_filtered_agg, f3_minhash_lsh,
+# f41_perplexity_buckets, f47_cluster_quality), then oldest-r7 rows
+# alphabetical to the cap.
 # Every subsequent round repeats the same rule: rewrites first, then
 # oldest-row rotation.
 _WINDOW = frozenset({
-    # r11 rewrites (7)
+    # r11 rewrites (13; b1/f1 are rewrites too but already ride below
+    # as r5-vintage rows)
     "d18_url_parse",
     "f17b_wav_decode_features", "f17c_bmp_decode_features",
     "f17d_jpeg_decode_features", "f17e_png_decode_features",
     "f17f_video_frame_sample", "f17g_image_resize_features",
+    "d1_string_basic", "d6_array", "d13_regex_array",
+    "f12_doc_length_dedup_rate", "f18_pipeline_report",
+    "f32_quality_aware_dedup",
     # r5-vintage backlog (21) — the complete remaining r5 set
     "b1_scan_project", "b21_limit_topk", "b2_filter_pred",
     "b3_case_when", "b6_count_distinct", "b7_having",
@@ -212,15 +230,13 @@ _WINDOW = frozenset({
     "f23_dedup_suppression", "f24_minhash_pinned_lsh",
     "f36_cross_source_dups", "f40_incremental_dedup",
     "f45_domain_pagerank", "f49_threshold_calibration", "f8_tfidf",
-    # oldest-r6 alphabetical padding (22)
+    # oldest-r6 alphabetical padding (16)
     "a10_throttled_copy", "a11_snapshot_diff", "a4b_copy_roundtrip_csv",
     "a4c_copy_roundtrip_json", "a4d_copy_partitioned",
     "a4e_copy_roundtrip_orc", "a9_resumable_copy", "b11_join_semi",
     "b12_join_anti", "b13_join_cross", "b15_join_asof",
     "b15b_asof_pandas_api", "b16_union_all", "b17_union_distinct",
-    "b19_except", "b22_distinct_rows", "b23_exists_subquery",
-    "b24_salted_agg", "c10_row_number", "c12_lag_lead",
-    "c13_frame_rows", "c15_running_total",
+    "b19_except", "b22_distinct_rows",
 })
 
 

@@ -586,6 +586,12 @@ _doc_text_st = st.one_of(
         "x@y.io x@y.io duplicate emails",
         "no pii here, just text",
     ]),
+    # case-fold divergence shapes (r11): exercise the exact-fold /
+    # guarded-case laws through every text query this family rides
+    st.sampled_from([
+        "straße file İstanbul", " nbsp pad ", "ﬀﬁﬂ ligatures",
+        "İ İ duplicate dotted", "STRASSE vs straße",
+    ]),
 )
 
 _doc_row_st = st.tuples(
@@ -620,7 +626,8 @@ def _write_micro_documents(d, rows):
          "f13_langid", "f14_quality", "f15_token_count",
          "f16_fingerprint", "f22_redact_pii", "f26_repetition",
          "f27_rule_filters", "f35_token_spectrum",
-         "f12_doc_length_dedup_rate"]
+         "f12_doc_length_dedup_rate", "d6_array",
+         "f32_quality_aware_dedup"]
     ),
 )
 @settings(**SETTINGS)
@@ -1569,4 +1576,141 @@ def test_encoding_driver_parity_microfixtures(
     _table_parity(
         spark, tmp_path_factory, "d16_encoding", "microfixture",
         lambda d: _write_micro_orders(d, pris), "orders",
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11 case-fold law (functions/casefold.py): the customer-name string
+# surface (d1/d2/d3) had NEVER seen adversarial unicode — every
+# generated keyspace writes benign "Customer#N" names — and the first
+# probe found THREE cross-engine divergence classes in d1: upper()
+# (Java FULL case mapping vs utf8proc SIMPLE + Unicode-version skew in
+# both directions; 172 codepoints probed exhaustively), lower() (71
+# codepoints, dotted-capital-I the flagship), reverse() (codepoints vs
+# grapheme clusters), plus a FOURTH found while validating the fold:
+# bare trim() — DuckDB strips unicode whitespace (NBSP, Ogham space,
+# U+2000..), Spark ASCII space only, latent in f1's dedup-hash oracle
+# since round 1. The law: guarded extraction (up/lo/rev NULL outside
+# the probe-derived agreeing domain), ASCII-space-pinned trim, and the
+# TOTAL exact-fold for dedup hashes (İ-class texts key unfolded).
+# tools/casefold_probe.py re-derives the sets and fails on engine
+# Unicode-table drift.
+
+CASE_NAME_BATTERY = [
+    "Customer#000000001", "", " ", "no digits here",
+    "straße", "İstanbul", "ıstanbul", "ﬁle", "Σσς",
+    "éclair",                      # combining accent
+    "\U0001F600emoji",
+    "à̖b",                    # stacked combining
+    "ABCÉÈ", "Ǆungle", "i̇", "ﬀﬁﬂ",
+    "ＦＵＬＬｗｉｄｔｈ０１", "éÉmixed", "ẞ",
+    # the trim class: NBSP / unicode-space wrapped (DuckDB bare trim
+    # would strip these; the pinned ASCII-space trim must not)
+    " nbsp-lead", "trail-nbsp ", " em-space ",
+    "　ideographic　",
+    # grapheme-joiner pairs the anchored probe cannot see
+    "flag \U0001F1E9\U0001F1EA pair", "cr\r\nlf", "jamo 각",
+    "zwj \U0001F469‍\U0001F4BB seq", "skin \U0001F44D\U0001F3FD tone",
+    # version-skew members (mapping exists in exactly one engine)
+    "Ᲊlower", "Ⱟupper", "ƛgamma", "\U00010570vith", "\U00010D50garay",
+]
+
+
+def _write_micro_customer(d, names):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(names)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, n + 1)), pa.int64()),
+        "c_name": pa.array(names, pa.string()),
+        "c_nationkey": pa.array([0] * n, pa.int32()),
+        "c_acctbal": pa.array([1.0] * n, pa.float64()),
+        "c_mktsegment": pa.array(["BUILDING"] * n, pa.string()),
+    }), os.path.join(d, "customer.parquet"))
+
+
+def test_case_name_battery(spark, tmp_path_factory):
+    """The pinned case-fold battery through every customer-string query:
+    all three guarded extractions (and levenshtein, pinned clean) must
+    be cell-exact on both engines over the divergence classes above."""
+    for qname in ("d1_string_basic", "d2_string_regex",
+                  "d3_string_distance"):
+        _table_parity(
+            spark, tmp_path_factory, qname, "case_battery",
+            lambda d: _write_micro_customer(d, CASE_NAME_BATTERY),
+            "customer",
+        )
+
+
+def test_case_fold_documents_battery(spark, tmp_path_factory):
+    """The exact-fold / upper-guard consumers on the documents table
+    (f1 dedup hash, f12 dup-rate, f32 quality dedup, d6 upper3) over
+    the same adversarial shapes as text payloads."""
+    for qname in ("f1_exact_dedup", "f12_doc_length_dedup_rate",
+                  "f32_quality_aware_dedup", "d6_array"):
+        _table_parity(
+            spark, tmp_path_factory, qname, "case_battery",
+            lambda d: _write_micro_documents(
+                d, _docs_rows(texts=CASE_NAME_BATTERY)
+            ),
+            "documents",
+        )
+
+
+def test_case_battery_conf_invariant(spark, tmp_path_factory):
+    """The case-fold law under the three law-relevant conf axes, same
+    joint cell as the props/URL batteries."""
+    from tools.conf_invariance import PERTURBATIONS
+
+    for pname in ("ansi_off", "codegen_off", "arrow_batch_7"):
+        confs = PERTURBATIONS[pname]
+        saved = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            _table_parity(
+                spark, tmp_path_factory, "d1_string_basic",
+                f"case_battery_{pname}",
+                lambda d: _write_micro_customer(d, CASE_NAME_BATTERY),
+                "customer",
+            )
+            _table_parity(
+                spark, tmp_path_factory, "f1_exact_dedup",
+                f"case_battery_{pname}",
+                lambda d: _write_micro_documents(
+                    d, _docs_rows(texts=CASE_NAME_BATTERY)
+                ),
+                "documents",
+            )
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
+
+_name_st = st.one_of(
+    st.text(max_size=25),
+    st.sampled_from(CASE_NAME_BATTERY),
+    st.from_regex(r"\ACustomer#[0-9]{1,9}\Z"),
+)
+
+
+@given(
+    names=st.lists(_name_st, min_size=1, max_size=12),
+    qname=st.sampled_from(
+        ["d1_string_basic", "d2_string_regex", "d3_string_distance"]
+    ),
+)
+@settings(**SETTINGS)
+def test_customer_string_driver_parity_microfixtures(
+    spark, names, qname, tmp_path_factory
+):
+    """Randomized micro-driver over the customer-name string surface:
+    raw unicode + the case-fold battery shapes + benign name shapes
+    through the registered queries vs their oracles."""
+    _table_parity(
+        spark, tmp_path_factory, qname, "microfixture",
+        lambda d: _write_micro_customer(d, names), "customer",
     )

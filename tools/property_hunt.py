@@ -150,6 +150,17 @@ def _register_families(spark, n_examples: int) -> None:
         _parity(spark, tp._write_micro_orders, ["orders"], "d16_encoding",
                 (pris,))
 
+    # r11 case-fold family: adversarial customer names through the
+    # d1/d2/d3 string surface (the probe that found the case-mapping /
+    # grapheme / trim divergence classes — casefold.py)
+    @given(names=st.lists(tp._name_st, min_size=1, max_size=12),
+           qname=st.sampled_from(
+               ["d1_string_basic", "d2_string_regex", "d3_string_distance"]))
+    @settings(**hard)
+    def names(names, qname):
+        _parity(spark, tp._write_micro_customer, ["customer"], qname,
+                (names,))
+
     @given(ks=tp._keyspace_st,
            # the full oracle-paired inventory (pool-sweep-proven, r9)
            qname=st.sampled_from(tp.KEYSPACE_POOL))
@@ -222,7 +233,7 @@ def _register_families(spark, n_examples: int) -> None:
     FAMILIES.update(
         lineitem=lineitem, events=events, documents=documents,
         embeddings=embeddings, joins=joins, props=props,
-        url_pii=url_pii, encoding=encoding,
+        url_pii=url_pii, encoding=encoding, names=names,
         keyspace=keyspace, confs=confs,
     )
 
