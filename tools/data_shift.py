@@ -107,15 +107,14 @@ TEXT_EDGE_COLS = {
 }
 
 # The shapes real corpora are full of and the benign generator never
-# emits. Deliberately INSIDE the engines' case-mapping agreement set:
-# Spark implements Unicode FULL case mapping (Java: 'ß'->'SS',
-# 'İ'->'i'+combining dot, final-sigma context rules), DuckDB 1.0.0
-# implements SIMPLE 1:1 mapping ('ß'->'ẞ', 'İ'->'i') — probe-pinned.
-# Outside SpecialCasing.txt codepoints and contextual Σ the two agree,
-# so the shapes use accented latin / lowercase greek / CJK / astral
-# emoji (all 1:1), and the ß/İ/Σ divergence is documented as an engine
-# property (SURVEY.md §5.4) rather than smuggled into a parity gate
-# that could only fail.
+# emits. Until r10 these deliberately stayed INSIDE the engines'
+# case-mapping agreement set (Spark implements Unicode FULL case
+# mapping, DuckDB SIMPLE 1:1 — probe-pinned) because the divergence
+# was an engine property no oracle could absorb. The r11 CASE-FOLD
+# LAW (functions/casefold.py: guarded case/reverse extractions,
+# ASCII-space-pinned trim, total exact-fold for dedup hashes) closed
+# that gap, so the divergent shapes now ride the gate like everything
+# else — the old dodge is the new coverage.
 TEXT_EDGE_SHAPES = [
     "",                                  # empty string
     "   ",                               # whitespace-only
@@ -131,6 +130,11 @@ TEXT_EDGE_SHAPES = [
     "tab\tand\nnewline",                 # control whitespace inside
     "123 456",                           # digits-only (try_cast paths)
     "no delimiter here",                 # split_part miss
+    # r11 case-fold-law shapes (previously dodged — see note above)
+    "straße İstanbul ﬁle",          # full-vs-simple case + ligature
+    " nbsp em-sp lead",        # unicode whitespace (trim law)
+    "éclair à̖ combining",               # grapheme clusters (reverse law)
+    "Σσς ΑΒΓ greek case",                # final-sigma + uppercase greek
 ]
 TEXT_EDGE_P = 0.10
 
