@@ -1508,15 +1508,26 @@ def test_textedge_engine_string_laws(spark):
     assert (s_up.ua, s_up.lb) == ("SS", "i̇")
     d_up = con.execute("SELECT upper('ß'), lower('İ')").fetchone()
     assert d_up == ("ẞ", "i")
-    # ...and agreement on every textedge shape (the policy boundary)
+    # ...and the r11 policy boundary: the GUARDED forms (the case-fold
+    # law, functions/casefold.py) agree on EVERY textedge shape —
+    # including the divergent ones the pre-r11 policy had to exclude
+    from cassandra_migrate_keyspace_from_cluster_spark.functions import (
+        casefold as cf,
+    )
+
     sdf = spark.createDataFrame(
         [(i, s) for i, s in enumerate(TEXT_EDGE_SHAPES)], "i int, s string"
-    ).select("i", F.upper("s").alias("u"), F.lower("s").alias("l")).collect()
+    ).select(
+        "i", cf.guarded_upper("s").alias("u"), cf.guarded_lower("s").alias("l"),
+        cf.exact_fold("s").alias("f"),
+    ).collect()
     for row, shape in zip(sorted(sdf, key=lambda r: r.i), TEXT_EDGE_SHAPES):
-        du, dl = con.execute(
-            "SELECT upper(?), lower(?)", [shape, shape]
+        du, dl, df_ = con.execute(
+            f"SELECT {cf.sql_guarded_upper('?')}, "
+            f"{cf.sql_guarded_lower('?')}, {cf.sql_exact_fold('?')}",
+            [shape] * 7,
         ).fetchone()
-        assert (row.u, row.l) == (du, dl), shape
+        assert (row.u, row.l, row.f) == (du, dl, df_), shape
 
     # 4. sort order: Spark == python byte order == DuckDB encode()
     # order on the misorder trigger set (long string + non-ASCII)
