@@ -1435,14 +1435,17 @@ def _docs_rows(texts=None, langs=None):
 
 
 def test_encoding_battery(spark, tmp_path_factory):
-    """d16's base64/hex/unhex round trip stays cell-exact on both
-    engines over the adversarial byte shapes: NULs, 4-byte emoji,
-    combining marks, and payloads straddling the 57-byte MIME-wrap
-    boundary (the declared contract strips Spark's CRLF chunking)."""
-    _table_parity(
-        spark, tmp_path_factory, "d16_encoding", "battery",
-        lambda d: _write_micro_orders(d, ENCODING_BATTERY), "orders",
-    )
+    """d16's base64/hex/unhex round trip AND d12's parts family
+    (split_part/left/right/ascii — probed clean r11) stay cell-exact
+    on both engines over the adversarial byte shapes: NULs, 4-byte
+    emoji, combining marks, and payloads straddling the 57-byte
+    MIME-wrap boundary (the declared contract strips Spark's CRLF
+    chunking)."""
+    for qname in ("d16_encoding", "d12_string_parts"):
+        _table_parity(
+            spark, tmp_path_factory, qname, "battery",
+            lambda d: _write_micro_orders(d, ENCODING_BATTERY), "orders",
+        )
 
 
 def test_url_guard_battery(spark, tmp_path_factory):
@@ -1564,17 +1567,20 @@ def test_url_pii_queries_driver_parity_microfixtures(
     )
 
 
-@given(pris=st.lists(st.text(max_size=120), min_size=1, max_size=15))
+@given(
+    pris=st.lists(st.text(max_size=120), min_size=1, max_size=15),
+    qname=st.sampled_from(["d16_encoding", "d12_string_parts"]),
+)
 @settings(**SETTINGS)
 def test_encoding_driver_parity_microfixtures(
-    spark, pris, tmp_path_factory
+    spark, pris, qname, tmp_path_factory
 ):
-    """Randomized micro-driver over d16's encode/decode surface: fully
-    arbitrary unicode payloads (any length, any plane — hypothesis
-    already excludes the surrogates parquet cannot carry) must round
-    trip and hash identically on both engines."""
+    """Randomized micro-driver over the orders raw-string surface:
+    fully arbitrary unicode payloads (any length, any plane —
+    hypothesis already excludes the surrogates parquet cannot carry)
+    through d16's encode/decode round trip and d12's parts family."""
     _table_parity(
-        spark, tmp_path_factory, "d16_encoding", "microfixture",
+        spark, tmp_path_factory, qname, "microfixture",
         lambda d: _write_micro_orders(d, pris), "orders",
     )
 

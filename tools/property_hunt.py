@@ -144,11 +144,11 @@ def _register_families(spark, n_examples: int) -> None:
         _parity(spark, tp._write_micro_documents, ["documents"], qname,
                 (rows,))
 
-    @given(pris=st.lists(st.text(max_size=120), min_size=1, max_size=15))
+    @given(pris=st.lists(st.text(max_size=120), min_size=1, max_size=15),
+           qname=st.sampled_from(["d16_encoding", "d12_string_parts"]))
     @settings(**hard)
-    def encoding(pris):
-        _parity(spark, tp._write_micro_orders, ["orders"], "d16_encoding",
-                (pris,))
+    def encoding(pris, qname):
+        _parity(spark, tp._write_micro_orders, ["orders"], qname, (pris,))
 
     # r11 case-fold family: adversarial customer names through the
     # d1/d2/d3 string surface (the probe that found the case-mapping /
