@@ -157,6 +157,26 @@ def main() -> None:
 
     prestage_cosine_corpus(_t(spark, sf_dir, "embeddings"), corpus_key=sf_dir)
 
+    # Per-query codegen warmup (VERDICT r11 item 2a): run every headline
+    # query once at sf0.001 so each plan's one-time whole-stage-codegen
+    # compile (~0.5 s measured on f18's wide projection, ~0.3 s on b5's
+    # decimal agg chain) happens BEFORE the timed loop. Codegen caches by
+    # generated source, which depends on the plan shape, not the data
+    # scale, so the tiny-SF run compiles exactly the classes the sf0.1
+    # run reuses. Touches only sf0.001 tables — the measured sf0.1
+    # inputs' page-cache state is unaffected.
+    warm_sf = os.environ.get(
+        "SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001"
+    )
+    if os.path.isdir(warm_sf) and os.path.abspath(warm_sf) != os.path.abspath(sf_dir):
+        for name in names:
+            try:
+                qs[name](spark, warm_sf).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception:  # pragma: no cover - warmup must never
+                pass           # block the measurement itself
+
     load_before = [round(x, 2) for x in os.getloadavg()]
     timings: dict[str, float] = {}
     for name in names:
@@ -173,17 +193,26 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - degraded-anchor path
         calib = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
+    total = round(sum(timings.values()), 3)
+    # anchor_ratio (VERDICT r11 item 2b): Spark total over the in-run
+    # DuckDB anchor sum — the host-weather-normalized number (r10/r11
+    # driver rounds both measured N=3.01 while raw totals moved 12%).
+    # A bad-host round is now self-adjudicating from the JSON alone.
+    calib_sum = sum(v for v in calib.values() if isinstance(v, (int, float)))
+    anchor_ratio = round(total / calib_sum, 3) if calib_sum else None
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else sf_dir,
                 "load_avg": {"before": load_before, "after": load_after},
                 "duckdb_calib": calib,
+                "anchor_ratio": anchor_ratio,
             }
         )
     )

@@ -1609,6 +1609,13 @@ CASE_NAME_BATTERY = [
     "\U0001F600emoji",
     "à̖b",                    # stacked combining
     "ABCÉÈ", "Ǆungle", "i̇", "ﬀﬁﬂ",
+    # Final_Sigma shapes (r12, ADVICE): cased letter + trailing Σ —
+    # JVM lower() applies the contextual rule ('ΟΔΟΣ'→'οδος'),
+    # utf8proc maps context-free ('οδοσ'); Σ is now in the
+    # LOWER-divergent class so these guard/unfold identically on
+    # both engines. "Σσς" above has only MEDIAL Σ (rule fires
+    # nowhere) — these exercise the firing position.
+    "ΟΔΟΣ", "ΑΣ", "Σ", "ΤΗΣ ΕΛΛΑΔΟΣ", "ΑΣ β-mixed",
     "ＦＵＬＬｗｉｄｔｈ０１", "éÉmixed", "ẞ",
     # the trim class: NBSP / unicode-space wrapped (DuckDB bare trim
     # would strip these; the pinned ASCII-space trim must not)
@@ -1694,6 +1701,92 @@ def test_case_battery_conf_invariant(spark, tmp_path_factory):
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
+
+
+def test_casefold_sentinel_tripwire(spark):
+    """Fast per-run version-skew tripwire (VERDICT r11 item 3): probe a
+    pinned sentinel subset of the casefold divergence sets through BOTH
+    engines every suite run, so a PySpark/DuckDB Unicode-table bump
+    fails the suite before a driver window rides. The full 1.1M-codepoint
+    sweep stays the round-open tool (tools/casefold_probe.py); this
+    checks ~250 sentinels in one Spark job + one DuckDB batch:
+
+      - the FIRST codepoint of every pinned UPPER/LOWER divergent range
+        must still diverge bare (or, for Σ, in final context);
+      - the first codepoint of every 8th REVERSE joiner range must still
+        diverge under the 'a'+c+'b' anchor;
+      - a pinned AGREE list (ASCII, accented latin, lowercase greek,
+        CJK, medial-Σ) must still agree on upper/lower/reverse;
+      - DuckDB's bare trim must still strip NBSP (the trim-law pin).
+    """
+    import duckdb
+
+    from cassandra_migrate_keyspace_from_cluster_spark.functions import (
+        casefold as cf,
+    )
+
+    probes: list[tuple[str, str, str]] = []  # (shape-string, op, expect)
+    for a, _b in cf.UPPER_DIVERGENT_RANGES:
+        probes.append((chr(a), "upper", "diverge"))
+    for a, _b in cf.LOWER_DIVERGENT_RANGES:
+        # Σ diverges only in final context — probe it anchored.
+        s = "Α" + chr(a) if a == 0x03A3 else chr(a)
+        probes.append((s, "lower", "diverge"))
+    # Pair-only joiner families (CR/CRLF, Hangul jamo L/V/T + ext-A/B,
+    # regional indicators) never diverge under the single 'a'+c+'b'
+    # anchor — a lone jamo/RI is its own cluster. Sample those with
+    # proper pair shapes; everything else with the single anchor.
+    pair_only_starts = {0x0D, 0x1100, 0xA960, 0xD7B0, 0x1F1E6}
+    for a, _b in cf.REVERSE_JOINER_RANGES[::8]:
+        if a not in pair_only_starts:
+            probes.append(("a" + chr(a) + "b", "reverse", "diverge"))
+    # (CR is a CONSERVATIVE pin, not probed: Unicode says CRLF is one
+    # cluster but DuckDB's reverse splits it today, so the engines
+    # AGREE on CRLF — the guard NULLs it anyway, safe either way a
+    # future DuckDB grapheme fix lands.)
+    for pair in ("a\u1100\u1161b",              # jamo L+V
+                 "a\uA960\u1161b",              # jamo L(ext-A)+V
+                 "a\U0001F1E6\U0001F1E7b"):     # regional-indicator pair
+        probes.append((pair, "reverse", "diverge"))
+    for s in ("hello", "WORLD", "Customer#1", "éclair café", "αβγδ",
+              "Σσς", "ΑΣΒ", "中文文本", "mixedCASE123"):
+        for op in ("upper", "lower", "reverse"):
+            probes.append((s, op, "agree"))
+
+    rows = [(i, s, op, exp) for i, (s, op, exp) in enumerate(probes)]
+    sdf = spark.createDataFrame(
+        rows, "i int, s string, op string, exp string"
+    ).select(
+        "i", "op", "exp",
+        F.upper("s").alias("u"), F.lower("s").alias("l"),
+        F.reverse("s").alias("r"),
+    )
+    sp = {row.i: row for row in sdf.collect()}
+
+    con = duckdb.connect()
+    drifts = []
+    for i, s, op, exp in rows:
+        du, dl, dr = con.execute(
+            "SELECT upper(?), lower(?), reverse(?)", [s, s, s]
+        ).fetchone()
+        got = {"upper": (sp[i].u, du), "lower": (sp[i].l, dl),
+               "reverse": (sp[i].r, dr)}[op]
+        if (got[0] == got[1]) != (exp == "agree"):
+            drifts.append((hex(ord(s[-1])) if exp == "diverge" else s, op,
+                           exp, got))
+    assert not drifts, (
+        f"engine Unicode-table drift on {len(drifts)} sentinel(s) — "
+        f"re-run tools/casefold_probe.py and re-pin casefold.py: "
+        f"{drifts[:5]}"
+    )
+    # trim-law pin: DuckDB bare trim strips unicode whitespace, the
+    # ASCII-space form (the oracle spelling) must not.
+    bt, at_ = con.execute(
+        "SELECT trim(?), trim(?, ' ')", [" x ", " x "]
+    ).fetchone()
+    assert bt == "x" and at_ == " x ", (
+        "DuckDB trim law drifted — re-probe the trim pin"
+    )
 
 
 _name_st = st.one_of(

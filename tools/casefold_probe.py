@@ -8,13 +8,19 @@ silently move the boundary. This tool replays the r11 derivation:
 
   1. every assigned codepoint (0x20..0x10FFFF minus surrogates)
      through upper()/lower() on both engines → the UPPER/LOWER
-     divergent sets;
+     context-free divergent sets;
+  1b. (r12) the same codepoints CASED-ANCHORED — 'Α'+c (word-final
+     position) and 'Α'+c+'β' (medial) — through upper()/lower() on
+     both engines → the CONTEXT-SENSITIVE divergent members a
+     single-codepoint sweep cannot see (Unicode conditional mappings:
+     the JVM applies SpecialCasing.txt context rules, utf8proc maps
+     context-free; U+03A3 Final_Sigma is the only member today);
   2. every codepoint anchored as "a"+c+"b" through reverse() → the
      grapheme-joiner set (single-anchor part);
-  3. asserts set(1) == the pinned UPPER/LOWER ranges exactly, and
-     set(2) ⊆ the pinned REVERSE ranges (the pinned set additionally
-     carries the pair-only joiners — CR, Hangul jamo, regional
-     indicators — that no single anchor can expose).
+  3. asserts set(1) ∪ set(1b) == the pinned UPPER/LOWER ranges
+     exactly, and set(2) ⊆ the pinned REVERSE ranges (the pinned set
+     additionally carries the pair-only joiners — CR, Hangul jamo,
+     regional indicators — that no single anchor can expose).
 
 Usage: python tools/casefold_probe.py       (exit 1 on drift)
 """
@@ -54,29 +60,46 @@ def main() -> None:
             "cp": pa.array(cps, pa.int64()),
             "ch": pa.array([chr(c) for c in cps], pa.string()),
             "s": pa.array(["a" + chr(c) + "b" for c in cps], pa.string()),
+            # cased-letter-anchored contexts (r12): word-FINAL ('Α'+c)
+            # and MEDIAL ('Α'+c+'β') positions expose conditional
+            # mappings (SpecialCasing.txt) the bare-codepoint sweep
+            # cannot — Final_Sigma fires only after a cased letter
+            # with no cased letter following.
+            "fin": pa.array(["Α" + chr(c) for c in cps], pa.string()),
+            "med": pa.array(["Α" + chr(c) + "β" for c in cps], pa.string()),
         }),
         os.path.join(d, "chars.parquet"),
     )
 
     sdf = spark.read.parquet(d)
     sp = {
-        r.cp: (r.u, r.l, r.r)
+        r.cp: (r.u, r.l, r.r, r.uf, r.lf, r.um, r.lm)
         for r in sdf.select(
             "cp", F.upper("ch").alias("u"), F.lower("ch").alias("l"),
             F.reverse("s").alias("r"),
+            F.upper("fin").alias("uf"), F.lower("fin").alias("lf"),
+            F.upper("med").alias("um"), F.lower("med").alias("lm"),
         ).collect()
     }
     con = duckdb.connect()
     dk = {
-        cp: (u, l, r)
-        for cp, u, l, r in con.execute(
-            "SELECT cp, upper(ch), lower(ch), reverse(s) FROM "
+        row[0]: tuple(row[1:])
+        for row in con.execute(
+            "SELECT cp, upper(ch), lower(ch), reverse(s), "
+            "upper(fin), lower(fin), upper(med), lower(med) FROM "
             f"read_parquet('{os.path.join(d, 'chars.parquet')}')"
         ).fetchall()
     }
 
-    up = {c for c in sp if sp[c][0] != dk[c][0]}
-    lo = {c for c in sp if sp[c][1] != dk[c][1]}
+    # context-free divergence ∪ context-anchored divergence: a
+    # codepoint is LOWER-divergent if the engines disagree on it bare,
+    # word-final, or medial (same for UPPER).
+    up = {c for c in sp
+          if sp[c][0] != dk[c][0] or sp[c][3] != dk[c][3]
+          or sp[c][5] != dk[c][5]}
+    lo = {c for c in sp
+          if sp[c][1] != dk[c][1] or sp[c][4] != dk[c][4]
+          or sp[c][6] != dk[c][6]}
     rev = {c for c in sp if sp[c][2] != dk[c][2]}
 
     fails = []

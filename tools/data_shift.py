@@ -134,7 +134,12 @@ TEXT_EDGE_SHAPES = [
     "straße İstanbul ﬁle",          # full-vs-simple case + ligature
     " nbsp em-sp lead",        # unicode whitespace (trim law)
     "éclair à̖ combining",               # grapheme clusters (reverse law)
-    "Σσς ΑΒΓ greek case",                # final-sigma + uppercase greek
+    "Σσς ΑΒΓ greek case",                # medial-sigma + uppercase greek
+    # r12: TRAILING Σ after a cased letter — the position where the
+    # JVM's contextual Final_Sigma rule actually fires ('ΟΔΟΣ'→'οδος'
+    # vs utf8proc's context-free 'οδοσ'); Σ now rides the
+    # LOWER-divergent class so both engines guard/unfold it alike.
+    "ΟΔΟΣ ΤΗΣ ΕΛΛΑΔΟΣ",
 ]
 TEXT_EDGE_P = 0.10
 

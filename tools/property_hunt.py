@@ -13,8 +13,10 @@ of fixture-derived gates could not reach.
 
 Usage: python tools/property_hunt.py [examples_per_family] [family ...]
        (defaults: 60; families: lineitem events documents embeddings
-        joins props url_pii encoding keyspace confs — props generates
-        adversarial JSON payloads through the d7/d13 scalar surface;
+        joins props names url_pii encoding keyspace confs — props
+        generates adversarial JSON payloads through the d7/d13 scalar
+        surface; names (r11) generates adversarial unicode customer
+        names through the d1/d2/d3 case-fold/regex/distance surface;
         url_pii/encoding (r11) generate adversarial langs/texts and
         arbitrary unicode through the d18/f37/f22 regex surfaces and
         the d16 encode/decode round trip; confs draws random
