@@ -33,6 +33,63 @@ from pyspark.sql import functions as F
 _TS = "__asof_ts"
 _SIDE = "__asof_side"
 
+# The documented input bound for the native-asof API path (r12,
+# VERDICT r11 item 5). Spark's RewriteAsOfJoin (what ps.merge_asof
+# delegates to) plans a BroadcastNestedLoopJoin whose inner pair space
+# is DISTINCT LEFT `on` TIMESTAMPS × RIGHT ROWS — the `by` equality
+# does NOT constrain that stage. Measured (r4, SCALE.md): ~6M pairs
+# ≈ 6 s at sf0.01, ~625M pairs > 240 s at sf0.1 — a quadratic cliff,
+# not a slowdown. 50M pairs ≈ tens of seconds on local[32] and keeps
+# a healthy margin below the measured cliff.
+MERGE_ASOF_MAX_PAIRS = 50_000_000
+
+
+def guarded_merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    direction: str = "backward",
+    max_pairs: int = MERGE_ASOF_MAX_PAIRS,
+):
+    """``ps.merge_asof`` with the r4-measured quadratic cliff made an
+    EXPLICIT contract instead of prose (the b31 keyset-twin treatment):
+    estimates the RewriteAsOfJoin pair space (distinct left ``on``
+    values × right row count — the actual BNLJ inner, measured r4) with
+    two cheap count jobs and raises past ``max_pairs``, naming the
+    linear alternative. The pandas-on-Spark API surface stays available
+    for gate-SF parity checks (b15b), and a caller who would silently
+    fall off the >240 s cliff at sf0.1-scale inputs gets an actionable
+    error instead.
+
+    Returns a pandas-on-Spark frame (``.to_spark()`` it), matching
+    ``ps.merge_asof``'s contract.
+    """
+    n_left_on = left.select(on).distinct().count()
+    n_right = right.count()
+    pairs = n_left_on * n_right
+    if pairs > max_pairs:
+        raise ValueError(
+            f"merge_asof pair space {pairs:,} (= {n_left_on:,} distinct "
+            f"left '{on}' values x {n_right:,} right rows) exceeds the "
+            f"documented bound {max_pairs:,}: Spark's RewriteAsOfJoin "
+            "plans a BroadcastNestedLoopJoin the 'by' key does not "
+            "constrain (quadratic cliff, measured >240s at ~625M pairs "
+            "- SCALE.md). Use the linear operator instead: "
+            "operators.asof.asof_join_last_earlier (backward) / "
+            "asof_join_first_later (forward) - one shuffle on the key, "
+            "O(n log n) per key."
+        )
+    import pyspark.pandas as ps
+
+    return ps.merge_asof(
+        left.pandas_api(),
+        right.pandas_api(),
+        on=on,
+        by=by,
+        direction=direction,
+    )
+
 
 def asof_join_last_earlier(
     left: DataFrame,

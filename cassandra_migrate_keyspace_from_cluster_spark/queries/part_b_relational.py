@@ -853,17 +853,21 @@ def b15b_asof_pandas_api(spark, sf_dir):
     SQL). Hash-matching b15's oracle proves the two implementations and
     DuckDB's native ASOF all agree.
 
-    SCALE WARNING (measured, r4): ``ps.merge_asof`` delegates to
-    Spark's ``_joinAsOf``, whose ``RewriteAsOfJoin`` plans a
-    BroadcastNestedLoopJoin on the range predicate over DISTINCT LEFT
+    SCALE LAW (measured r4, made executable r12): ``ps.merge_asof``
+    delegates to Spark's ``_joinAsOf``, whose ``RewriteAsOfJoin`` plans
+    a BroadcastNestedLoopJoin on the range predicate over DISTINCT LEFT
     TIMESTAMPS x right rows — the ``by`` equality does NOT constrain
     that inner stage, so the pair space is quadratic in the time-key
     cardinality: ~6M pairs at sf0.01 (≈6 s), ~625M at sf0.1 (>240 s —
-    measured cliff), unusable beyond. This query exists to hash-check
-    the API surface at the correctness-gate SF; the production as-of
-    join is b15 (operators/asof.py: union + per-key window — linear,
-    one shuffle)."""
-    import pyspark.pandas as ps
+    measured cliff), unusable beyond. Since r12 the query rides
+    ``operators.asof.guarded_merge_asof``, which ESTIMATES that pair
+    space and RAISES past the documented 50M bound, naming the linear
+    operator (the b31 keyset-twin treatment — the cliff is now a
+    contract, not prose). This query exists to hash-check the API
+    surface at the correctness-gate SF; the production as-of join is
+    b15 (operators/asof.py: union + per-key window — linear, one
+    shuffle)."""
+    from ..operators.asof import guarded_merge_asof
 
     ev = t(spark, sf_dir, "events")
     clicks = (
@@ -877,9 +881,9 @@ def b15b_asof_pandas_api(spark, sf_dir):
         "ts",
         r6(F.col("value")).alias("purchase_value"),
     )
-    merged = ps.merge_asof(
-        purchases.pandas_api(),
-        clicks.pandas_api(),
+    merged = guarded_merge_asof(
+        purchases,
+        clicks,
         on="ts",
         by="user_id",
         direction="backward",

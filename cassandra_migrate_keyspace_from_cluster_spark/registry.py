@@ -149,6 +149,35 @@ _DRIVER_GREEN = frozenset({
     "f4d_auto_tier",
 })
 
+# Round-12 driver window (exactly 50 names), assembled at r12 start
+# per the standing rule — REWRITES FIRST, then the staleness rotation.
+# CORRECTNESS_r11: 48 hash green + 2 rows-only-by-design (c6/c7), zero
+# failures — the 11th consecutive zero-failure round. Composition:
+#
+#   rewritten in r12 (6): the Final_Sigma case-fold extension
+#     (functions/casefold.py — the r12 cased-anchored context probe
+#     found U+03A3 as the one CONTEXT-SENSITIVE divergent codepoint:
+#     JVM lower('ΑΣ')='ας' via Final_Sigma vs utf8proc context-free
+#     'ασ'; Σ joined LOWER_DIVERGENT_RANGES, and the CR member of the
+#     reverse-joiner class is now emitted as a real escape). Changed
+#     surfaces: guarded_lower/guarded_reverse (d1), the d13 first_word
+#     guard, and the exact-fold dedup hash (f1, f12, f18, f32).
+#     b1/d6 consume only the UNCHANGED upper class — not rewrites.
+#   deferred-r6 rows (12, mandatory — they hit the 5-round staleness
+#     boundary this round): b23, b24, c10, c12, c13, c15, c17, c18,
+#     c19, f3, f41, f47.
+#   the complete r7 vintage (30): a12, a14, a4f, b14b, b20, b27, b28,
+#     b29, b30, b31, b32, b33, c2, c21, c23, c24, d15, e13, e17, e20,
+#     f2, f25, f28, f30, f31, f35, f37, f38, f39, g10 — after this
+#     round nothing is older than r8.
+#   b15b_asof_pandas_api joined the rewrites mid-round (its Spark code
+#     now rides operators.asof.guarded_merge_asof — the executable
+#     quadratic-cliff bound, VERDICT r11 item 5), displacing a16.
+#   oldest-r8 alphabetical padding (1): a15.
+#
+# For the record, the r11 window (CORRECTNESS_r11) was assembled as
+# follows — kept verbatim for provenance:
+#
 # Round-11 driver window (exactly 50 names), assembled at r11 start
 # per the standing rule — REWRITES FIRST (any query whose Spark code
 # or oracle changed since its last recorded CORRECTNESS row), then
@@ -202,41 +231,38 @@ _DRIVER_GREEN = frozenset({
 #     b22 — deferring b23, b24, c10, c12, c13, c15, c17, c18, c19,
 #     f3, f41, f47 to r12 (they ride first there by the same rule).
 #
-# CONCRETE r12 window plan (assemble at r12 start, once
-# CORRECTNESS_r11 is green): r12 rewrites first, then the twelve
-# deferred r6 rows (b23_exists_subquery, b24_salted_agg,
-# c10_row_number, c12_lag_lead, c13_frame_rows, c15_running_total,
-# c17_first_last, c18_forward_fill, c19_filtered_agg, f3_minhash_lsh,
-# f41_perplexity_buckets, f47_cluster_quality), then oldest-r7 rows
-# alphabetical to the cap.
+# The r11 window itself rode as: 13 r11 rewrites (d18; f17b-g;
+# d1/d6/d13/f12/f18/f32), the complete remaining r5 vintage (21,
+# incl. twice-displaced b1/b21), then oldest-r6 alphabetical to the
+# cap (16) — full composition in git history at this file, r11
+# vintage.
 # Every subsequent round repeats the same rule: rewrites first, then
 # oldest-row rotation.
 _WINDOW = frozenset({
-    # r11 rewrites (13; b1/f1 are rewrites too but already ride below
-    # as r5-vintage rows)
-    "d18_url_parse",
-    "f17b_wav_decode_features", "f17c_bmp_decode_features",
-    "f17d_jpeg_decode_features", "f17e_png_decode_features",
-    "f17f_video_frame_sample", "f17g_image_resize_features",
-    "d1_string_basic", "d6_array", "d13_regex_array",
-    "f12_doc_length_dedup_rate", "f18_pipeline_report",
-    "f32_quality_aware_dedup",
-    # r5-vintage backlog (21) — the complete remaining r5 set
-    "b1_scan_project", "b21_limit_topk", "b2_filter_pred",
-    "b3_case_when", "b6_count_distinct", "b7_having",
-    "b8_join_inner_eq", "c11_topk_per_group", "c6_approx_quantile",
-    "c7_approx_cd", "f14_quality", "f1_exact_dedup",
-    "f21_neardup_clusters", "f21b_neardup_clusters_star",
-    "f23_dedup_suppression", "f24_minhash_pinned_lsh",
-    "f36_cross_source_dups", "f40_incremental_dedup",
-    "f45_domain_pagerank", "f49_threshold_calibration", "f8_tfidf",
-    # oldest-r6 alphabetical padding (16)
-    "a10_throttled_copy", "a11_snapshot_diff", "a4b_copy_roundtrip_csv",
-    "a4c_copy_roundtrip_json", "a4d_copy_partitioned",
-    "a4e_copy_roundtrip_orc", "a9_resumable_copy", "b11_join_semi",
-    "b12_join_anti", "b13_join_cross", "b15_join_asof",
-    "b15b_asof_pandas_api", "b16_union_all", "b17_union_distinct",
-    "b19_except", "b22_distinct_rows",
+    # r12 rewrites (7) — see the composition note above
+    "d1_string_basic", "d13_regex_array",
+    "f1_exact_dedup", "f12_doc_length_dedup_rate",
+    "f18_pipeline_report", "f32_quality_aware_dedup",
+    "b15b_asof_pandas_api",
+    # deferred-r6 rows (12, the mandatory staleness core)
+    "b23_exists_subquery", "b24_salted_agg", "c10_row_number",
+    "c12_lag_lead", "c13_frame_rows", "c15_running_total",
+    "c17_first_last", "c18_forward_fill", "c19_filtered_agg",
+    "f3_minhash_lsh", "f41_perplexity_buckets", "f47_cluster_quality",
+    # the complete r7 vintage (30)
+    "a12_schema_evolution_copy", "a14_range_checksums",
+    "a4f_copy_compacted", "b14b_range_join_banded", "b20_sort_multikey",
+    "b27_scalar_subquery", "b28_join_disjunctive", "b29_lateral_join",
+    "b30_in_subquery", "b31_limit_offset", "b32_group_by_all",
+    "b33_union_evolved", "c21_date_spine_gapfill", "c23_listagg",
+    "c24_hll_mergeable", "c2_cube", "d15_conditional",
+    "e13_windowed_topn", "e17_transition_matrix", "e20_rolling_wau",
+    "f25_contamination", "f28_source_mix_sample",
+    "f2_token_jaccard_neardup", "f30_pipeline_yield",
+    "f31_unigram_logprob", "f35_token_spectrum", "f37_url_domain_stats",
+    "f38_chunk_dedup", "f39_source_kl_divergence", "g10_arrow_python_udf",
+    # oldest-r8 alphabetical padding (1)
+    "a15_repair_apply",
 })
 
 

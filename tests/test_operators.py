@@ -2420,3 +2420,46 @@ def test_keyset_pagination_equals_limit_offset(spark):
         got = [(r["o_orderkey"], r["o_totalprice"]) for r in got_rows]
         assert got == want, f"page {pageno}: keyset != offset"
         last = (got_rows[-1]["o_totalprice"], got_rows[-1]["o_orderkey"])
+
+
+def test_guarded_merge_asof_bound_and_equality(spark):
+    """The executable quadratic-cliff contract for the native-asof API
+    path (VERDICT r11 item 5, the b31 keyset-twin treatment): (1) under
+    the bound, guarded_merge_asof must equal the linear union+window
+    operator row-for-row — the two implementations agree, so swapping
+    the API surface for the scale path is a pure plan change; (2) past
+    the bound (forced tiny here), it must raise BEFORE planning the
+    BroadcastNestedLoopJoin, and the error must name the linear
+    operator so the caller knows the scale path."""
+    import pytest
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators.asof import (
+        asof_join_last_earlier,
+        guarded_merge_asof,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 15, 150.0), (3, 5, 50.0)],
+        "user_id int, ts int, value double",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 1000), (1, 18, 1001), (2, 15, 1002), (2, 30, 1003)],
+        "user_id int, ts int, click_id int",
+    )
+
+    got = (
+        guarded_merge_asof(left, right, on="ts", by="user_id")
+        .to_spark()
+        .select("user_id", "ts", "value", "click_id")
+    )
+    want = asof_join_last_earlier(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_value="click_id", out_value="click_id",
+    ).select("user_id", "ts", "value", "click_id")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # 3 distinct left ts x 4 right rows = 12 pairs > max_pairs=10
+    with pytest.raises(ValueError, match="asof_join_last_earlier"):
+        guarded_merge_asof(left, right, on="ts", by="user_id", max_pairs=10)
