@@ -822,3 +822,271 @@ def minhash_band_candidates(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def lsh_band_rows_for_threshold(
+    threshold: float, n_hashes: int = 16, margin: float = 0.8
+) -> int:
+    """Pick the MinHash band height r from the operating threshold.
+
+    The banding S-curve's midpoint is t*(r) = (1/b)^(1/r) with
+    b = n_hashes/r bands; recall at similarity s is
+    1 − (1 − s^r)^b, which is high only when t* sits safely BELOW the
+    acceptance threshold. So: the largest power-of-two divisor r of
+    n_hashes with t*(r) <= margin·threshold — taller bands (better
+    pruning) whenever the operating point affords them, falling back
+    to r=1 (pure min-hash equality buckets) for very low thresholds.
+    A mismatched fixed r is the classic silent-recall-loss mistake
+    (r=4 at t=0.6 has its midpoint at 0.707 — ABOVE the threshold —
+    and measured recall ~5% on the routing fixture)."""
+    best = 1
+    r = 1
+    while r <= n_hashes:
+        if n_hashes % r == 0:
+            t_star = (r / n_hashes) ** (1.0 / r)
+            if t_star <= margin * threshold:
+                best = r
+        r *= 2
+    return best
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    blocking: list[str],
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    band_rows: int | None = None,
+    k_shingle: int = 1,
+) -> DataFrame:
+    """Pinned-hash LSH candidates rescored to the SAME verified-pairs
+    contract as ``jaccard_pairs_postings`` / ``jaccard_pairs_prefix``:
+    ``(doc_a, doc_b, jaccard)`` with token-set Jaccard >= threshold and
+    both docs agreeing on the blocking keys. This is the sub-quadratic
+    tier of the near-dup ladder (``auto_neardup``): candidate work is
+    ∝ Σ band-bucket² (never corpus², never Σ df² — the exact tiers'
+    floor), at the cost of recall < 1 per the banding S-curve
+    (pytest floor vs the exact tier).
+
+    Two deliberate defaults keep the tier CONSISTENT with what it
+    verifies: ``k_shingle=1`` — banding measures the same UNIGRAM
+    token sets the rescore certifies (3-shingle banding, right for
+    f24's sequence-sensitive dedup, is near-blind to same-tokens-
+    different-positions pairs the unigram contract accepts); and
+    ``band_rows=None`` — derived from the threshold via
+    ``lsh_band_rows_for_threshold``, because a band height whose
+    S-curve midpoint sits above the acceptance threshold silently
+    collapses recall. Explicit values are respected."""
+    if band_rows is None:
+        band_rows = lsh_band_rows_for_threshold(threshold, n_hashes)
+    cand = minhash_band_candidates(
+        docs, n_hashes=n_hashes, band_rows=band_rows,
+        id_col=id_col, text_col=text_col, k_shingle=k_shingle,
+    )
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(b) for b in blocking],
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    ).distinct()
+    da = d.select(
+        F.col("id").alias("doc_a"),
+        *[F.col(b).alias(f"__a_{b}") for b in blocking],
+        F.col("toks").alias("toks_a"),
+    )
+    db = d.select(
+        F.col("id").alias("doc_b"),
+        *[F.col(b).alias(f"__b_{b}") for b in blocking],
+        F.col("toks").alias("toks_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac = inter.cast("double") / union.cast("double")
+    out = cand.join(da, "doc_a").join(db, "doc_b")
+    for b in blocking:
+        out = out.filter(F.col(f"__a_{b}") == F.col(f"__b_{b}"))
+    return (
+        out.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -- application-layer near-dup tier selection (the f4d idiom) --------------
+
+#: The near-dup ladder, exact-cheapest first. Values take
+#: (docs, blocking, threshold, id_col, text_col) and return verified
+#: (doc_a, doc_b, jaccard >= threshold) pairs; names map to the
+#: registry QueryIDs that exercise each dataflow.
+NEARDUP_TIERS = {
+    "postings": jaccard_pairs_postings,   # f2
+    "prefix": jaccard_pairs_prefix,       # f43-family SSJoin shape
+    "lsh": lsh_verified_pairs,            # f24 candidates + exact rescore
+}
+
+#: Documented candidate-pair budget: ~50M pair rows is tens of seconds
+#: of join work on local[32] and a comfortable per-stage shuffle on a
+#: real cluster; past it the exact candidate space itself is the
+#: bottleneck, not the verify.
+NEARDUP_PAIR_BUDGET = 50_000_000
+
+
+def neardup_corpus_stats(
+    docs: DataFrame,
+    blocking: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    heavy_df: int = 64,
+) -> dict:
+    """Corpus stats for ``choose_neardup_tier`` — ONE linear
+    tokenize+aggregate pass (the near-dup analogue of f4d's count+dim
+    probe; a linear pass is the honest price of avoiding a committed
+    quadratic mistake):
+
+      n_docs        distinct (replay-collapsed) docs;
+      cand_pairs    Σ over (block, token) of df·(df−1)/2 — the EXACT
+                    candidate-pair space the postings join generates;
+      light_pairs   the same sum restricted to tokens with
+                    df <= heavy_df — the floor no df-based pruning
+                    (df_cap, prefix ordering) can remove, because those
+                    collisions come from rare-token structure, not
+                    stopwords;
+      heavy_share   1 − light/cand — the Zipfian fraction of the
+                    candidate work, i.e. how much a prefix/df_cap
+                    filter can collapse.
+
+    Sums are computed in DOUBLE: they are routing estimates, and at
+    1e9+ docs Σ df² exceeds int64 by construction.
+    """
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(b) for b in blocking],
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    ).distinct()
+    post = d.select(*blocking, F.explode("toks").alias("tok"))
+    pairs_expr = (
+        F.col("df").cast("double") * (F.col("df") - 1).cast("double") / 2.0
+    )
+    row = (
+        post.groupBy(*blocking, "tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            F.coalesce(F.sum(pairs_expr), F.lit(0.0)).alias("cand"),
+            F.coalesce(
+                F.sum(F.when(F.col("df") <= heavy_df, pairs_expr)
+                      .otherwise(F.lit(0.0))),
+                F.lit(0.0),
+            ).alias("light"),
+        )
+        .collect()[0]
+    )
+    n_docs = d.count()
+    cand, light = float(row.cand), float(row.light)
+    return {
+        "n_docs": n_docs,
+        "cand_pairs": cand,
+        "light_pairs": light,
+        "heavy_share": 0.0 if cand == 0 else 1.0 - light / cand,
+    }
+
+
+def choose_neardup_tier(
+    n_docs: int,
+    cand_pairs: float,
+    light_pairs: float,
+    exact_required: bool = False,
+    pair_budget: float = NEARDUP_PAIR_BUDGET,
+    heavy_cut: float = 0.5,
+) -> str:
+    """Pick the near-dup tier from corpus stats — the SURVEY §4 f2→f3
+    auto-switch, as a documented application-layer helper (NOT a
+    Catalyst rule, for the same reason as ``choose_similarity_tier``:
+    the inputs are corpus statistics the planner does not model, and
+    the lsh tier trades recall, which no relational optimizer may
+    silently spend).
+
+    Decision table (returns a key of ``NEARDUP_TIERS``):
+
+      1. cand_pairs <= pair_budget and heavy_share < heavy_cut
+           -> "postings": the whole candidate space fits the budget and
+              is NOT stopword-dominated — the single-pass count-based
+              join wins because pruning buys little and the prefix
+              form's verify join is pure overhead (the dense-dup
+              regime; measured ~2× on the synthetic corpus).
+      2. light_pairs <= pair_budget (but 1 failed)
+           -> "prefix": the over-budget share of the work is Zipfian
+              df² that rare-first prefix ordering provably prunes
+              (SSJoin theorem) — exact results at sub-budget cost.
+      3. beyond that
+           -> "lsh": even the rare-token collision floor exceeds the
+              budget, so EVERY exact dataflow is quadratic-infeasible;
+              banded candidates + exact rescore is the 100-TB path
+              (recall < 1 per the S-curve, floor-tested). If
+              ``exact_required``, RAISE instead — recall is a semantic
+              contract the selector must never silently spend
+              (misroute-raises, the f4d law).
+
+    Monotone where it is SEMANTIC: the exact→lsh boundary depends only
+    on ``light_pairs > pair_budget``, so growing the corpus never moves
+    an lsh-routed corpus back to an exact tier (pytest grid law, the
+    analogue of the similarity ladder's). The postings↔prefix split, by
+    contrast, is a pure COST choice between two result-identical exact
+    dataflows (pytest-equality-checked), and is deliberately free to
+    move either way as the df profile flattens or sharpens — there is
+    no safety direction between them.
+    """
+    if n_docs < 0 or cand_pairs < 0 or light_pairs < 0:
+        raise ValueError("stats must be non-negative")
+    if light_pairs > cand_pairs:
+        raise ValueError("light_pairs cannot exceed cand_pairs")
+    heavy_share = 0.0 if cand_pairs == 0 else 1.0 - light_pairs / cand_pairs
+    if cand_pairs <= pair_budget and heavy_share < heavy_cut:
+        return "postings"
+    if light_pairs <= pair_budget:
+        return "prefix"
+    if exact_required:
+        raise ValueError(
+            f"exact near-dup requested but the rare-token collision floor "
+            f"({light_pairs:,.0f} candidate pairs) exceeds the budget "
+            f"({pair_budget:,.0f}): no df-based pruning can make the exact "
+            "candidate space feasible on this corpus — raise pair_budget "
+            "deliberately or accept the lsh tier's measured recall"
+        )
+    return "lsh"
+
+
+def auto_neardup(
+    docs: DataFrame,
+    blocking: list[str],
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact_required: bool = False,
+    pair_budget: float = NEARDUP_PAIR_BUDGET,
+    heavy_cut: float = 0.5,
+    heavy_df: int = 64,
+    chosen: dict | None = None,
+    **tier_kwargs,
+) -> DataFrame:
+    """Dispatch verified near-dup pair generation through
+    ``choose_neardup_tier`` (the f4d idiom for dedup: corpus stats →
+    tier route, misroute raises). All three tiers emit the same
+    contract — ``(doc_a, doc_b, jaccard)`` with token-set Jaccard >=
+    threshold within the blocking keys — so the route changes the
+    DATAFLOW (and, for lsh only, the recall), never the meaning of a
+    pair. ``chosen`` (opt-in) records the decision and the stats that
+    drove it; ``tier_kwargs`` pass through to the tier operator (e.g.
+    ``df_cap`` for postings, ``n_hashes``/``band_rows`` for lsh)."""
+    stats = neardup_corpus_stats(
+        docs, blocking, id_col=id_col, text_col=text_col, heavy_df=heavy_df
+    )
+    tier = choose_neardup_tier(
+        stats["n_docs"], stats["cand_pairs"], stats["light_pairs"],
+        exact_required=exact_required, pair_budget=pair_budget,
+        heavy_cut=heavy_cut,
+    )
+    if chosen is not None:
+        chosen.update({"tier": tier, **stats})
+    return NEARDUP_TIERS[tier](
+        docs, blocking, threshold, id_col=id_col, text_col=text_col,
+        **tier_kwargs,
+    )

@@ -2463,3 +2463,112 @@ def test_guarded_merge_asof_bound_and_equality(spark):
     # 3 distinct left ts x 4 right rows = 12 pairs > max_pairs=10
     with pytest.raises(ValueError, match="asof_join_last_earlier"):
         guarded_merge_asof(left, right, on="ts", by="user_id", max_pairs=10)
+
+
+def test_neardup_tier_selector_table_and_monotonicity():
+    """The auto_neardup decision table (SURVEY §4's f2→f3 auto-switch,
+    the f4d idiom) + the monotone-ladder law: growing any stat never
+    moves the choice back toward a cheaper-assumption tier."""
+    import pytest
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators.dedup import (
+        choose_neardup_tier,
+    )
+
+    B = 1000.0  # pair budget for the table
+    # 1. in-budget, flat df profile -> postings
+    assert choose_neardup_tier(100, 500.0, 400.0, pair_budget=B) == "postings"
+    # 2a. in-budget but stopword-dominated -> prefix (pruning wins)
+    assert choose_neardup_tier(100, 900.0, 100.0, pair_budget=B) == "prefix"
+    # 2b. over-budget but the excess is Zipfian -> prefix
+    assert choose_neardup_tier(100, 50_000.0, 800.0, pair_budget=B) == "prefix"
+    # 3. even the rare-token floor exceeds the budget -> lsh
+    assert choose_neardup_tier(100, 50_000.0, 20_000.0, pair_budget=B) == "lsh"
+    # misroute-raises: recall is a contract the selector never spends
+    with pytest.raises(ValueError, match="recall"):
+        choose_neardup_tier(
+            100, 50_000.0, 20_000.0, pair_budget=B, exact_required=True
+        )
+    with pytest.raises(ValueError):
+        choose_neardup_tier(100, 500.0, 600.0)  # light > cand: invalid
+
+    # Monotone where SEMANTIC (the exact→lsh recall boundary): once a
+    # stats point routes to lsh, every pointwise-larger stats point
+    # must too — growing the corpus never silently regains exactness.
+    # (The postings↔prefix split is a cost choice between two
+    # result-identical exact dataflows — checked by the equality test
+    # below, deliberately NOT monotone: growing light_pairs flattens
+    # the profile and legitimately moves prefix back to postings.)
+    grid = [0.0, 100.0, 900.0, 1100.0, 40_000.0]
+    pts = [(c, l) for c in grid for l in grid if l <= c]
+    for cand, light in pts:
+        here = choose_neardup_tier(10, cand, light, pair_budget=B)
+        if here != "lsh":
+            continue
+        for cand2, light2 in pts:
+            if cand2 >= cand and light2 >= light:
+                assert choose_neardup_tier(
+                    10, cand2, light2, pair_budget=B
+                ) == "lsh", (cand, light, cand2, light2)
+
+
+def test_auto_neardup_routing_and_tier_equality(spark):
+    """auto_neardup end-to-end: (1) the dense micro corpus routes to
+    postings and the result equals BOTH exact dataflows pair-for-pair;
+    (2) a stopword-dominated profile (tiny heavy_df) routes to prefix
+    with the same pairs; (3) an impossible budget routes to lsh, whose
+    pairs are a subset of exact at the pytest recall floor; (4)
+    exact_required past the floor raises."""
+    import pytest
+
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import (
+        dedup as dd,
+    )
+
+    rows = []
+    # 12 near-dup pairs: doc 2i+1 = doc 2i with one token changed
+    for i in range(12):
+        base = f"alpha bravo charlie delta echo tok{i} foxtrot golf"
+        rows.append((2 * i, "en", base))
+        rows.append((2 * i + 1, "en", base.replace("echo", "hotel")))
+    # 8 unrelated docs in another block
+    for i in range(8):
+        rows.append((100 + i, "de", f"unique{i} wort{i} zeichen{i} berg{i}"))
+    docs = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    blocking, t = ["lang"], 0.6
+
+    want = sorted(
+        map(tuple, dd.jaccard_pairs_postings(docs, blocking, t).collect())
+    )
+    assert want == sorted(
+        map(tuple, dd.jaccard_pairs_prefix(docs, blocking, t).collect())
+    )
+    assert len(want) >= 12
+
+    chosen: dict = {}
+    got = sorted(map(tuple, dd.auto_neardup(
+        docs, blocking, t, chosen=chosen
+    ).collect()))
+    assert chosen["tier"] == "postings" and got == want
+
+    # stopword-dominated profile: every shared token heavy at heavy_df=2
+    chosen = {}
+    got = sorted(map(tuple, dd.auto_neardup(
+        docs, blocking, t, heavy_df=2, chosen=chosen
+    ).collect()))
+    assert chosen["tier"] == "prefix" and got == want
+
+    # impossible budget -> lsh; verified pairs are a recall-floored
+    # subset of exact (same schema, same meaning)
+    chosen = {}
+    got = sorted(map(tuple, dd.auto_neardup(
+        docs, blocking, t, pair_budget=1.0, chosen=chosen
+    ).collect()))
+    assert chosen["tier"] == "lsh"
+    assert set(got) <= set(want)
+    assert len(got) >= 0.8 * len(want)
+
+    with pytest.raises(ValueError, match="recall"):
+        dd.auto_neardup(
+            docs, blocking, t, pair_budget=1.0, exact_required=True
+        )
