@@ -520,15 +520,32 @@ def d9_conditional_null(spark, sf_dir):
            CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
            CAST(floor(o_totalprice) AS BIGINT)         AS price_floor,
            date_trunc('day', o_orderdate)              AS order_day,
-           printf('%.2f', o_totalprice)                AS price_fmt,
+           -- exact-cents formatting (r12): %.2f ON A DOUBLE is
+           -- engine-ambiguous — Java's Formatter rounds HALF_UP on the
+           -- SHORTEST DECIMAL REPR (printf('%.2f', 2.675) -> '2.68')
+           -- while DuckDB's printf rounds the BINARY value
+           -- (-> '2.67'); probed divergent on 9 half-boundary shapes
+           -- (FLOAT_FMT_BATTERY), latent here by the 2dp-multiple
+           -- money ingress contract only. Formatting the exact
+           -- integer cents removes float rounding from the format
+           -- path entirely (the r6 round(double,6) treatment).
+           CASE WHEN o_totalprice IS NULL THEN NULL
+                ELSE printf('%d.%02d',
+                            CAST(round(o_totalprice*100) AS BIGINT) // 100,
+                            CAST(round(o_totalprice*100) AS BIGINT) % 100)
+                END                                    AS price_fmt,
            CAST(o_totalprice > 250000 AS VARCHAR)      AS is_big_str
     FROM orders
     """,
 )
 def d10_cast_types(spark, sf_dir):
     """Casts & formatting. Explicit floor before int cast (DuckDB cast
-    rounds, Spark truncates); printf-style formatting is the
-    cross-engine-stable path (format_number's locale separators are not)."""
+    rounds, Spark truncates). price_fmt formats the EXACT INTEGER
+    CENTS (the cents()/sql_cents law pair), not the double: %.2f on a
+    double diverges across engines on half-boundary shapes — Java
+    Formatter HALF_UPs the shortest decimal repr, DuckDB printf rounds
+    the binary value (r12 probe, pinned in FLOAT_FMT_BATTERY).
+    format_number is excluded separately (locale separators)."""
     o = t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -538,12 +555,15 @@ def d10_cast_types(spark, sf_dir):
         F.floor("o_totalprice").cast("bigint").alias("price_floor"),
         F.date_trunc("day", "o_orderdate").alias("order_day"),
         # explicit null guard: format_string is a Java Formatter, which
-        # renders a NULL arg as the STRING "null" (then "%.2f" truncates
-        # it to "nu"!) — the declared semantics are null-propagating,
-        # like DuckDB's printf
+        # renders a NULL arg as the STRING "null" — the declared
+        # semantics are null-propagating, like DuckDB's printf
         F.when(
             F.col("o_totalprice").isNotNull(),
-            F.format_string("%.2f", "o_totalprice"),
+            F.format_string(
+                "%d.%02d",
+                F.expr("CAST(o_totalprice*100+0.5 AS BIGINT) div 100"),
+                F.expr("CAST(o_totalprice*100+0.5 AS BIGINT) % 100"),
+            ),
         ).alias("price_fmt"),
         (F.col("o_totalprice") > 250000).cast("string").alias("is_big_str"),
     )

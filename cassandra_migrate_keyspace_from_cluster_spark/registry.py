@@ -173,7 +173,14 @@ _DRIVER_GREEN = frozenset({
 #   b15b_asof_pandas_api joined the rewrites mid-round (its Spark code
 #     now rides operators.asof.guarded_merge_asof — the executable
 #     quadratic-cliff bound, VERDICT r11 item 5), displacing a16.
-#   oldest-r8 alphabetical padding (1): a15.
+#   d10_cast_types joined the rewrites mid-round too (the r12
+#     FLOAT-FORMAT LAW: %.2f on a double is engine-ambiguous — Java
+#     Formatter HALF_UPs the shortest decimal repr, DuckDB printf
+#     rounds the binary value, probed divergent on 9 half-boundary
+#     shapes — price_fmt now formats exact integer cents, the r6
+#     round(double,6) treatment; FLOAT_FMT_BATTERY pins it),
+#     displacing a15. The rewrites (8) + deferred-r6 (12) + the full
+#     r7 vintage (30) fill the cap exactly; no r8 padding rides.
 #
 # For the record, the r11 window (CORRECTNESS_r11) was assembled as
 # follows — kept verbatim for provenance:
@@ -239,11 +246,11 @@ _DRIVER_GREEN = frozenset({
 # Every subsequent round repeats the same rule: rewrites first, then
 # oldest-row rotation.
 _WINDOW = frozenset({
-    # r12 rewrites (7) — see the composition note above
+    # r12 rewrites (8) — see the composition note above
     "d1_string_basic", "d13_regex_array",
     "f1_exact_dedup", "f12_doc_length_dedup_rate",
     "f18_pipeline_report", "f32_quality_aware_dedup",
-    "b15b_asof_pandas_api",
+    "b15b_asof_pandas_api", "d10_cast_types",
     # deferred-r6 rows (12, the mandatory staleness core)
     "b23_exists_subquery", "b24_salted_agg", "c10_row_number",
     "c12_lag_lead", "c13_frame_rows", "c15_running_total",
@@ -261,8 +268,6 @@ _WINDOW = frozenset({
     "f2_token_jaccard_neardup", "f30_pipeline_yield",
     "f31_unigram_logprob", "f35_token_spectrum", "f37_url_domain_stats",
     "f38_chunk_dedup", "f39_source_kl_divergence", "g10_arrow_python_udf",
-    # oldest-r8 alphabetical padding (1)
-    "a15_repair_apply",
 })
 
 

@@ -1813,3 +1813,61 @@ def test_customer_string_driver_parity_microfixtures(
         spark, tmp_path_factory, qname, "microfixture",
         lambda d: _write_micro_customer(d, names), "customer",
     )
+
+
+# r12 float-format law (d10): %.2f ON A DOUBLE is engine-ambiguous —
+# Java's Formatter HALF_UPs the SHORTEST DECIMAL REPR while DuckDB's
+# printf rounds the BINARY value; probed divergent on half-boundary
+# shapes (2.675 -> '2.68' vs '2.67'), latent in d10 by the
+# 2dp-multiple money ingress contract only. The law: format the exact
+# integer cents (cents()/sql_cents pair), never the double.
+FLOAT_FMT_BATTERY = [
+    0.125, 2.675, 1.005, 1.115, 123456789.985, 9.995, 99.995, 0.045,
+    0.055, 0.005,                         # the probed divergence class
+    123.45, 0.0, 250000.01, 1e12 + 0.005, 0.01, 57585.6,  # contract shapes
+    None,                                 # null propagation
+]
+
+
+def _write_micro_orders_prices(d, prices):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(prices)
+    tbl = pa.table({
+        "o_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+        "o_custkey": pa.array([1] * n, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n, pa.string()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+        "o_orderdate": pa.array([1_704_067_200_000_000] * n,
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(d, "orders.parquet"))
+
+
+def test_float_format_battery(spark, tmp_path_factory):
+    """d10 parity over the float-format divergence battery, plus the
+    raw-divergence pin: if an engine bump silences the measured raw
+    %.2f-vs-printf disagreement, this fails and says re-probe (the
+    casefold-sentinel pattern for the numeric-format surface)."""
+    import duckdb
+
+    _table_parity(
+        spark, tmp_path_factory, "d10_cast_types", "float_fmt",
+        lambda d: _write_micro_orders_prices(d, FLOAT_FMT_BATTERY),
+        "orders",
+    )
+
+    # raw-divergence pin on the flagship shape
+    con = duckdb.connect()
+    dk = con.execute("SELECT printf('%.2f', 2.675::DOUBLE)").fetchone()[0]
+    sp = spark.createDataFrame([(2.675,)], "v double").select(
+        F.format_string("%.2f", "v").alias("s")
+    ).collect()[0].s
+    assert (sp, dk) == ("2.68", "2.67"), (
+        f"raw float-format divergence moved (spark={sp}, duckdb={dk}) — "
+        "re-probe the format law before trusting the battery"
+    )
