@@ -58,9 +58,9 @@ def load_all() -> None:
     from .queries import ALL_MODULES  # noqa: F401  (import side effect)
 
 
-# Queries already driver-verified green (CORRECTNESS_r01 ∪ … ∪ r09 —
+# Queries already driver-verified green (CORRECTNESS_r01 ∪ … ∪ r11 —
 # all 208 names have ridden a driver window at least once; zero driver
-# failures ever recorded against current code. Rounds 6-9 re-rode
+# failures ever recorded against current code. Rounds 6-11 re-rode
 # their 50-name staleness/rewrite windows with zero fails each; the
 # only name first seen after r5 is r9's new f4d_auto_tier, appended
 # below).
