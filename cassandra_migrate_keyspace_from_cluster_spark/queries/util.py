@@ -19,6 +19,18 @@ def r2(c: Column) -> Column:
     sf0.1 magnitudes) while staying far under 2^53 exact-integer range,
     so the rounded doubles are bit-identical across engines
     (SURVEY.md §5.4 determinism law).
+
+    Declared residual (r12 probe): the engines' round(double, 2) ITSELF
+    disagrees on exact half-boundary doubles (Spark HALF_UPs the
+    shortest decimal repr — round(1.005, 2) = 1.01 — where DuckDB
+    rounds the binary value — 1.00; the same dichotomy as the %.2f
+    format law, test_round2_quotient_battery pins it). A SUM lands in
+    that class only when the accumulated double sits within an ulp of
+    k.xy5 — a measure-zero conspiracy no single adversarial row shape
+    can force (unlike the İ/NBSP/2.675 classes, which are one-row
+    data shapes) — so sums keep the coarse round; the exact-cents sum
+    machinery (cents()/dec_sum, the b5 family) is the conversion path
+    if a driver row ever lands on it.
     """
     return F.round(c, 2)
 

@@ -1871,3 +1871,46 @@ def test_float_format_battery(spark, tmp_path_factory):
         f"raw float-format divergence moved (spark={sp}, duckdb={dk}) — "
         "re-probe the format law before trusting the battery"
     )
+
+
+def test_round2_quotient_battery(spark, tmp_path_factory):
+    """The round(double,2) sibling of the float-format law, pinned as a
+    DOMAIN PROOF rather than a conversion (r12 probe): both engines'
+    round(x, 2) disagree on half-boundary doubles (Spark HALF_UPs the
+    shortest decimal repr: round(1.005,2)=1.01; DuckDB rounds the
+    binary value: 1.00 — same dichotomy as %.2f), and quotients like
+    d5's l_extendedprice/7 CAN land there for arbitrary doubles. On
+    the DECLARED money domain they cannot: for integer cents m, the
+    quotient m/700 sits at least 1/1400 ≈ 7e-4 from every 2dp half
+    boundary (the nearest boundary forms are odd multiples of 3.5,
+    never integers), which dwarfs double rounding error by ~10 orders
+    of magnitude — the capped-postings style of safety argument. This
+    test (1) runs d5 parity over the in-domain cents values CLOSEST
+    to the boundary (m = round(3.5·odd)±0, the worst cases) plus
+    large magnitudes, and (2) pins the raw out-of-domain divergence so
+    an engine change that silences it demands a re-probe."""
+    import duckdb
+
+    # worst-case in-domain cents: integers adjacent to odd multiples
+    # of 3.5 (m/700 closest possible to a k.xy5 boundary), plus scale
+    worst = []
+    for q in [1, 3, 99, 1001, 28571, 999_999]:
+        m = int(3.5 * (2 * q + 1))
+        worst += [m, m + 1]
+    worst += [90, 10**7, 10**7 - 3]
+    rows = [
+        (i + 1, (i % 50) + 1, m, i % 11, i % 9, "N", "O", i % 2)
+        for i, m in enumerate(worst)
+    ]
+    _assert_micro_driver_parity(spark, tmp_path_factory, rows, "d5_math")
+
+    # raw divergence pin (out-of-domain shape)
+    con = duckdb.connect()
+    dk = con.execute("SELECT round(1.005::DOUBLE, 2)").fetchone()[0]
+    sp = spark.createDataFrame([(1.005,)], "v double").select(
+        F.round("v", 2).alias("r")
+    ).collect()[0].r
+    assert (sp, dk) == (1.01, 1.0), (
+        f"raw round(double,2) divergence moved (spark={sp}, duckdb={dk}) "
+        "— re-probe the round law before trusting the domain proof"
+    )
