@@ -989,13 +989,24 @@ def neardup_corpus_stats(
     }
 
 
+#: Below this many candidate pair rows the single-pass postings join
+#: beats prefix filtering REGARDLESS of the df profile: prefix pays 3
+#: extra passes (df join, window, verify join) to prune candidates,
+#: and pruning only pays when the pruned volume is large in absolute
+#: terms. Calibrated to the measured A/B on the sf0.1 fixture corpus
+#: (2.86M candidates, heavy_share 0.64 — the profile heuristic said
+#: prefix, the measurement says postings is ~2x FASTER there); 20M
+#: pair rows ≈ 640 MB of shuffle, still comfortably one-pass.
+POSTINGS_PAIR_BUDGET = 20_000_000
+
+
 def choose_neardup_tier(
     n_docs: int,
     cand_pairs: float,
     light_pairs: float,
     exact_required: bool = False,
     pair_budget: float = NEARDUP_PAIR_BUDGET,
-    heavy_cut: float = 0.5,
+    postings_pair_budget: float = POSTINGS_PAIR_BUDGET,
 ) -> str:
     """Pick the near-dup tier from corpus stats — the SURVEY §4 f2→f3
     auto-switch, as a documented application-layer helper (NOT a
@@ -1006,16 +1017,20 @@ def choose_neardup_tier(
 
     Decision table (returns a key of ``NEARDUP_TIERS``):
 
-      1. cand_pairs <= pair_budget and heavy_share < heavy_cut
-           -> "postings": the whole candidate space fits the budget and
-              is NOT stopword-dominated — the single-pass count-based
-              join wins because pruning buys little and the prefix
-              form's verify join is pure overhead (the dense-dup
-              regime; measured ~2× on the synthetic corpus).
+      1. cand_pairs <= postings_pair_budget
+           -> "postings": the whole candidate space is small enough
+              that one shuffle pass over it beats prefix's 3 extra
+              passes (df join, window, verify join) REGARDLESS of the
+              df profile. This boundary is MEASURED, not assumed: the
+              sf0.1 fixture corpus (2.86M candidates, heavy_share
+              0.64) runs ~2x faster through postings even though its
+              profile is stopword-heavy — absolute pruned volume, not
+              profile shape, is what pays for prefix's fixed cost.
       2. light_pairs <= pair_budget (but 1 failed)
-           -> "prefix": the over-budget share of the work is Zipfian
-              df² that rare-first prefix ordering provably prunes
-              (SSJoin theorem) — exact results at sub-budget cost.
+           -> "prefix": the candidate space is large, and the
+              over-floor share is Zipfian df² that rare-first prefix
+              ordering provably prunes (SSJoin theorem) — exact
+              results at sub-budget cost.
       3. beyond that
            -> "lsh": even the rare-token collision floor exceeds the
               budget, so EVERY exact dataflow is quadratic-infeasible;
@@ -1025,21 +1040,18 @@ def choose_neardup_tier(
               contract the selector must never silently spend
               (misroute-raises, the f4d law).
 
-    Monotone where it is SEMANTIC: the exact→lsh boundary depends only
-    on ``light_pairs > pair_budget``, so growing the corpus never moves
-    an lsh-routed corpus back to an exact tier (pytest grid law, the
-    analogue of the similarity ladder's). The postings↔prefix split, by
-    contrast, is a pure COST choice between two result-identical exact
-    dataflows (pytest-equality-checked), and is deliberately free to
-    move either way as the df profile flattens or sharpens — there is
-    no safety direction between them.
+    FULLY monotone ladder (pytest grid law, like the similarity
+    ladder's): growing ``cand_pairs`` moves postings → prefix at the
+    postings budget; growing ``light_pairs`` moves prefix → lsh at the
+    pair budget; no growth direction ever routes back up. (An earlier
+    draft routed the postings↔prefix split on heavy_share — the real
+    sf0.1 corpus proved that a misroute, see rule 1.)
     """
     if n_docs < 0 or cand_pairs < 0 or light_pairs < 0:
         raise ValueError("stats must be non-negative")
     if light_pairs > cand_pairs:
         raise ValueError("light_pairs cannot exceed cand_pairs")
-    heavy_share = 0.0 if cand_pairs == 0 else 1.0 - light_pairs / cand_pairs
-    if cand_pairs <= pair_budget and heavy_share < heavy_cut:
+    if cand_pairs <= postings_pair_budget:
         return "postings"
     if light_pairs <= pair_budget:
         return "prefix"
@@ -1062,7 +1074,7 @@ def auto_neardup(
     text_col: str = "text",
     exact_required: bool = False,
     pair_budget: float = NEARDUP_PAIR_BUDGET,
-    heavy_cut: float = 0.5,
+    postings_pair_budget: float = POSTINGS_PAIR_BUDGET,
     heavy_df: int = 64,
     chosen: dict | None = None,
     **tier_kwargs,
@@ -1082,7 +1094,7 @@ def auto_neardup(
     tier = choose_neardup_tier(
         stats["n_docs"], stats["cand_pairs"], stats["light_pairs"],
         exact_required=exact_required, pair_budget=pair_budget,
-        heavy_cut=heavy_cut,
+        postings_pair_budget=postings_pair_budget,
     )
     if chosen is not None:
         chosen.update({"tier": tier, **stats})

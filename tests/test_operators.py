@@ -2475,50 +2475,46 @@ def test_neardup_tier_selector_table_and_monotonicity():
         choose_neardup_tier,
     )
 
-    B = 1000.0  # pair budget for the table
-    # 1. in-budget, flat df profile -> postings
-    assert choose_neardup_tier(100, 500.0, 400.0, pair_budget=B) == "postings"
-    # 2a. in-budget but stopword-dominated -> prefix (pruning wins)
-    assert choose_neardup_tier(100, 900.0, 100.0, pair_budget=B) == "prefix"
-    # 2b. over-budget but the excess is Zipfian -> prefix
-    assert choose_neardup_tier(100, 50_000.0, 800.0, pair_budget=B) == "prefix"
+    B, PB = 1000.0, 300.0  # pair budget / postings budget for the table
+    kw = dict(pair_budget=B, postings_pair_budget=PB)
+    # 1. small candidate space -> postings REGARDLESS of profile
+    #    (measured law: the sf0.1 corpus at heavy_share 0.64 runs ~2x
+    #    faster through postings — absolute volume decides, not shape)
+    assert choose_neardup_tier(100, 250.0, 240.0, **kw) == "postings"
+    assert choose_neardup_tier(100, 250.0, 10.0, **kw) == "postings"
+    # 2. large candidate space, prunable excess -> prefix
+    assert choose_neardup_tier(100, 50_000.0, 800.0, **kw) == "prefix"
+    assert choose_neardup_tier(100, 500.0, 100.0, **kw) == "prefix"
     # 3. even the rare-token floor exceeds the budget -> lsh
-    assert choose_neardup_tier(100, 50_000.0, 20_000.0, pair_budget=B) == "lsh"
+    assert choose_neardup_tier(100, 50_000.0, 20_000.0, **kw) == "lsh"
     # misroute-raises: recall is a contract the selector never spends
     with pytest.raises(ValueError, match="recall"):
         choose_neardup_tier(
-            100, 50_000.0, 20_000.0, pair_budget=B, exact_required=True
+            100, 50_000.0, 20_000.0, exact_required=True, **kw
         )
     with pytest.raises(ValueError):
         choose_neardup_tier(100, 500.0, 600.0)  # light > cand: invalid
 
-    # Monotone where SEMANTIC (the exact→lsh recall boundary): once a
-    # stats point routes to lsh, every pointwise-larger stats point
-    # must too — growing the corpus never silently regains exactness.
-    # (The postings↔prefix split is a cost choice between two
-    # result-identical exact dataflows — checked by the equality test
-    # below, deliberately NOT monotone: growing light_pairs flattens
-    # the profile and legitimately moves prefix back to postings.)
-    grid = [0.0, 100.0, 900.0, 1100.0, 40_000.0]
+    # FULLY monotone ladder: growing cand_pairs and/or light_pairs
+    # never routes back toward a cheaper-assumption tier.
+    rank = {"postings": 0, "prefix": 1, "lsh": 2}
+    grid = [0.0, 100.0, 250.0, 350.0, 900.0, 1100.0, 40_000.0]
     pts = [(c, l) for c in grid for l in grid if l <= c]
     for cand, light in pts:
-        here = choose_neardup_tier(10, cand, light, pair_budget=B)
-        if here != "lsh":
-            continue
+        here = rank[choose_neardup_tier(10, cand, light, **kw)]
         for cand2, light2 in pts:
             if cand2 >= cand and light2 >= light:
-                assert choose_neardup_tier(
-                    10, cand2, light2, pair_budget=B
-                ) == "lsh", (cand, light, cand2, light2)
+                there = rank[choose_neardup_tier(10, cand2, light2, **kw)]
+                assert there >= here, (cand, light, cand2, light2)
 
 
 def test_auto_neardup_routing_and_tier_equality(spark):
     """auto_neardup end-to-end: (1) the dense micro corpus routes to
     postings and the result equals BOTH exact dataflows pair-for-pair;
-    (2) a stopword-dominated profile (tiny heavy_df) routes to prefix
-    with the same pairs; (3) an impossible budget routes to lsh, whose
-    pairs are a subset of exact at the pytest recall floor; (4)
-    exact_required past the floor raises."""
+    (2) a tiny postings budget forces the prefix tier with the same
+    pairs; (3) an impossible budget routes to lsh, whose pairs are a
+    subset of exact at the pytest recall floor; (4) exact_required
+    past the floor raises."""
     import pytest
 
     from cassandra_migrate_keyspace_from_cluster_spark.operators import (
@@ -2551,18 +2547,19 @@ def test_auto_neardup_routing_and_tier_equality(spark):
     ).collect()))
     assert chosen["tier"] == "postings" and got == want
 
-    # stopword-dominated profile: every shared token heavy at heavy_df=2
+    # tiny postings budget -> prefix, identical pairs
     chosen = {}
     got = sorted(map(tuple, dd.auto_neardup(
-        docs, blocking, t, heavy_df=2, chosen=chosen
+        docs, blocking, t, postings_pair_budget=10.0, chosen=chosen
     ).collect()))
     assert chosen["tier"] == "prefix" and got == want
 
-    # impossible budget -> lsh; verified pairs are a recall-floored
+    # impossible budgets -> lsh; verified pairs are a recall-floored
     # subset of exact (same schema, same meaning)
     chosen = {}
     got = sorted(map(tuple, dd.auto_neardup(
-        docs, blocking, t, pair_budget=1.0, chosen=chosen
+        docs, blocking, t, pair_budget=1.0, postings_pair_budget=1.0,
+        chosen=chosen,
     ).collect()))
     assert chosen["tier"] == "lsh"
     assert set(got) <= set(want)
@@ -2570,5 +2567,6 @@ def test_auto_neardup_routing_and_tier_equality(spark):
 
     with pytest.raises(ValueError, match="recall"):
         dd.auto_neardup(
-            docs, blocking, t, pair_budget=1.0, exact_required=True
+            docs, blocking, t, pair_budget=1.0, postings_pair_budget=1.0,
+            exact_required=True,
         )
