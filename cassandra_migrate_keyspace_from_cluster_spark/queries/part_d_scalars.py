@@ -518,21 +518,44 @@ def d9_conditional_null(spark, sf_dir):
            -- snowflake-scale ids (idspace probe) overflow an INT cast
            -- into an ANSI error in both engines
            CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
-           CAST(floor(o_totalprice) AS BIGINT)         AS price_floor,
+           -- explicit domain guard (r12b, found by FLOAT_FMT_BATTERY):
+           -- an out-of-int64 price (1e308, ±inf; NaN floors to NaN)
+           -- makes the bare ANSI cast a whole-job crash on BOTH
+           -- engines — the d13/d18 one-bad-row-aborts-the-scan class —
+           -- and TRY_CAST is NOT the fix: Spark's try_cast SATURATES
+           -- to ±int64-max under ANSI-off (conf-VARIANT, caught by
+           -- the battery under the suite session). The guard NULLs
+           -- out-of-domain rows identically on both engines under
+           -- every conf axis.
+           CASE WHEN isnan(o_totalprice)
+                     OR NOT (abs(o_totalprice) < 9.2e18) THEN NULL
+                ELSE CAST(floor(o_totalprice) AS BIGINT) END
+                                                       AS price_floor,
            date_trunc('day', o_orderdate)              AS order_day,
-           -- exact-cents formatting (r12): %.2f ON A DOUBLE is
-           -- engine-ambiguous — Java's Formatter rounds HALF_UP on the
-           -- SHORTEST DECIMAL REPR (printf('%.2f', 2.675) -> '2.68')
-           -- while DuckDB's printf rounds the BINARY value
-           -- (-> '2.67'); probed divergent on 9 half-boundary shapes
-           -- (FLOAT_FMT_BATTERY), latent here by the 2dp-multiple
-           -- money ingress contract only. Formatting the exact
-           -- integer cents removes float rounding from the format
-           -- path entirely (the r6 round(double,6) treatment).
-           CASE WHEN o_totalprice IS NULL THEN NULL
-                ELSE printf('%d.%02d',
-                            CAST(round(o_totalprice*100) AS BIGINT) // 100,
-                            CAST(round(o_totalprice*100) AS BIGINT) % 100)
+           -- guarded exact-cents formatting (r12): %.2f ON A DOUBLE
+           -- is engine-ambiguous — Java's Formatter rounds HALF_UP on
+           -- the SHORTEST DECIMAL REPR (printf('%.2f', 2.675) ->
+           -- '2.68') while DuckDB's printf rounds the BINARY value
+           -- (-> '2.67'), and at extreme magnitudes the two also
+           -- render different digit strings (shortest repr vs exact
+           -- binary expansion of 1e308). The law: format the exact
+           -- integer cents of |x| on the DECLARED domain |x| < 1e13
+           -- (there CAST(|x|*100+0.5 AS BIGINT) == round(|x|*100)
+           -- provably — |x|*100 < 2^53·0.11 keeps +0.5 exact and
+           -- truncation == half-away — and the bigint cannot
+           -- overflow), NULL outside it (non-finite, non-money
+           -- magnitudes — the guarded-extraction device). Probed:
+           -- 0 diffs across 5027 adversarial values incl. negatives,
+           -- ±inf, NaN, 1e308, the 1e13 boundary.
+           CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice)
+                     OR NOT (abs(o_totalprice) < 1e13) THEN NULL
+                ELSE concat(
+                  CASE WHEN o_totalprice < 0
+                        AND CAST(round(abs(o_totalprice)*100) AS BIGINT) > 0
+                       THEN '-' ELSE '' END,
+                  printf('%d.%02d',
+                         CAST(round(abs(o_totalprice)*100) AS BIGINT) // 100,
+                         CAST(round(abs(o_totalprice)*100) AS BIGINT) % 100))
                 END                                    AS price_fmt,
            CAST(o_totalprice > 250000 AS VARCHAR)      AS is_big_str
     FROM orders
@@ -541,29 +564,52 @@ def d9_conditional_null(spark, sf_dir):
 def d10_cast_types(spark, sf_dir):
     """Casts & formatting. Explicit floor before int cast (DuckDB cast
     rounds, Spark truncates). price_fmt formats the EXACT INTEGER
-    CENTS (the cents()/sql_cents law pair), not the double: %.2f on a
-    double diverges across engines on half-boundary shapes — Java
-    Formatter HALF_UPs the shortest decimal repr, DuckDB printf rounds
-    the binary value (r12 probe, pinned in FLOAT_FMT_BATTERY).
-    format_number is excluded separately (locale separators)."""
+    CENTS of |x| on the guarded domain |x| < 1e13, NULL outside (the
+    guarded-extraction device): %.2f on a double diverges across
+    engines on half-boundary shapes — Java Formatter HALF_UPs the
+    shortest decimal repr, DuckDB printf rounds the binary value — and
+    at extreme magnitudes renders different digit strings outright
+    (r12 probe, 0 diffs over 5027 adversarial values under this law;
+    pinned in FLOAT_FMT_BATTERY). Within the domain the cents cast is
+    provably engine-identical and overflow-free; a signed concat keeps
+    negatives exact (the naive signed div/mod is garbage on both
+    engines). format_number is excluded separately (locale
+    separators)."""
     o = t(spark, sf_dir, "orders")
+    cents_abs = "CAST(abs(o_totalprice)*100+0.5 AS BIGINT)"
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
         # bigint round-trip — see the oracle note (idspace)
         F.col("o_orderkey").cast("string").cast("bigint").alias("key_back"),
-        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
-        F.date_trunc("day", "o_orderdate").alias("order_day"),
-        # explicit null guard: format_string is a Java Formatter, which
-        # renders a NULL arg as the STRING "null" — the declared
-        # semantics are null-propagating, like DuckDB's printf
+        # explicit domain guard — see the oracle note (one huge or
+        # non-finite price must not abort the scan under ANSI, and
+        # try_cast saturates under ANSI-off: conf-variant)
         F.when(
-            F.col("o_totalprice").isNotNull(),
-            F.format_string(
-                "%d.%02d",
-                F.expr("CAST(o_totalprice*100+0.5 AS BIGINT) div 100"),
-                F.expr("CAST(o_totalprice*100+0.5 AS BIGINT) % 100"),
-            ),
+            F.isnan("o_totalprice")
+            | ~(F.abs(F.col("o_totalprice")) < 9.2e18),
+            F.lit(None).cast("long"),
+        ).otherwise(F.floor("o_totalprice").cast("bigint"))
+        .alias("price_floor"),
+        F.date_trunc("day", "o_orderdate").alias("order_day"),
+        # format_string renders a NULL arg as the STRING "null", so the
+        # guard also owns null propagation (like DuckDB's printf)
+        F.when(
+            F.col("o_totalprice").isNull() | F.isnan("o_totalprice")
+            | ~(F.abs(F.col("o_totalprice")) < 1e13),
+            F.lit(None).cast("string"),
+        ).otherwise(
+            F.concat(
+                F.when(
+                    (F.col("o_totalprice") < 0) & (F.expr(cents_abs) > 0),
+                    F.lit("-"),
+                ).otherwise(F.lit("")),
+                F.format_string(
+                    "%d.%02d",
+                    F.expr(cents_abs + " div 100"),
+                    F.expr(cents_abs + " % 100"),
+                ),
+            )
         ).alias("price_fmt"),
         (F.col("o_totalprice") > 250000).cast("string").alias("is_big_str"),
     )

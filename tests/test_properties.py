@@ -1826,6 +1826,15 @@ FLOAT_FMT_BATTERY = [
     0.055, 0.005,                         # the probed divergence class
     123.45, 0.0, 250000.01, 1e12 + 0.005, 0.01, 57585.6,  # contract shapes
     None,                                 # null propagation
+    # r12b totality shapes: the guarded domain |x| < 1e13 and its
+    # boundary — negatives ride the signed-concat form (naive signed
+    # div/mod is garbage on BOTH engines), -0.004 collapses to
+    # unsigned "0.00", and NaN/±inf/extreme magnitudes NULL out (at
+    # 1e308 the engines render DIFFERENT digit strings even for %.2f:
+    # shortest repr vs exact binary expansion)
+    -1.23, -2.675, -0.004, -0.005, -0.0, -123456.785,
+    9.9e12, 1.1e13, 9.9e13, 1e15, 9.3e16, 1e308, -1e308,
+    float("inf"), float("-inf"), float("nan"),
 ]
 
 
@@ -1914,3 +1923,28 @@ def test_round2_quotient_battery(spark, tmp_path_factory):
         f"raw round(double,2) divergence moved (spark={sp}, duckdb={dk}) "
         "— re-probe the round law before trusting the domain proof"
     )
+
+
+def test_float_fmt_battery_conf_invariant(spark, tmp_path_factory):
+    """The float-format/domain-guard laws under the law-relevant conf
+    axes (same joint cell as the props/URL/case batteries). ansi_off
+    is the axis that caught try_cast's saturating double→long under
+    legacy semantics — the explicit domain guard must render the
+    battery identically on every axis."""
+    from tools.conf_invariance import PERTURBATIONS
+
+    for pname in ("ansi_off", "codegen_off", "arrow_batch_7"):
+        confs = PERTURBATIONS[pname]
+        saved = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            _table_parity(
+                spark, tmp_path_factory, "d10_cast_types",
+                f"float_fmt_{pname}",
+                lambda d: _write_micro_orders_prices(d, FLOAT_FMT_BATTERY),
+                "orders",
+            )
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
