@@ -1948,3 +1948,29 @@ def test_float_fmt_battery_conf_invariant(spark, tmp_path_factory):
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
+
+
+_price_st = st.one_of(
+    st.floats(allow_nan=True, allow_infinity=True),   # anything a double holds
+    st.floats(min_value=-1e13, max_value=1e13),       # the guarded domain
+    st.sampled_from([v for v in FLOAT_FMT_BATTERY if v is not None]),
+    st.none(),
+)
+
+
+@given(prices=st.lists(_price_st, min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_price_format_driver_parity_microfixtures(
+    spark, prices, tmp_path_factory
+):
+    """Randomized micro-driver over the money-format surface: fully
+    arbitrary doubles (subnormals, ±inf, NaN, ±1e308, half-boundary
+    shapes) through d10's guarded exact-cents format, domain-guarded
+    floor cast, and comparison/cast columns vs the DuckDB oracle."""
+    _table_parity(
+        spark, tmp_path_factory, "d10_cast_types", "microfixture",
+        lambda d: _write_micro_orders_prices(
+            d, [None if p is None else float(p) for p in prices]
+        ),
+        "orders",
+    )

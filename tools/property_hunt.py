@@ -13,13 +13,16 @@ of fixture-derived gates could not reach.
 
 Usage: python tools/property_hunt.py [examples_per_family] [family ...]
        (defaults: 60; families: lineitem events documents embeddings
-        joins props names url_pii encoding keyspace confs — props
-        generates adversarial JSON payloads through the d7/d13 scalar
-        surface; names (r11) generates adversarial unicode customer
-        names through the d1/d2/d3 case-fold/regex/distance surface;
+        joins props names url_pii encoding money_fmt keyspace confs —
+        props generates adversarial JSON payloads through the d7/d13
+        scalar surface; names (r11) generates adversarial unicode
+        customer names through the d1/d2/d3 case-fold/regex/distance
+        surface;
         url_pii/encoding (r11) generate adversarial langs/texts and
         arbitrary unicode through the d18/f37/f22 regex surfaces and
-        the d16 encode/decode round trip; confs draws random
+        the d16 encode/decode round trip; money_fmt (r12) generates
+        arbitrary doubles (NaN/±inf/±1e308/half-boundary) through
+        d10's guarded exact-cents format surface; confs draws random
         1-3-perturbation conf combinations on top of generated
         keyspaces)
 Prints one line per family; exit 1 on any failure.
@@ -232,11 +235,22 @@ def _register_families(spark, n_examples: int) -> None:
             for k, v in saved.items():
                 spark.conf.set(k, v)
 
+    @given(prices=st.lists(tp._price_st, min_size=1, max_size=15))
+    @settings(**hard)
+    def money_fmt(prices):
+        _parity(
+            spark,
+            lambda d, ps: tp._write_micro_orders_prices(
+                d, [None if x is None else float(x) for x in ps]
+            ),
+            ["orders"], "d10_cast_types", (prices,),
+        )
+
     FAMILIES.update(
         lineitem=lineitem, events=events, documents=documents,
         embeddings=embeddings, joins=joins, props=props,
         url_pii=url_pii, encoding=encoding, names=names,
-        keyspace=keyspace, confs=confs,
+        keyspace=keyspace, confs=confs, money_fmt=money_fmt,
     )
 
 
