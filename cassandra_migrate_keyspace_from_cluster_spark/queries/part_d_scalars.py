@@ -557,7 +557,18 @@ def d9_conditional_null(spark, sf_dir):
                          CAST(round(abs(o_totalprice)*100) AS BIGINT) // 100,
                          CAST(round(abs(o_totalprice)*100) AS BIGINT) % 100))
                 END                                    AS price_fmt,
-           CAST(o_totalprice > 250000 AS VARCHAR)      AS is_big_str
+           -- isnan guard (r12c, found by the money_fmt hunt): DuckDB
+           -- 1.0.0 constant-folds a comparison to FALSE for a whole
+           -- parquet row group whenever the zonemap max < the literal
+           -- — and parquet stats EXCLUDE NaN, so 'NaN > 250000'
+           -- silently evaluates False in a [0.0, NaN] file but True
+           -- (total order, matching Spark) in a [3e5, NaN] file: the
+           -- answer depends on the NEIGHBORING rows. The guard pins
+           -- NaN comparisons to NULL identically on both engines
+           -- before the fold can bite (isnan itself is not folded).
+           CASE WHEN isnan(o_totalprice) THEN NULL
+                ELSE CAST(o_totalprice > 250000 AS VARCHAR) END
+                                                       AS is_big_str
     FROM orders
     """,
 )
@@ -611,7 +622,11 @@ def d10_cast_types(spark, sf_dir):
                 ),
             )
         ).alias("price_fmt"),
-        (F.col("o_totalprice") > 250000).cast("string").alias("is_big_str"),
+        # isnan guard — see the oracle note (DuckDB zonemap folding
+        # makes unguarded NaN comparisons layout-dependent)
+        F.when(F.isnan("o_totalprice"), F.lit(None).cast("string"))
+        .otherwise((F.col("o_totalprice") > 250000).cast("string"))
+        .alias("is_big_str"),
     )
 
 
