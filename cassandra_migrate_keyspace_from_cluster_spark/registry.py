@@ -149,6 +149,44 @@ _DRIVER_GREEN = frozenset({
     "f4d_auto_tier",
 })
 
+# Round-13 driver window (exactly 50 names), assembled at r13 start
+# per the standing rule — REWRITES FIRST, then the staleness rotation.
+# CORRECTNESS_r12: 48 hash green + 2 rows-only-by-design (c24/f3), zero
+# failures — the 12th consecutive zero-failure round. Composition:
+#
+#   the complete r8 vintage (29, mandatory — they hit the 5-round
+#     staleness boundary this round; list re-derived from the
+#     CORRECTNESS r1-r12 union and confirmed against VERDICT r12
+#     item 1): a6, a15, a16, c3, c4, c5, c5b, c14, c25, d2, d4, d12,
+#     d16, e8, e11, e12, f7, f13, f16, f17, f26, f27, f33, f42b, f5b,
+#     g1, g2, g6, g9. After this round nothing is older than r9.
+#   oldest-r9 rows alphabetical to the 50 cap (21 provisional at round
+#     open): b25, b26, b34, b35, b36, b4, b5, b9, c16, c1, c20, c22,
+#     d11, d14, d17, d3, d5, d8, e14, e15, e18 — any r13 rewrite or
+#     new query joins the window mid-round by the rewrites-first rule,
+#     displacing the alphabetically-last fill rows (as b15b/d10 did in
+#     r12), and the deferred fill rides first in r14.
+#   Mid-round joins (displacing e18, e15 — the alphabetically-last
+#   fill rows; they ride first in r14):
+#     f2b_auto_neardup — NEW query (VERDICT r12 item 6): the r12
+#       auto-tier near-dup selector (operators/dedup.py auto_neardup)
+#       exposed under the driver's hard signal; same result contract
+#       as f2 (it routes to the postings tier at the fixture corpus;
+#       the route is asserted inside the query), full f2-shaped
+#       DuckDB oracle.
+#     f46_embedding_outliers — REWRITE (VERDICT r12 item 4, NaN-
+#       zonemap sweep): its oracle compared a computed double against
+#       a quantile scalar via raw >=; converted to the is_flagged
+#       integer-flag form with explicit isnan-impossibility argument
+#       recorded in SURVEY §5.4.6. (d5/c4/e11/f41/b2 audited clean —
+#       predicates over generator-contract NaN-free columns or already
+#       guarded; audit table in SURVEY §5.4.6.)
+#     d14_timestamp_arith + d17_trig stay in the fill (already r9
+#       rows) but their oracles carry r13 NaN/format-law audit notes.
+#
+# For the record, the r12 window (CORRECTNESS_r12) was assembled as
+# follows — kept verbatim for provenance:
+#
 # Round-12 driver window (exactly 50 names), assembled at r12 start
 # per the standing rule — REWRITES FIRST, then the staleness rotation.
 # CORRECTNESS_r11: 48 hash green + 2 rows-only-by-design (c6/c7), zero
@@ -246,28 +284,27 @@ _DRIVER_GREEN = frozenset({
 # Every subsequent round repeats the same rule: rewrites first, then
 # oldest-row rotation.
 _WINDOW = frozenset({
-    # r12 rewrites (8) — see the composition note above
-    "d1_string_basic", "d13_regex_array",
-    "f1_exact_dedup", "f12_doc_length_dedup_rate",
-    "f18_pipeline_report", "f32_quality_aware_dedup",
-    "b15b_asof_pandas_api", "d10_cast_types",
-    # deferred-r6 rows (12, the mandatory staleness core)
-    "b23_exists_subquery", "b24_salted_agg", "c10_row_number",
-    "c12_lag_lead", "c13_frame_rows", "c15_running_total",
-    "c17_first_last", "c18_forward_fill", "c19_filtered_agg",
-    "f3_minhash_lsh", "f41_perplexity_buckets", "f47_cluster_quality",
-    # the complete r7 vintage (30)
-    "a12_schema_evolution_copy", "a14_range_checksums",
-    "a4f_copy_compacted", "b14b_range_join_banded", "b20_sort_multikey",
-    "b27_scalar_subquery", "b28_join_disjunctive", "b29_lateral_join",
-    "b30_in_subquery", "b31_limit_offset", "b32_group_by_all",
-    "b33_union_evolved", "c21_date_spine_gapfill", "c23_listagg",
-    "c24_hll_mergeable", "c2_cube", "d15_conditional",
-    "e13_windowed_topn", "e17_transition_matrix", "e20_rolling_wau",
-    "f25_contamination", "f28_source_mix_sample",
-    "f2_token_jaccard_neardup", "f30_pipeline_yield",
-    "f31_unigram_logprob", "f35_token_spectrum", "f37_url_domain_stats",
-    "f38_chunk_dedup", "f39_source_kl_divergence", "g10_arrow_python_udf",
+    # r13 joins (2): the new auto-tier query + the NaN-sweep rewrite
+    "f2b_auto_neardup", "f46_embedding_outliers",
+    # the complete r8 vintage (29, the mandatory staleness core)
+    "a6_writetime_copy", "a15_repair_apply", "a16_clustered_copy_scan",
+    "c3_grouping_sets", "c4_stats_agg", "c5_percentiles", "c5b_mode",
+    "c14_frame_range", "c25_count_min",
+    "d2_string_regex", "d4_datetime", "d12_string_parts", "d16_encoding",
+    "e8_rate_histogram", "e11_anomaly_zscore", "e12_out_of_order_profile",
+    "f7_tokenize_wordcount", "f13_langid", "f16_fingerprint",
+    "f17_multimodal_features", "f26_repetition", "f27_rule_filters",
+    "f33_pq_topk", "f42b_semantic_dedup_kmeans", "f5b_ivf_topk",
+    "g1_python_udf", "g2_pandas_udf_scalar", "g6_python_udtf",
+    "g9_cogrouped_map",
+    # oldest-r9 alphabetical fill (19; e15/e18 displaced to r14)
+    "b25_tpch_q3_shaped", "b26_tpch_q10_shaped",
+    "b34_bloom_semi_reduction", "b35_salted_join", "b36_skew_profile",
+    "b4_agg_global", "b5_agg_groupby", "b9_join_multiway_star",
+    "c16_ntile_pctrank", "c1_rollup", "c20_unpivot",
+    "c22_window_count_distinct", "d11_bitwise", "d14_timestamp_arith",
+    "d17_trig", "d3_string_distance", "d5_math", "d8_hash",
+    "e14_session_shape",
 })
 
 
