@@ -937,10 +937,13 @@ def neardup_corpus_stats(
     text_col: str = "text",
     heavy_df: int = 64,
 ) -> dict:
-    """Corpus stats for ``choose_neardup_tier`` — ONE linear
-    tokenize+aggregate pass (the near-dup analogue of f4d's count+dim
-    probe; a linear pass is the honest price of avoiding a committed
-    quadratic mistake):
+    """Corpus stats for ``choose_neardup_tier`` — one linear tokenize
+    pass cached across the two stats jobs (the pair-space aggregate and
+    the doc count share the persisted tokenized frame, so tokenization
+    runs once here; the chosen tier then tokenizes once more from the
+    raw input — two tokenize passes total for an auto-routed run, the
+    honest price of avoiding a committed quadratic mistake; the
+    near-dup analogue of f4d's count+dim probe):
 
       n_docs        distinct (replay-collapsed) docs;
       cand_pairs    Σ over (block, token) of df·(df−1)/2 — the EXACT
@@ -957,11 +960,16 @@ def neardup_corpus_stats(
     Sums are computed in DOUBLE: they are routing estimates, and at
     1e9+ docs Σ df² exceeds int64 by construction.
     """
-    d = docs.select(
-        F.col(id_col).alias("id"),
-        *[F.col(b) for b in blocking],
-        F.array_distinct(tokens(text_col)).alias("toks"),
-    ).distinct()
+    # Cached: both stats jobs (the aggregate collect below and the
+    # n_docs count) consume this frame — without the persist each job
+    # would re-scan and re-tokenize the corpus (ADVICE r12).
+    d = bounded_persist(
+        docs.select(
+            F.col(id_col).alias("id"),
+            *[F.col(b) for b in blocking],
+            F.array_distinct(tokens(text_col)).alias("toks"),
+        ).distinct()
+    )
     post = d.select(*blocking, F.explode("toks").alias("tok"))
     pairs_expr = (
         F.col("df").cast("double") * (F.col("df") - 1).cast("double") / 2.0
@@ -980,6 +988,7 @@ def neardup_corpus_stats(
         .collect()[0]
     )
     n_docs = d.count()
+    d.unpersist(blocking=False)
     cand, light = float(row.cand), float(row.light)
     return {
         "n_docs": n_docs,

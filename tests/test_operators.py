@@ -2460,7 +2460,7 @@ def test_guarded_merge_asof_bound_and_equality(spark):
         map(tuple, want.collect())
     )
 
-    # 3 distinct left ts x 4 right rows = 12 pairs > max_pairs=10
+    # 4 distinct left ts (5,10,15,20) x 4 right rows = 16 pairs > max_pairs=10
     with pytest.raises(ValueError, match="asof_join_last_earlier"):
         guarded_merge_asof(left, right, on="ts", by="user_id", max_pairs=10)
 

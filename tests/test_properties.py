@@ -1772,8 +1772,17 @@ def test_casefold_sentinel_tripwire(spark):
         got = {"upper": (sp[i].u, du), "lower": (sp[i].l, dl),
                "reverse": (sp[i].r, dr)}[op]
         if (got[0] == got[1]) != (exp == "agree"):
-            drifts.append((hex(ord(s[-1])) if exp == "diverge" else s, op,
-                           exp, got))
+            # Label the PROBED codepoint, not the anchor: reverse
+            # probes are 'a'+joiner(s)+'b', so s[-1] would always
+            # print the anchor 'b' (0x62) and hide which joiner
+            # drifted (ADVICE r12).
+            if exp != "diverge":
+                label = s
+            elif op == "reverse":
+                label = "+".join(hex(ord(c)) for c in s[1:-1])
+            else:
+                label = hex(ord(s[-1]))
+            drifts.append((label, op, exp, got))
     assert not drifts, (
         f"engine Unicode-table drift on {len(drifts)} sentinel(s) — "
         f"re-run tools/casefold_probe.py and re-pin casefold.py: "
