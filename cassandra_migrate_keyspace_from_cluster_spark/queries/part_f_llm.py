@@ -74,6 +74,41 @@ def f2_token_jaccard_neardup(spark, sf_dir):
     return dd.jaccard_pairs_postings(docs, blocking=["lang", "source"], threshold=0.6)
 
 
+@register(
+    "f2b_auto_neardup",
+    # Same contract as f2: the auto-selector changes the DATAFLOW, never
+    # the meaning of a pair, so the exact blocked-Jaccard oracle is the
+    # oracle for every exact tier the route can pick.
+    oracle="""
+    WITH d AS (SELECT DISTINCT doc_id, lang, source,
+                      list_distinct(string_split(text, ' ')) AS toks
+               FROM documents)
+    SELECT * FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.6
+    """,
+)
+def f2b_auto_neardup(spark, sf_dir):
+    """f2 through the r12 auto tier selector (operators/dedup.py::
+    auto_neardup — corpus stats → postings/prefix/lsh route, the f4d
+    idiom for near-dup; VERDICT r12 item 6 put it under the driver's
+    hard signal). ``exact_required=True`` makes the route part of the
+    query's contract: on any corpus where even the rare-token collision
+    floor would force the recall-trading lsh tier, this RAISES instead
+    of silently returning a subset — so a hash-green row certifies both
+    the selector's routing and the routed tier's exact dataflow. At the
+    fixture corpora (all SFs) the stats route to the postings tier."""
+    docs = t(spark, sf_dir, "documents")
+    return dd.auto_neardup(
+        docs, blocking=["lang", "source"], threshold=0.6,
+        exact_required=True,
+    )
+
+
 @register("f5b_ivf_topk", oracle=None)  # KMeans cells engine-specific
 def f5b_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) approximate top-5 cosine neighbors: KMeans

@@ -166,23 +166,21 @@ _DRIVER_GREEN = frozenset({
 #     new query joins the window mid-round by the rewrites-first rule,
 #     displacing the alphabetically-last fill rows (as b15b/d10 did in
 #     r12), and the deferred fill rides first in r14.
-#   Mid-round joins (displacing e18, e15 — the alphabetically-last
-#   fill rows; they ride first in r14):
+#   Mid-round join (displacing e18 — the alphabetically-last fill
+#   row; it rides first in r14):
 #     f2b_auto_neardup — NEW query (VERDICT r12 item 6): the r12
 #       auto-tier near-dup selector (operators/dedup.py auto_neardup)
 #       exposed under the driver's hard signal; same result contract
 #       as f2 (it routes to the postings tier at the fixture corpus;
 #       the route is asserted inside the query), full f2-shaped
 #       DuckDB oracle.
-#     f46_embedding_outliers — REWRITE (VERDICT r12 item 4, NaN-
-#       zonemap sweep): its oracle compared a computed double against
-#       a quantile scalar via raw >=; converted to the is_flagged
-#       integer-flag form with explicit isnan-impossibility argument
-#       recorded in SURVEY §5.4.6. (d5/c4/e11/f41/b2 audited clean —
-#       predicates over generator-contract NaN-free columns or already
-#       guarded; audit table in SURVEY §5.4.6.)
-#     d14_timestamp_arith + d17_trig stay in the fill (already r9
-#       rows) but their oracles carry r13 NaN/format-law audit notes.
+#   The r13 NaN-zonemap sweep (VERDICT r12 item 4) produced NO oracle
+#   rewrites: every raw-double comparison site closed by fixture
+#   proof (all 9 double columns + embedding elements are NaN/Inf/
+#   NULL-free at every SF, pinned by the test_parity fixture tripwire)
+#   or was already guarded (d9/d10 isnan-converted r12; c4/e11
+#   metric-domain-gated; f46 vector-validity-gated). Audit table in
+#   SURVEY §5.4.2.
 #
 # For the record, the r12 window (CORRECTNESS_r12) was assembled as
 # follows — kept verbatim for provenance:
@@ -284,8 +282,8 @@ _DRIVER_GREEN = frozenset({
 # Every subsequent round repeats the same rule: rewrites first, then
 # oldest-row rotation.
 _WINDOW = frozenset({
-    # r13 joins (2): the new auto-tier query + the NaN-sweep rewrite
-    "f2b_auto_neardup", "f46_embedding_outliers",
+    # r13 join (1): the new auto-tier query
+    "f2b_auto_neardup",
     # the complete r8 vintage (29, the mandatory staleness core)
     "a6_writetime_copy", "a15_repair_apply", "a16_clustered_copy_scan",
     "c3_grouping_sets", "c4_stats_agg", "c5_percentiles", "c5b_mode",
@@ -297,14 +295,14 @@ _WINDOW = frozenset({
     "f33_pq_topk", "f42b_semantic_dedup_kmeans", "f5b_ivf_topk",
     "g1_python_udf", "g2_pandas_udf_scalar", "g6_python_udtf",
     "g9_cogrouped_map",
-    # oldest-r9 alphabetical fill (19; e15/e18 displaced to r14)
+    # oldest-r9 alphabetical fill (20; e18 displaced to r14)
     "b25_tpch_q3_shaped", "b26_tpch_q10_shaped",
     "b34_bloom_semi_reduction", "b35_salted_join", "b36_skew_profile",
     "b4_agg_global", "b5_agg_groupby", "b9_join_multiway_star",
     "c16_ntile_pctrank", "c1_rollup", "c20_unpivot",
     "c22_window_count_distinct", "d11_bitwise", "d14_timestamp_arith",
     "d17_trig", "d3_string_distance", "d5_math", "d8_hash",
-    "e14_session_shape",
+    "e14_session_shape", "e15_interarrival_histogram",
 })
 
 
