@@ -358,8 +358,14 @@ def d6_array(spark, sf_dir):
     --     text in DuckDB), and non-scalars (starting '[' or '{') are
     --     NULL;
     --   * k = int ONLY when the extracted text is a pure integral
-    --     literal (^-?[0-9]+$) in int32 range, else NULL (TRY_CAST
-    --     both sides — no rounding, no crash).
+    --     literal (\\A-?[0-9]+\\z) in int32 range, else NULL (TRY_CAST
+    --     both sides — no rounding, no crash). \\A..\\z, not ^..$
+    --     (r13 regex-law sweep): Java's $ matches BEFORE a final line
+    --     terminator while RE2's does not, so a payload like
+    --     {"k": "123\\n"} would pass the Spark guard (k=123, string
+    --     cast trims the newline) and fail the DuckDB one (NULL) —
+    --     the d18 lang-guard law generalized to every full-string
+    --     data guard (the r13 PROPS_BATTERY rows pin the shape).
     -- Out of contract (parser-leniency gray zone, probed r10):
     -- duplicate keys (Jackson's from_json is last-wins where
     -- get_json_object and DuckDB are first-wins), trailing commas
@@ -377,13 +383,13 @@ def d6_array(spark, sf_dir):
       FROM events),
     g AS (
       SELECT event_id,
-             CASE WHEN regexp_matches(s, '^-?[0-9]{1,18}$')
-                    OR (NOT regexp_matches(s, '^[-+.0-9\\[{]')
+             CASE WHEN regexp_matches(s, '\\A-?[0-9]{1,18}\\z')
+                    OR (NOT regexp_matches(s, '\\A[-+.0-9\\[{]')
                         AND NOT regexp_matches(s, 'Infinity|NaN'))
                   THEN s END AS k_str,
-             CASE WHEN regexp_matches(s, '^-?[0-9]+$')
+             CASE WHEN regexp_matches(s, '\\A-?[0-9]+\\z')
                   THEN TRY_CAST(s AS INT) END AS k,
-             CASE WHEN regexp_matches(sm, '^-?[0-9]+$')
+             CASE WHEN regexp_matches(sm, '\\A-?[0-9]+\\z')
                   THEN TRY_CAST(sm AS INT) END AS k_missing
       FROM e)
     -- k2 and the map values multiply in BIGINT: k at int32 min/max
@@ -411,10 +417,10 @@ def d7_map_json(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     s = F.get_json_object("props", "$.k")
     sm = F.get_json_object("props", "$.missing")
-    integral = s.rlike("^-?[0-9]+$")
+    integral = s.rlike(r"\A-?[0-9]+\z")
     k = F.when(integral, F.expr(
         "try_cast(get_json_object(props, '$.k') AS INT)"))
-    k_missing = F.when(sm.rlike("^-?[0-9]+$"), F.expr(
+    k_missing = F.when(sm.rlike(r"\A-?[0-9]+\z"), F.expr(
         "try_cast(get_json_object(props, '$.missing') AS INT)"))
     # from_json (PERMISSIVE) demo: consulted only on the guarded
     # integral domain, where a non-null parse provably equals k
@@ -434,8 +440,8 @@ def d7_map_json(spark, sf_dir):
     )
     m = F.create_map(F.lit("a"), k_l, F.lit("b"), k_l * 2)
     k_str = F.when(
-        s.rlike("^-?[0-9]{1,18}$")
-        | (~s.rlike(r"^[-+.0-9\[{]") & ~s.rlike("Infinity|NaN")),
+        s.rlike(r"\A-?[0-9]{1,18}\z")
+        | (~s.rlike(r"\A[-+.0-9\[{]") & ~s.rlike("Infinity|NaN")),
         s,
     )
     return ev.select(

@@ -1473,7 +1473,10 @@ def f27_rule_filters(spark, sf_dir):
     fraction, stopword presence — each flag emitted plus the composite
     keep decision, all with pinned thresholds. Pure column expressions
     (higher-order array fns) → whole-stage codegen, scan-speed at any
-    scale: zero shuffles, zero Python."""
+    scale: zero shuffles, zero Python. The alpha filter anchors with
+    \\A..\\z (r13 regex-law sweep: Java's $ matches before a trailing
+    newline, so a token 'abc\\n' would count alphabetic on Spark but
+    not under the oracle's RE2 regexp_full_match)."""
     docs = t(spark, sf_dir, "documents")
     w = F.split("text", " ")
     n = F.size(w)
@@ -1481,7 +1484,7 @@ def f27_rule_filters(spark, sf_dir):
         F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
     )
     mean_len = tok_chars / n
-    alpha_frac = F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$"))) / n
+    alpha_frac = F.size(F.filter(w, lambda x: x.rlike(r"\A[a-z]+\z"))) / n
     stop = F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in
                                                  ["the", "a", "of", "to", "and"]]))) > 0
     keep = (
@@ -1599,7 +1602,7 @@ def f30_pipeline_yield(spark, sf_dir):
     keep = (
         (n >= 10) & (n <= 1000)
         & (tok_chars / n >= 2) & (tok_chars / n <= 12)
-        & (F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$"))) / n >= 0.8)
+        & (F.size(F.filter(w, lambda x: x.rlike(r"\A[a-z]+\z"))) / n >= 0.8)
         & (F.size(F.array_intersect(w, F.array(*[F.lit(x) for x in
                                                  ["the", "a", "of", "to", "and"]]))) > 0)
     )

@@ -166,14 +166,22 @@ _DRIVER_GREEN = frozenset({
 #     new query joins the window mid-round by the rewrites-first rule,
 #     displacing the alphabetically-last fill rows (as b15b/d10 did in
 #     r12), and the deferred fill rides first in r14.
-#   Mid-round join (displacing e18 — the alphabetically-last fill
-#   row; it rides first in r14):
+#   Mid-round joins (displacing e18, e15, e14 — the alphabetically-
+#   last fill rows; they ride first in r14):
 #     f2b_auto_neardup — NEW query (VERDICT r12 item 6): the r12
 #       auto-tier near-dup selector (operators/dedup.py auto_neardup)
 #       exposed under the driver's hard signal; same result contract
 #       as f2 (it routes to the postings tier at the fixture corpus;
 #       the route is asserted inside the query), full f2-shaped
 #       DuckDB oracle.
+#     d7_map_json + f30_pipeline_yield — REWRITES (r13 regex-law
+#       sweep, VERDICT r12 item 7): their full-string guards anchored
+#       ^..$, and Java's $ matches before a final line terminator
+#       where RE2's does not ('{"k": "123\n"}' passed Spark's
+#       integral guard and failed DuckDB's) — converted to \A..\z,
+#       the d18 idiom; f27 carries the same conversion but already
+#       rides in the r8 core. Laws + probe record in SURVEY §5.4.3;
+#       raw pins in tests/test_properties.py::test_regex_law_pins.
 #   The r13 NaN-zonemap sweep (VERDICT r12 item 4) produced NO oracle
 #   rewrites: every raw-double comparison site closed by fixture
 #   proof (all 9 double columns + embedding elements are NaN/Inf/
@@ -282,8 +290,8 @@ _DRIVER_GREEN = frozenset({
 # Every subsequent round repeats the same rule: rewrites first, then
 # oldest-row rotation.
 _WINDOW = frozenset({
-    # r13 join (1): the new auto-tier query
-    "f2b_auto_neardup",
+    # r13 joins (3): the new auto-tier query + the regex-law rewrites
+    "f2b_auto_neardup", "d7_map_json", "f30_pipeline_yield",
     # the complete r8 vintage (29, the mandatory staleness core)
     "a6_writetime_copy", "a15_repair_apply", "a16_clustered_copy_scan",
     "c3_grouping_sets", "c4_stats_agg", "c5_percentiles", "c5b_mode",
@@ -295,14 +303,13 @@ _WINDOW = frozenset({
     "f33_pq_topk", "f42b_semantic_dedup_kmeans", "f5b_ivf_topk",
     "g1_python_udf", "g2_pandas_udf_scalar", "g6_python_udtf",
     "g9_cogrouped_map",
-    # oldest-r9 alphabetical fill (20; e18 displaced to r14)
+    # oldest-r9 alphabetical fill (18; e18/e15/e14 displaced to r14)
     "b25_tpch_q3_shaped", "b26_tpch_q10_shaped",
     "b34_bloom_semi_reduction", "b35_salted_join", "b36_skew_profile",
     "b4_agg_global", "b5_agg_groupby", "b9_join_multiway_star",
     "c16_ntile_pctrank", "c1_rollup", "c20_unpivot",
     "c22_window_count_distinct", "d11_bitwise", "d14_timestamp_arith",
     "d17_trig", "d3_string_distance", "d5_math", "d8_hash",
-    "e14_session_shape", "e15_interarrival_histogram",
 })
 
 

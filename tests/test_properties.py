@@ -592,6 +592,13 @@ _doc_text_st = st.one_of(
         "straße file İstanbul", " nbsp pad ", "ﬀﬁﬂ ligatures",
         "İ İ duplicate dotted", "STRASSE vs straße",
     ]),
+    # regex-law shapes (r13): tokens with trailing line terminators —
+    # before the \A..\z conversion, f27/f30's alpha filter counted
+    # 'abc\n' alphabetic on Spark (Java $ matches before a final
+    # terminator) but not under the oracle's RE2 regexp_full_match
+    st.sampled_from([
+        "abc\n def", "abc\r def xyz", "the cat\n sat on", "one\ntwo three",
+    ]),
 )
 
 _doc_row_st = st.tuples(
@@ -1186,6 +1193,13 @@ PROPS_BATTERY = [
     '{"k": "\\ud83d\\ude00"}', '\ufeff{"k": 5}', '{"k"\t:\n 5}',
     '{"k": +5}', '{"k": .5}', '{"k": 5.}',
     '{"k": "line\\nbreak"}', '{"k": "tab\\there"}', '{"k": "back\\\\slash"}',
+    # r13 regex-law shapes: digits + trailing line terminator — Java's
+    # $ matches BEFORE a final \n/\r (so the old ^-?[0-9]+$ guard
+    # passed and the string cast trimmed the newline, k=123) while
+    # RE2's $ does not (NULL): the \A..\z conversion makes both NULL.
+    # The embedded-newline row is the agree-control (neither matches).
+    '{"k": "123\\n"}', '{"k": "123\\r"}', '{"k": "123\\n456"}',
+    '{"k": "-7\\n"}',
     '{"k": "sol\\/idus"}', '{"deep": {"deep": {"deep": {"k": 1}}}}',
     '{"k": 5, "missing": "\\u4e2d\\u6587"}', '{"missing": [1, {"x": 2}]}',
     '{"k": 1234567890123456789}', '{"k": -1234567890123456789}',
@@ -1889,6 +1903,110 @@ def test_float_format_battery(spark, tmp_path_factory):
         f"raw float-format divergence moved (spark={sp}, duckdb={dk}) — "
         "re-probe the format law before trusting the battery"
     )
+
+
+def test_regex_law_pins(spark):
+    """r13 regex-engine divergence laws (VERDICT r12 item 7): one
+    exhaustive probe session (480 checks over class/anchor/fold/
+    preference/empty axes) of Spark's java.util.regex vs DuckDB's RE2
+    found FIVE divergence classes, pinned here raw (the casefold-
+    sentinel pattern — if an engine bump silences one, re-probe before
+    trusting any guard in the class):
+
+    1. POSIX bracket classes: Java PARSES ``[[:digit:]]`` as the char
+       class {[,:,d,i,g,t} (silently wrong matches — extracted 'g'
+       from 'Ωmega3') while RE2 implements it. Law: never use POSIX
+       classes; spell ``[0-9]``/``[a-z]``.
+    2. ``$``: Java matches before a FINAL line terminator
+       (\\n, \\r, \\r\\n, U+0085, U+2028/9), RE2 only at end-of-text.
+       Law: every full-string guard anchors \\A..\\z (d18's r11 law,
+       generalized r13 to d7's integral guards and f27/f30's alpha
+       filter — '123\\n' passed Spark's ^-?[0-9]+$ and failed RE2's).
+    3. ``\\b`` is Unicode-aware in Java but ASCII in RE2 ('caf\\b'
+       matches 'café' in RE2, not in Java). Law: no \\b in oracle-
+       shared patterns (none shipped).
+    4. ``(?i)`` folds ASCII-only in Java (without UNICODE_CASE) but
+       full-Unicode in RE2 ('(?i)σ' matches 'Σ' and 'ς' in RE2 only)
+       — the casefold law's regex twin. Law: no (?i) over non-ASCII
+       (none shipped; case-insensitive needs go through the guarded
+       lower() + case-sensitive match).
+    5. Empty-match advancement in global replace: after a non-empty
+       match Java retries the empty match at the next position where
+       RE2 advances ('aaa' ~ s/a?/_/g → '____' vs '___'). Law: no
+       empty-match-capable replace patterns (none shipped).
+
+    Java's larger line-terminator set also moves ``.`` and ``(?m)$``
+    (probed: 'b.c' skips U+2028 in Java, not RE2) — covered by law 2's
+    spelling rule since no shipped pattern uses (?m) or dot-across-
+    lines semantics."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def duck1(sql, params):
+        return con.execute(sql, params).fetchone()[0]
+
+    probes = [
+        # (java_pattern_input, spark_expr_result_fn) pinned below
+    ]
+    row = spark.createDataFrame(
+        [("Ωmega3", "café", "ab\n", "ΑΣΒ", "aaa")],
+        "posix string, word string, nl string, greek string, rep string",
+    ).select(
+        F.expr("regexp_extract(posix, '[[:digit:]]+', 0)").alias("posix_ex"),
+        F.expr(r"word rlike '\\bcaf\\b'").alias("wb"),
+        F.expr("nl rlike 'ab$'").alias("dollar"),
+        F.expr("greek rlike '(?i)σ'").alias("fold"),
+        F.expr("regexp_replace(rep, 'a?', '_')").alias("rep_out"),
+    ).collect()[0]
+    # 1. POSIX class: Java mis-parse extracts 'g'; RE2 extracts '3'
+    assert row.posix_ex == "g", row.posix_ex
+    assert duck1("SELECT regexp_extract(?, '[[:digit:]]+', 0)", ["Ωmega3"]) == "3"
+    # 2. $ before final terminator
+    assert row.dollar is True
+    assert duck1("SELECT regexp_matches(?, 'ab$')", ["ab\n"]) is False
+    # 3. \b unicode vs ASCII
+    assert row.wb is False
+    assert duck1(r"SELECT regexp_matches(?, '\bcaf\b')", ["café"]) is True
+    # 4. (?i) fold sets
+    assert row.fold is False
+    assert duck1("SELECT regexp_matches(?, '(?i)σ')", ["ΑΣΒ"]) is True
+    # 5. empty-match advancement
+    assert row.rep_out == "____", row.rep_out
+    assert duck1("SELECT regexp_replace(?, 'a?', '_', 'g')", ["aaa"]) == "___"
+
+
+def test_float_render_class_pins(spark):
+    """r13 sweep of the REMAINING float-rendering surfaces (VERDICT r12
+    item 5): probed ``%f``/``%.6f`` and ``CAST(double AS VARCHAR)``
+    cross-engine. Results, now pinned: (1) %f and %.6f carry exactly
+    the %.2f law's dichotomy at the 6th decimal (Java HALF_UPs the
+    shortest repr: '%f' of 0.1234565 -> '0.123457'; DuckDB rounds the
+    binary value -> '0.123456'); (2) the raw double->string cast
+    diverges on magnitude shapes (Java scientific notation '1.0E7' vs
+    DuckDB repr '10000000.0'). The shipped surface has ZERO sites in
+    either class — the r13 audit found no oracle that renders a double
+    into a string outside d9/d10's exact-cents path (checksum queries
+    hash integer keys + strings only; report queries emit doubles as
+    doubles under the 6dp rounding law). These pins are the sentinel:
+    if an engine bump silences a divergence, re-probe before ever
+    shipping a site in the class; while they hold, any new oracle that
+    would %f- or cast-render a double must use exact-integer forms."""
+    import duckdb
+
+    con = duckdb.connect()
+    d_f, d_f6, d_cast = con.execute(
+        "SELECT printf('%f', 0.1234565::DOUBLE), "
+        "printf('%.6f', 0.1234565::DOUBLE), (1e7)::DOUBLE::VARCHAR"
+    ).fetchone()
+    row = spark.createDataFrame([(0.1234565, 1e7)], "v double, m double").select(
+        F.format_string("%f", "v").alias("f"),
+        F.format_string("%.6f", "v").alias("f6"),
+        F.col("m").cast("string").alias("c"),
+    ).collect()[0]
+    assert (row.f, d_f) == ("0.123457", "0.123456"), (row.f, d_f)
+    assert (row.f6, d_f6) == ("0.123457", "0.123456"), (row.f6, d_f6)
+    assert (row.c, d_cast) == ("1.0E7", "10000000.0"), (row.c, d_cast)
 
 
 def test_round2_quotient_battery(spark, tmp_path_factory):
