@@ -180,15 +180,21 @@ def jaccard_pairs_postings(
             d, blocking, threshold, df_cap, stats
         )
     # persisted: the self-join references the postings on BOTH sides —
-    # without persist the scan+tokenize+explode runs twice (measured
-    # ~2x query wall at sf0.1). MEMORY_AND_DISK degrades to local-disk
-    # reads when the postings outgrow memory; at 100 TB this is the
-    # materialized inverted index every exact-similarity system builds
-    # anyway (cf. jaccard_pairs_prefix, which persists nothing but
-    # scans twice — pick per corpus regime).
-    post = bounded_persist(
-        d.select("id", "n", *blocking, F.explode("toks").alias("tok"))
-    )
+    # without persist the scan+tokenize+distinct runs twice (r13 A/B:
+    # none 1.32 s vs 0.88 s at sf0.1). The persist point is the COMPACT
+    # pre-explode frame (one row per doc, token array), not the exploded
+    # postings: caching post-explode materializes |tokens| rows where
+    # |docs| rows carry the same information, and each side re-reads
+    # that larger cache while losing the fused explode→join codegen
+    # (r13 A/B: post-explode persist 1.15 s vs pre-explode 0.88 s).
+    # Each join side now fuses its own explode on top of the small
+    # cache scan. MEMORY_AND_DISK degrades to local-disk reads when the
+    # frame outgrows memory; at 100 TB this is the materialized doc→
+    # token-set table every exact-similarity system builds anyway (cf.
+    # jaccard_pairs_prefix, which persists nothing but scans twice —
+    # pick per corpus regime).
+    d = bounded_persist(d)
+    post = d.select("id", "n", *blocking, F.explode("toks").alias("tok"))
     a, b = post.alias("a"), post.alias("b")
     cond = [F.col("a.tok") == F.col("b.tok")]
     cond += [F.col(f"a.{k}") == F.col(f"b.{k}") for k in blocking]

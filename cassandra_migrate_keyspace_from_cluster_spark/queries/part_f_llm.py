@@ -485,21 +485,24 @@ def f7_tokenize_wordcount(spark, sf_dir):
 
     The top-k is ``orderBy().limit(50)`` — Spark plans
     TakeOrderedAndProject (per-partition top-k, then merge; no global
-    sort of the vocabulary) — and ranks are assigned afterwards over
-    the surviving 50 rows with a windowless triangular join
-    (rank = 1 + count of rows sorting strictly before), so no
-    unpartitioned window exists at any scale."""
+    sort of the vocabulary). Ranks are then assigned over the surviving
+    ≤50 rows with an unpartitioned ``row_number`` window — bounded by
+    the preceding LIMIT at any scale, so the single-reducer window is
+    a constant-size (k=50) step, not a scale hazard. (r13: this
+    replaces r2's windowless triangular self-join, whose two
+    references to ``top`` made Spark compute the WHOLE scan→explode→
+    aggregate subtree twice — 2 parquet scans, 2 exchanges; measured
+    0.34 s → 0.19 s at sf0.1. The order is a strict total order —
+    ``token`` is the group key, so (n desc, token asc) has no ties —
+    making row_number ≡ the old 1 + |rows strictly before| rank.)"""
+    from pyspark.sql import Window
+
     docs = t(spark, sf_dir, "documents")
     order = [F.col("n").desc(), F.col("token").asc()]
     top = tx.word_counts(docs).orderBy(*order).limit(50)
-    a, b = top.alias("a"), top.alias("b")
-    before = (F.col("b.n") > F.col("a.n")) | (
-        (F.col("b.n") == F.col("a.n")) & (F.col("b.token") < F.col("a.token"))
-    )
-    return (
-        a.join(F.broadcast(b), before, "left")
-        .groupBy(F.col("a.token").alias("token"), F.col("a.n").alias("n"))
-        .agg((F.count(F.col("b.token")) + 1).cast("bigint").alias("rank"))
+    w = Window.orderBy(*order)
+    return top.select(
+        "token", "n", F.row_number().over(w).cast("bigint").alias("rank")
     )
 
 

@@ -55,6 +55,21 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # r13 measured I/O knobs (optimization guide §6/§4.2):
+        # - parquet zstd: smaller than snappy at similar read speed; on
+        #   the copy-roundtrip family it is also strictly faster to
+        #   WRITE than Spark's snappy path (a4 roundtrip A/B at sf0.1:
+        #   zstd 1.17 s vs snappy 1.50 s min-of-3) — same direction at
+        #   100 TB where the written bytes dominate.
+        # - arrow batch 65536 rows: fewer per-batch pandas/Arrow
+        #   crossings for mapInPandas/pandas-UDF paths (g5 A/B: 0.59 s
+        #   @10k → 0.50 s @65k); per-batch MEMORY stays bounded by
+        #   spark.sql.execution.arrow.maxBytesPerBatch (64 MB default,
+        #   Spark 4), so wide/binary rows cannot blow up a batch.
+        #   Results are batch-size-invariant (conf-invariance gate's
+        #   arrow_batch_7 axis).
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # events.parquet stores ts as TIMESTAMP(NANOS) which Spark cannot
         # read natively; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

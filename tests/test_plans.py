@@ -177,8 +177,17 @@ def test_global_ranks_use_partitioned_windows(spark):
     ):
         plan = physical_plan(q(spark, name))
         specs_ = re.findall(r"windowspecdefinition\([^)]*\)", plan)
-        if name != "f7_tokenize_wordcount":  # f7's rank is windowless
-            assert specs_, f"{name}: no window found (rank rewrite missing?)"
+        assert specs_, f"{name}: no window found (rank rewrite missing?)"
+        if name == "f7_tokenize_wordcount":
+            # r13: f7's rank is one unpartitioned row_number BY DESIGN —
+            # it runs after limit(50), so the single-task window sorts
+            # ≤50 rows at any scale (the f34 final-cut idiom). The
+            # bound must be visible in the plan as the top-k cut.
+            assert "TakeOrderedAndProject" in plan, (
+                f"{name}: rank window lost its LIMIT bound:\n{plan}"
+            )
+            assert len(specs_) == 1, f"{name}: extra windows: {specs_}"
+            continue
         if name == "f34_hybrid_rrf_search":
             # the two full rankings must stay partitioned; the final
             # rank-labelling window is unpartitioned BY DESIGN — it runs
