@@ -211,9 +211,11 @@ def main() -> None:
     reps: dict[str, list[float]] = {name: [] for name in names}
     for rep in range(max(1, _REPS)):
         for name in names:
+            spark.sparkContext.setJobDescription(f"bench:{name}:rep{rep}")
             start = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             reps[name].append(round(time.perf_counter() - start, 3))
+    spark.sparkContext.setJobDescription(None)
     timings = {name: min(ts) for name, ts in reps.items()}
     load_after = [round(x, 2) for x in os.getloadavg()]
 

@@ -112,6 +112,7 @@ def jaccard_pairs_postings(
     text_col: str = "text",
     df_cap: int | None = None,
     stats: dict | None = None,
+    token_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard via an inverted index — same result as
     ``jaccard_pairs``, different (scalable) dataflow.
@@ -170,30 +171,40 @@ def jaccard_pairs_postings(
     # a correctness one: replicated (id, tok) postings multiply the
     # per-pair intersection count while n_a/n_b stay per-row, so
     # |A∪B| = n_a + n_b - inter can reach 0 (division by zero).
-    d = docs.select(
-        F.col(id_col).alias("id"),
-        *[F.col(b) for b in blocking],
-        F.array_distinct(tokens(text_col)).alias("toks"),
-    ).distinct().withColumn("n", F.size("toks"))
+    # ``token_sets`` (r13): a caller that already built AND PERSISTED
+    # the replay-collapsed (id, *blocking, toks) frame — auto_neardup's
+    # stats pass — hands it in so the corpus is tokenized once per
+    # auto-routed run instead of once for stats plus once here
+    # (ADVICE r12 second half; f2b A/B numbers in OPTIMIZATION_r13.md).
+    if token_sets is None:
+        # persisted: every downstream form references the frame at
+        # least twice (the self-join's two sides; the capped form's
+        # df filter + verify) — without persist the scan+tokenize+
+        # distinct runs twice (r13 A/B: none 1.32 s vs 0.88 s at
+        # sf0.1). The persist point is the COMPACT pre-explode frame
+        # (one row per doc, token array), not the exploded postings:
+        # caching post-explode materializes |tokens| rows where |docs|
+        # rows carry the same information, and each side re-reads that
+        # larger cache while losing the fused explode→join codegen
+        # (r13 A/B: post-explode persist 1.15 s vs pre-explode
+        # 0.88 s). Each join side now fuses its own explode on top of
+        # the small cache scan. MEMORY_AND_DISK degrades to local-disk
+        # reads when the frame outgrows memory; at 100 TB this is the
+        # materialized doc→token-set table every exact-similarity
+        # system builds anyway (cf. jaccard_pairs_prefix, which
+        # persists nothing but scans twice — pick per corpus regime).
+        token_sets = bounded_persist(
+            docs.select(
+                F.col(id_col).alias("id"),
+                *[F.col(b) for b in blocking],
+                F.array_distinct(tokens(text_col)).alias("toks"),
+            ).distinct()
+        )
+    d = token_sets.withColumn("n", F.size("toks"))
     if df_cap is not None:
         return _jaccard_pairs_postings_capped(
             d, blocking, threshold, df_cap, stats
         )
-    # persisted: the self-join references the postings on BOTH sides —
-    # without persist the scan+tokenize+distinct runs twice (r13 A/B:
-    # none 1.32 s vs 0.88 s at sf0.1). The persist point is the COMPACT
-    # pre-explode frame (one row per doc, token array), not the exploded
-    # postings: caching post-explode materializes |tokens| rows where
-    # |docs| rows carry the same information, and each side re-reads
-    # that larger cache while losing the fused explode→join codegen
-    # (r13 A/B: post-explode persist 1.15 s vs pre-explode 0.88 s).
-    # Each join side now fuses its own explode on top of the small
-    # cache scan. MEMORY_AND_DISK degrades to local-disk reads when the
-    # frame outgrows memory; at 100 TB this is the materialized doc→
-    # token-set table every exact-similarity system builds anyway (cf.
-    # jaccard_pairs_prefix, which persists nothing but scans twice —
-    # pick per corpus regime).
-    d = bounded_persist(d)
     post = d.select("id", "n", *blocking, F.explode("toks").alias("tok"))
     a, b = post.alias("a"), post.alias("b")
     cond = [F.col("a.tok") == F.col("b.tok")]
@@ -942,13 +953,15 @@ def neardup_corpus_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     heavy_df: int = 64,
+    token_sets: DataFrame | None = None,
 ) -> dict:
     """Corpus stats for ``choose_neardup_tier`` — one linear tokenize
     pass cached across the two stats jobs (the pair-space aggregate and
     the doc count share the persisted tokenized frame, so tokenization
-    runs once here; the chosen tier then tokenizes once more from the
-    raw input — two tokenize passes total for an auto-routed run, the
-    honest price of avoiding a committed quadratic mistake; the
+    runs once here; ``token_sets`` lets the caller hand in an
+    already-persisted frame — auto_neardup does, and passes the same
+    frame to the routed exact tier, so an auto-routed run tokenizes the
+    corpus exactly ONCE end-to-end — r13, ADVICE r12 second half; the
     near-dup analogue of f4d's count+dim probe):
 
       n_docs        distinct (replay-collapsed) docs;
@@ -968,14 +981,18 @@ def neardup_corpus_stats(
     """
     # Cached: both stats jobs (the aggregate collect below and the
     # n_docs count) consume this frame — without the persist each job
-    # would re-scan and re-tokenize the corpus (ADVICE r12).
-    d = bounded_persist(
-        docs.select(
-            F.col(id_col).alias("id"),
-            *[F.col(b) for b in blocking],
-            F.array_distinct(tokens(text_col)).alias("toks"),
-        ).distinct()
-    )
+    # would re-scan and re-tokenize the corpus (ADVICE r12). A caller-
+    # provided frame is the caller's to persist/unpersist.
+    own = token_sets is None
+    d = token_sets
+    if own:
+        d = bounded_persist(
+            docs.select(
+                F.col(id_col).alias("id"),
+                *[F.col(b) for b in blocking],
+                F.array_distinct(tokens(text_col)).alias("toks"),
+            ).distinct()
+        )
     post = d.select(*blocking, F.explode("toks").alias("tok"))
     pairs_expr = (
         F.col("df").cast("double") * (F.col("df") - 1).cast("double") / 2.0
@@ -994,7 +1011,8 @@ def neardup_corpus_stats(
         .collect()[0]
     )
     n_docs = d.count()
-    d.unpersist(blocking=False)
+    if own:
+        d.unpersist(blocking=False)
     cand, light = float(row.cand), float(row.light)
     return {
         "n_docs": n_docs,
@@ -1103,8 +1121,23 @@ def auto_neardup(
     pair. ``chosen`` (opt-in) records the decision and the stats that
     drove it; ``tier_kwargs`` pass through to the tier operator (e.g.
     ``df_cap`` for postings, ``n_hashes``/``band_rows`` for lsh)."""
+    # One tokenize pass end-to-end (r13, ADVICE r12 second half): build
+    # and persist the replay-collapsed token-set frame ONCE, feed it to
+    # the stats jobs AND to the routed postings tier. Before this the
+    # stats pass tokenized once and the tier tokenized again from raw
+    # input — the docstring called that "the honest price"; sharing the
+    # persisted frame removes it without changing any tier's dataflow
+    # (the frame is exactly what the postings tier would have built).
+    sets = bounded_persist(
+        docs.select(
+            F.col(id_col).alias("id"),
+            *[F.col(b) for b in blocking],
+            F.array_distinct(tokens(text_col)).alias("toks"),
+        ).distinct()
+    )
     stats = neardup_corpus_stats(
-        docs, blocking, id_col=id_col, text_col=text_col, heavy_df=heavy_df
+        docs, blocking, id_col=id_col, text_col=text_col, heavy_df=heavy_df,
+        token_sets=sets,
     )
     tier = choose_neardup_tier(
         stats["n_docs"], stats["cand_pairs"], stats["light_pairs"],
@@ -1113,6 +1146,15 @@ def auto_neardup(
     )
     if chosen is not None:
         chosen.update({"tier": tier, **stats})
+    if tier == "postings":
+        return NEARDUP_TIERS[tier](
+            docs, blocking, threshold, id_col=id_col, text_col=text_col,
+            token_sets=sets, **tier_kwargs,
+        )
+    # prefix/lsh tiers build different internal shapes (df-ordered
+    # prefixes / shingle signatures) from the raw input; they do not
+    # consume the token-set frame, so release it promptly.
+    sets.unpersist(blocking=False)
     return NEARDUP_TIERS[tier](
         docs, blocking, threshold, id_col=id_col, text_col=text_col,
         **tier_kwargs,

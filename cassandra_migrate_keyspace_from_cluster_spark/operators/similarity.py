@@ -556,13 +556,20 @@ def ivf_cosine_topk(
     from pyspark.ml.functions import array_to_vector
 
     spark = embeddings.sparkSession
-    d = with_double_embedding(embeddings).select(
-        F.col(id_col).alias("id"),
-        F.col("embedding"),
-        array_to_vector("emb").alias("features"),
+    # persisted: MLlib KMeans does NOT cache its input (the documented
+    # "uncached input" warning) — every one of the maxIter=20
+    # iterations plus the init pass and the post-fit assignment write
+    # would otherwise re-read the parquet and re-run array_to_vector
+    # (r13; A/B in OPTIMIZATION_r13.md). The count below warms it.
+    d = bounded_persist(
+        with_double_embedding(embeddings).select(
+            F.col(id_col).alias("id"),
+            F.col("embedding"),
+            array_to_vector("emb").alias("features"),
+        )
     )
     cand_schema = "query_id bigint, neighbor_id bigint, cos_sim double"
-    n_corpus = d.count()  # O(1) agg over the (cached-on-read) corpus
+    n_corpus = d.count()
     if n_corpus == 0:
         # KMeans cannot fit 0 rows; an empty corpus has no neighbors —
         # feed the shared merge tail an empty candidate set (identical
@@ -998,7 +1005,12 @@ def semantic_dedup_kmeans(
     from pyspark.ml.functions import array_to_vector
 
     e = with_double_embedding(embeddings).select(F.col(id_col).alias("vec_id"), "emb")
-    d = e.withColumn("features", array_to_vector("emb"))
+    # persisted: MLlib KMeans does NOT cache its input (the documented
+    # "uncached input" warning) — every one of the maxIter iterations
+    # plus the init pass re-reads the parquet and re-runs
+    # array_to_vector without this; the count below warms the cache
+    # (r13; A/B in OPTIMIZATION_r13.md).
+    d = bounded_persist(e.withColumn("features", array_to_vector("emb")))
     n_corpus = d.count()
     if n_corpus == 0:
         # KMeans cannot fit 0 rows; the dup-flag stage is closed over an
@@ -1022,7 +1034,18 @@ def semantic_dedup_kmeans(
 def _dup_flags_within(assigned: DataFrame, threshold: float) -> DataFrame:
     """Shared pair stage of the semantic-dedup tiers: within each
     cluster, flag members having an EARLIER (smaller-id) member with
-    rounded cosine >= threshold. Equi-join on cluster_id only."""
+    rounded cosine >= threshold. Equi-join on cluster_id only.
+
+    ``assigned`` is referenced THREE times below (both pair-join sides
+    and the final flag join); unpersisted, Spark recomputes the whole
+    upstream assignment subtree (f42: distinct + seed crossJoin +
+    per-vector window; f42b: the KMeans assignment) once per
+    reference. Persisting the compact (vec_id, emb, cluster_id) frame
+    runs it once (r13 interleaved A/B on f42 at sf0.1: 6.41 → 1.30 s
+    min; guide §5 — reuse > recompute when the subtree is expensive).
+    At 100 TB this is the materialized cluster-assignment table every
+    SemDeDup implementation stages anyway."""
+    assigned = bounded_persist(assigned)
     earlier = assigned.select(
         F.col("vec_id").alias("vec_b"),
         F.col("emb").alias("emb_b"),
