@@ -172,15 +172,24 @@ def sql_exact_round_ratio(s: str, m: str, dp: int = 6) -> str:
     The HUGEINT lift mirrors the Spark DECIMAL(38,0) lift — a no-op
     for sums (DuckDB sum(BIGINT) is already HUGEINT) but real for
     count-expression inputs, which stay BIGINT and would otherwise
-    overflow ``2*|s|*1e6`` beyond ~4.6e12 rows."""
+    overflow ``2*|s|*1e6`` beyond ~4.6e12 rows.
+
+    The quotient→DOUBLE cast goes through VARCHAR (r14): DuckDB's
+    direct HUGEINT→DOUBLE cast is NOT correctly rounded once the
+    value exceeds 2^64 (it splits into upper*2^64 + lower and rounds
+    twice — ~1.4% of random 65-88-bit integers land 1 ulp off, pinned
+    in tests/test_properties.py::test_hugeint_double_cast_pins),
+    while Spark's DECIMAL→DOUBLE goes through BigDecimal/parseDouble
+    and is exact-to-nearest. VARCHAR→DOUBLE parsing is correctly
+    rounded, so both engines produce the bit-identical double."""
     p = 10 ** dp
     s128 = f"CAST({s} AS HUGEINT)"
     return (
-        f"CAST(CASE WHEN ({m}) = 0 THEN NULL"
+        f"CAST(CAST(CASE WHEN ({m}) = 0 THEN NULL"
         f" WHEN ({s}) < 0 THEN"
         f" -((2 * abs({s128}) * {p} + ({m})) // (2 * ({m})))"
         f" ELSE ((2 * abs({s128}) * {p} + ({m})) // (2 * ({m})))"
-        f" END AS DOUBLE)"
+        f" END AS VARCHAR) AS DOUBLE)"
         f" / {float(p)}"
     )
 
@@ -206,15 +215,17 @@ def exact_mean6(sum_name: str, n_name: str, pre_scaled: bool = False) -> Column:
 
 def sql_exact_mean6(s: str, n: str, pre_scaled: bool = False) -> str:
     """DuckDB SQL text of the same exact mean (for oracle strings);
-    HUGEINT lift as in :func:`sql_exact_round_ratio`."""
+    HUGEINT lift and VARCHAR-mediated double cast as in
+    :func:`sql_exact_round_ratio` (the direct HUGEINT→DOUBLE cast
+    double-rounds past 2^64)."""
     mult = "" if pre_scaled else " * 1000000"
     s128 = f"CAST({s} AS HUGEINT)"
     return (
-        f"CAST(CASE WHEN ({n}) = 0 THEN NULL"
+        f"CAST(CAST(CASE WHEN ({n}) = 0 THEN NULL"
         f" WHEN ({s}) < 0 THEN"
         f" -((2 * abs({s128}){mult} + ({n})) // (2 * ({n})))"
         f" ELSE ((2 * abs({s128}){mult} + ({n})) // (2 * ({n})))"
-        f" END AS DOUBLE)"
+        f" END AS VARCHAR) AS DOUBLE)"
         f" / 1e6"
     )
 

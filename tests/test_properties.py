@@ -4,15 +4,21 @@ Spark jobs, so the budget goes to law diversity, not example count."""
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from cassandra_migrate_keyspace_from_cluster_spark.operators import dedup as dd
 
+# derandomize=True (r14, VERDICT r13 item 1): the r13 driver run drew a
+# falsifying example these tests' unpinned seeds had never seen and the
+# failure was unreproducible by construction. With derandomization every
+# environment draws the SAME examples; the r13 escape class itself is
+# pinned as explicit @example rows on the rounding laws below.
 SETTINGS = dict(
     max_examples=8,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
@@ -302,6 +308,17 @@ def test_df_cap_lossless_property(spark, docs, thr, cap):
     m=st.integers(min_value=1, max_value=10**9),
     dp=st.sampled_from([2, 4, 6]),
 )
+# The r13 driver-escape class, pinned (VERDICT r13 item 1): quotients
+# past 2^64 hit DuckDB's double-rounding HUGEINT→DOUBLE cast (see
+# test_hugeint_double_cast_pins); these four examples reproduced the
+# 1-ulp oracle-side divergence before the VARCHAR-mediated cast fix.
+@example(s=16242105331615318513, m=7, dp=2)
+@example(s=-16242105331615318513, m=7, dp=2)
+@example(s=25145449266104050966, m=7, dp=2)
+@example(s=10**20, m=1, dp=6)
+@example(s=-(10**20), m=3, dp=4)
+@example(s=10**20, m=10**9, dp=6)
+@example(s=0, m=1, dp=2)
 @settings(**SETTINGS)
 def test_exact_round_ratio_matches_fraction_property(spark, s, m, dp):
     """The exact-rounding algebra as a PROPERTY over the full lifted
@@ -338,6 +355,15 @@ def test_exact_round_ratio_matches_fraction_property(spark, s, m, dp):
     n=st.integers(min_value=1, max_value=10**12),
     pre_scaled=st.booleans(),
 )
+# Same r13 escape class as exact_round_ratio's pins: quotient > 2^64
+# → DuckDB's double-rounding HUGEINT→DOUBLE cast (1 ulp off before
+# the VARCHAR-mediated fix in sql_exact_mean6).
+@example(s=95114633627890426346, n=3, pre_scaled=True)
+@example(s=-28154338272771610061, n=1, pre_scaled=True)
+@example(s=10**20, n=1, pre_scaled=False)
+@example(s=-(10**20), n=3, pre_scaled=False)
+@example(s=10**20, n=10**12, pre_scaled=True)
+@example(s=0, n=1, pre_scaled=True)
 @settings(**SETTINGS)
 def test_exact_mean6_matches_fraction_property(spark, s, n, pre_scaled):
     """exact_mean6's algebra over the lifted domain, both engines —
@@ -2101,3 +2127,77 @@ def test_price_format_driver_parity_microfixtures(
         ),
         "orders",
     )
+
+
+def test_hugeint_double_cast_pins():
+    """r14 engine-divergence law (VERDICT r13 item 1 root cause): the
+    exact-rounding quotient q = (2|s|p + m) div (2m) exceeds 2^64 once
+    |s/m|·10^dp > 1.8e19, and there the engines' integer→double casts
+    split: Spark's DECIMAL(38,x)→DOUBLE goes through BigDecimal/
+    parseDouble (correctly rounded to nearest), while DuckDB's direct
+    HUGEINT→DOUBLE composes (double)upper·2^64 + (double)lower and
+    rounds TWICE — ~1.4% of random 65-88-bit integers land 1 ulp off
+    float(q). This was the driver-only r13 Hypothesis escape
+    (test_exact_round_ratio_matches_fraction_property): the oracle
+    mirror, not the Spark engine, was the deviant side. Fix (pinned
+    here): sql_exact_round_ratio / sql_exact_mean6 cast the quotient
+    through VARCHAR, whose parse is correctly rounded.
+
+    Sentinel pins follow the regex-law pattern — if a DuckDB bump
+    makes the direct cast correctly rounded, re-probe before touching
+    the VARCHAR route."""
+    import duckdb
+
+    from cassandra_migrate_keyspace_from_cluster_spark.functions.rounding import (
+        sql_exact_mean6,
+        sql_exact_round_ratio,
+    )
+
+    con = duckdb.connect()
+    # Raw engine sentinels: direct cast double-rounds, VARCHAR parse
+    # does not. Values found by randomized probe 2026-08-18.
+    bad_q = [
+        232030076165933121614,
+        42988818034362224833,
+        30303382404306146465,
+        359220703801486442371,
+    ]
+    for q in bad_q:
+        direct, via_str = con.sql(
+            f"SELECT CAST({q}::HUGEINT AS DOUBLE),"
+            f" CAST(CAST({q}::HUGEINT AS VARCHAR) AS DOUBLE)"
+        ).fetchone()
+        assert direct != float(q), (q, direct)
+        assert via_str == float(q), (q, via_str)
+
+    # The shipped mirrors produce the true half-away double on the r13
+    # escape class (and corners), matching the Spark side bit-for-bit.
+    for s, m, dp in [
+        (16242105331615318513, 7, 2),
+        (-16242105331615318513, 7, 2),
+        (25145449266104050966, 7, 2),
+        (10**20, 1, 6),
+        (-(10**20), 3, 4),
+        (0, 1, 2),
+    ]:
+        p = 10**dp
+        q = (2 * abs(s) * p + m) // (2 * m)
+        expected = float(-q if s < 0 else q) / float(p)
+        got = con.sql(
+            f"SELECT {sql_exact_round_ratio('s', 'm', dp=dp)}"
+            f" FROM (SELECT {s}::HUGEINT AS s, {m}::BIGINT AS m)"
+        ).fetchone()[0]
+        assert got == expected, (s, m, dp, got, expected)
+    for s, n, pre in [
+        (95114633627890426346, 3, True),
+        (-28154338272771610061, 1, True),
+        (10**20, 1, False),
+    ]:
+        mult = 1 if pre else 10**6
+        q = (2 * abs(s) * mult + n) // (2 * n)
+        expected = float(-q if s < 0 else q) / 1e6
+        got = con.sql(
+            f"SELECT {sql_exact_mean6('s', 'n', pre_scaled=pre)}"
+            f" FROM (SELECT {s}::HUGEINT AS s, {n}::BIGINT AS n)"
+        ).fetchone()[0]
+        assert got == expected, (s, n, pre, got, expected)
