@@ -138,3 +138,23 @@ def bounded_persist(df, storage_level=None):
         except Exception:
             pass
     return df
+
+
+def drain_persisted() -> None:
+    """Unpersist and forget EVERY frame in the bounded-persist FIFO.
+
+    Measurement hygiene (VERDICT r13 item 2): Spark's CacheManager
+    matches cached frames by logical plan, so a frame a query persisted
+    during one bench rep silently serves the SAME query's next rep from
+    memory — min-of-K then reports a warm-cache number, not the
+    steady-state plan cost. The bench calls this (plus
+    ``spark.catalog.clearCache()``) before every timed rep. Correctness-
+    safe anywhere: unpersisting only ever costs recomputation."""
+    with _PERSISTED_LOCK:
+        drained = _PERSISTED[:]
+        _PERSISTED.clear()
+    for df in drained:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass

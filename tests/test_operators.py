@@ -1102,6 +1102,23 @@ def test_bounded_persist_caps_cached_frames(spark):
         U._PERSISTED.clear()
 
 
+def test_drain_persisted_empties_fifo_and_uncaches(spark):
+    """drain_persisted (r14 bench rep hygiene) must unpersist and
+    forget every registered frame — a timed bench rep then starts with
+    an empty cache — while leaving the frames recomputable."""
+    from cassandra_migrate_keyspace_from_cluster_spark import util as U
+
+    dfs = [U.bounded_persist(spark.range(20 + i)) for i in range(3)]
+    for df in dfs:
+        df.count()
+    assert len(U._PERSISTED) == 3
+    U.drain_persisted()
+    assert U._PERSISTED == []
+    for i, df in enumerate(dfs):
+        assert not df.storageLevel.useMemory
+        assert df.count() == 20 + i
+
+
 def test_chunked_staging_refreshes_on_source_change(spark, tmp_path):
     """cosine_topk_chunked's content-keyed staging must be reused while
     the source is unchanged and REBUILT when the parquet at the same
