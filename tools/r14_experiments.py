@@ -82,7 +82,7 @@ def main():
             return df.localCheckpoint()
 
         for qname in ("f21_neardup_clusters", "f21b_neardup_clusters_star",
-                      "f23_dedup_suppression", "f47_dedup_rate_report"):
+                      "f23_dedup_suppression", "f47_cluster_quality"):
             if qname not in qs:
                 continue
             # warm this query's codegen once per variant
