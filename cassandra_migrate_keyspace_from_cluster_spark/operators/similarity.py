@@ -22,7 +22,7 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, l2_norm, to_double_array
+from ..functions.vector import cosine, dot, l2_norm, to_double_array
 from ..util import bounded_persist, content_fingerprint, evict_stale_tags, scratch_dir
 
 
@@ -580,7 +580,19 @@ def ivf_cosine_topk(
     # toward one-cell exact search; n_probe is clamped with it
     n_cells = min(n_cells, n_corpus)
     n_probe = min(n_probe, n_cells)
-    model = KMeans(k=n_cells, seed=42, maxIter=20, featuresCol="features").fit(d)
+    # r14 iteration budget (VERDICT r13 item 5, measured): the fit ran
+    # its full maxIter=20 at tol=1e-4 (no early stop on this corpus
+    # shape), and k-means|| init alone costs 2 extra distributed
+    # passes (~0.6 s at sf0.1) — but IVF cells only need to be a
+    # REASONABLE Voronoi partition, not a converged optimum: recall is
+    # governed by n_probe, and the pytest floors (n_probe=4 ≥0.5,
+    # n_probe=8 ≥0.75, monotonicity) gate the quality. Seeded random
+    # init + maxIter=8 holds the floors (re-run after the change) at
+    # roughly half the fit cost.
+    model = KMeans(
+        k=n_cells, seed=42, maxIter=8, initMode="random",
+        featuresCol="features",
+    ).fit(d)
 
     root = work_dir or tempfile.mkdtemp(prefix="spark_graft_f5b_")
     layout = f"{root}/corpus_by_cell"
@@ -1022,8 +1034,16 @@ def semantic_dedup_kmeans(
         return _dup_flags_within(assigned, threshold)
     model = KMeans(
         # k > n cannot seed k distinct centroids (MLlib fit throws);
-        # the tiny-corpus boundary degrades toward one exact cluster
-        k=min(k, n_corpus), seed=seed, maxIter=10, featuresCol="features"
+        # the tiny-corpus boundary degrades toward one exact cluster.
+        # r14 iteration budget (VERDICT r13 item 5): coarse SemDeDup
+        # cells don't need a converged optimum — a very-near duplicate
+        # lands in its source's cell under ANY reasonable partition;
+        # the planted-dup recall floor (≥0.9) gates quality. Measured:
+        # the fit ran all 10 iterations (no tol stop) and k-means||
+        # init costs ~0.6 s over seeded random at sf0.1; maxIter=5 +
+        # random init holds the floor at less than half the fit cost.
+        k=min(k, n_corpus), seed=seed, maxIter=5, initMode="random",
+        featuresCol="features",
     ).fit(d)
     assigned = model.transform(d).select(
         "vec_id", "emb", F.col("prediction").cast("bigint").alias("cluster_id")
@@ -1044,12 +1064,27 @@ def _dup_flags_within(assigned: DataFrame, threshold: float) -> DataFrame:
     runs it once (r13 interleaved A/B on f42 at sf0.1: 6.41 → 1.30 s
     min; guide §5 — reuse > recompute when the subtree is expensive).
     At 100 TB this is the materialized cluster-assignment table every
-    SemDeDup implementation stages anyway."""
-    assigned = bounded_persist(assigned)
+    SemDeDup implementation stages anyway.
+
+    The pair predicate hoists each vector's L2 norm into the persisted
+    frame (r14): ``cosine(a,b)`` per pair costs three interpreted
+    higher-order folds plus a zip_with allocation, and two of the
+    folds (the norms) depend on ONE side only — computed per ROW
+    before the join, each pair pays just the dot fold,
+    ``dot/( _nrm * _nrm_b)``. Bit-identical doubles (same fold over
+    the same array, merely hoisted; probed 0 differing pairs over the
+    full in-cluster pair set at sf0.1) — the rounded-6dp determinism
+    law is untouched. Interleaved A/B on the isolated pair stage:
+    2.846 → 1.628 s min (guide §2.3/§4: per-task work, fewer
+    interpreted folds per joined row)."""
+    assigned = bounded_persist(
+        assigned.withColumn("_nrm", l2_norm(F.col("emb")))
+    )
     earlier = assigned.select(
         F.col("vec_id").alias("vec_b"),
         F.col("emb").alias("emb_b"),
         F.col("cluster_id").alias("cluster_b"),
+        F.col("_nrm").alias("_nrm_b"),
     )
     dup_counts = (
         assigned.join(
@@ -1057,7 +1092,14 @@ def _dup_flags_within(assigned: DataFrame, threshold: float) -> DataFrame:
             (F.col("cluster_id") == F.col("cluster_b"))
             & (F.col("vec_b") < F.col("vec_id")),
         )
-        .filter(F.round(cosine(F.col("emb"), F.col("emb_b")), 6) >= threshold)
+        .filter(
+            F.round(
+                dot(F.col("emb"), F.col("emb_b"))
+                / (F.col("_nrm") * F.col("_nrm_b")),
+                6,
+            )
+            >= threshold
+        )
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).alias("n_dup_partners"))
     )
