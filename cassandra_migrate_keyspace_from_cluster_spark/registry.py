@@ -149,6 +149,47 @@ _DRIVER_GREEN = frozenset({
     "f4d_auto_tier",
 })
 
+# Round-14 driver window (exactly 50 names), assembled per the
+# standing rule — REWRITES FIRST, then the staleness rotation.
+# CORRECTNESS_r13: 47 hash green + 3 rows-only-by-design
+# (f33/f42b/f5b), zero failures — the 13th consecutive zero-failure
+# round. Composition:
+#
+#   r14 rewrites (8 — every query whose SPARK CODE changed this
+#     round): f21/f21b/f23/f47 (CC loop checkpoints folded into the
+#     convergence job, operators/dedup.py::_loop_ckpt),
+#     f42/f42b/f46 (_dup_flags_within pair-stage norm hoist;
+#     bit-identical rounded cosines, probed), f42b/f5b additionally
+#     carry the KMeans iteration-budget change (maxIter cut + seeded
+#     random init; rows-only contract, recall floors green).
+#   the complete r9 vintage (20, mandatory — last checked r9, the
+#     5-round staleness boundary; includes the e14/e15/e18 trio the
+#     r13 window displaced, riding first per the standing note):
+#     e14, e15, e18, e19, e1, f10, f19, f29, f34, f42*, f43, f46*,
+#     f4, f4b, f51, f52, f5, f6, g3, g4 (* already above as
+#     rewrites). After this round nothing is older than r10.
+#   oldest-r10 alphabetical fill to the cap (24): a13, a17, a18, a19,
+#     a1, a20, a21, a2, a3, a4, a5, a7, a8, b10, b14, b18, b37, c8,
+#     c9, d9, e10, e16, e21, e22 — deferring e23, e2, e3, e4, e5,
+#     e6, e7, e9, f11, f15, f20, f22, f3b, f44, f48, f4c, f4d, f50,
+#     f9, g11, g5, g7, g8 to r15 (they ride first there by the same
+#     rule).
+#
+#   NOTE on the r14 oracle-mirror fix (functions/rounding.py): the
+#   sql_exact_round_ratio/sql_exact_mean6 DuckDB texts changed for 47
+#   registered oracles (HUGEINT→VARCHAR→DOUBLE quotient cast). This
+#   is NOT treated as a rewrite for window purposes: the change is
+#   provably value-identical below 2^64 (every fixture-scale value by
+#   4+ decimal orders), and ALL oracle-paired queries — the full 211 —
+#   were revalidated this round via tests/test_parity.py (the t2
+#   replica) at sf0.01, green. Treating 47 mechanical text twins as
+#   rewrites would evict the staleness core from a 50-slot window for
+#   zero re-validation value the parity suite had not already
+#   delivered; several mirror users (f10, b5-family fill rows) ride
+#   anyway.
+#
+# For the record, the r13 window was assembled as follows:
+#
 # Round-13 driver window (exactly 50 names), assembled at r13 start
 # per the standing rule — REWRITES FIRST, then the staleness rotation.
 # CORRECTNESS_r12: 48 hash green + 2 rows-only-by-design (c24/f3), zero
@@ -290,26 +331,32 @@ _DRIVER_GREEN = frozenset({
 # Every subsequent round repeats the same rule: rewrites first, then
 # oldest-row rotation.
 _WINDOW = frozenset({
-    # r13 joins (3): the new auto-tier query + the regex-law rewrites
-    "f2b_auto_neardup", "d7_map_json", "f30_pipeline_yield",
-    # the complete r8 vintage (29, the mandatory staleness core)
-    "a6_writetime_copy", "a15_repair_apply", "a16_clustered_copy_scan",
-    "c3_grouping_sets", "c4_stats_agg", "c5_percentiles", "c5b_mode",
-    "c14_frame_range", "c25_count_min",
-    "d2_string_regex", "d4_datetime", "d12_string_parts", "d16_encoding",
-    "e8_rate_histogram", "e11_anomaly_zscore", "e12_out_of_order_profile",
-    "f7_tokenize_wordcount", "f13_langid", "f16_fingerprint",
-    "f17_multimodal_features", "f26_repetition", "f27_rule_filters",
-    "f33_pq_topk", "f42b_semantic_dedup_kmeans", "f5b_ivf_topk",
-    "g1_python_udf", "g2_pandas_udf_scalar", "g6_python_udtf",
-    "g9_cogrouped_map",
-    # oldest-r9 alphabetical fill (18; e18/e15/e14 displaced to r14)
-    "b25_tpch_q3_shaped", "b26_tpch_q10_shaped",
-    "b34_bloom_semi_reduction", "b35_salted_join", "b36_skew_profile",
-    "b4_agg_global", "b5_agg_groupby", "b9_join_multiway_star",
-    "c16_ntile_pctrank", "c1_rollup", "c20_unpivot",
-    "c22_window_count_distinct", "d11_bitwise", "d14_timestamp_arith",
-    "d17_trig", "d3_string_distance", "d5_math", "d8_hash",
+    # r14 rewrites (8): CC checkpoint fold + SemDeDup pair-stage hoist
+    # + KMeans iteration budget
+    "f21_neardup_clusters", "f21b_neardup_clusters_star",
+    "f23_dedup_suppression", "f47_cluster_quality",
+    "f42_semantic_dedup", "f42b_semantic_dedup_kmeans",
+    "f5b_ivf_topk", "f46_embedding_outliers",
+    # the complete r9 vintage (20, mandatory staleness core; f42/f46
+    # already listed above)
+    "e14_session_shape", "e15_interarrival_histogram",
+    "e18_bounded_funnel", "e19_watermark_whatif", "e1_tumbling",
+    "f10_lang_stats", "f19_quantize_int8", "f29_train_split",
+    "f34_hybrid_rrf_search", "f43_chunk_dedup_rewrite",
+    "f4_cosine_topk", "f4b_cosine_neardup", "f51_ngram_novelty",
+    "f52_dataset_card", "f5_ann_lsh", "f6_centroid_knn",
+    "g3_grouped_agg_udaf", "g4_grouped_map",
+    # oldest-r10 alphabetical fill (24)
+    "a13_full_keyspace_copy", "a17_scd2_history",
+    "a18_referential_check", "a19_migration_plan_estimate",
+    "a1_cluster_scan", "a20_schema_drift_report",
+    "a21_data_expectations", "a2_schema_manifest", "a3_ddl_manifest",
+    "a4_copy_roundtrip", "a5_range_partition_counts",
+    "a7_table_counts", "a8_content_checksum", "b10_join_outer",
+    "b14_join_theta_range", "b18_intersect", "b37_join_asof_forward",
+    "c8_collect", "c9_pivot", "d9_conditional_null",
+    "e10_stream_stream_join", "e16_peak_concurrency",
+    "e21_commitlog_replay", "e22_stream_enrich",
 })
 
 
