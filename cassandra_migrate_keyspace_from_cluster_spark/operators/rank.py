@@ -85,7 +85,12 @@ def with_global_row_number(
         _PID, F.spark_partition_id()
     )
     if materialize == "local_checkpoint":
-        ranged = ranged.localCheckpoint()
+        # eager=False (r14): the counts aggregate below is the first
+        # consumer and materializes the checkpoint as part of its own
+        # job — the partition ids are frozen at that compute exactly as
+        # with an eager checkpoint, minus one dedicated job per call
+        # (guide §2: job-count overhead; same fold as the CC loops').
+        ranged = ranged.localCheckpoint(eager=False)
     elif materialize == "persist":
         from pyspark import StorageLevel
 

@@ -2779,7 +2779,9 @@ def f47_cluster_quality(spark, sf_dir):
     # replaying it per consumer; star CC gives the O(log n) round bound
     pairs = dd.jaccard_pairs_postings(
         docs, blocking=["lang", "source"], threshold=0.6
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # materialized by the CC loop's
+    # first convergence-checksum job (r14, same fold as _loop_ckpt);
+    # the edge-stats aggregate then reads the checkpointed blocks
     clusters = dd.neardup_clusters_star(docs, pairs)
     lab = clusters.select(
         F.col("doc_id").alias("doc_a"), "cluster_id"
