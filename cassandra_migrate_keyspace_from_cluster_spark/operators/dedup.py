@@ -706,12 +706,21 @@ def shingles(text_col: str = "text", k: int = 3) -> F.Column:
     return F.array_distinct(out)
 
 
+#: Max DISTINCT shingles for the vocab-broadcast fast path of
+#: minhash_signatures_wide (~34 MB framed at 200k rows × (shingle
+#: string + 16 bigints) — sized to the session's 32 MB broadcast
+#: budget). Above it the operator falls back to inline per-row
+#: hashing, the shape that needs no broadcast at any corpus size.
+MINHASH_VOCAB_BROADCAST_BUDGET = 200_000
+
+
 def minhash_signatures_wide(
     docs: DataFrame,
     n_hashes: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
     k_shingle: int = 3,
+    vocab_broadcast_budget: int = MINHASH_VOCAB_BROADCAST_BUDGET,
 ) -> DataFrame:
     """Wide MinHash signatures: one row per doc with columns
     ``mh0..mh{n-1}``, mh_j = min over the doc's distinct k-shingles of
@@ -724,15 +733,45 @@ def minhash_signatures_wide(
     is n_hashes× fewer aggregation-map entries and n_hashes× fewer
     shuffled rows for the same bytes — and the band keys downstream
     become per-row expressions instead of a second groupBy.
-    100-TB-safe: work ∝ shingles × n_hashes, memory O(n_hashes)."""
+    100-TB-safe: work ∝ shingles × n_hashes, memory O(n_hashes).
+
+    Vocab-dedup fast path (r14, measured): the pinned md5 hash costs
+    ~1 µs per call (a MessageDigest round per expression eval), and a
+    near-dup corpus repeats shingles ACROSS docs by construction —
+    the sf0.1 fixture has 260,388 shingle rows over 27,213 distinct
+    shingles (9.6×), so the inline form pays 16 md5s per ROW where
+    one per distinct shingle suffices. When the runtime distinct-
+    shingle count fits ``vocab_broadcast_budget``, hash the DISTINCT
+    vocabulary once and broadcast-join it back onto the postings
+    (values bit-identical — same md5 per (seed, shingle); equality
+    probed over the full sf0.1 signature set). The budget check is a
+    real count on the (persisted) distinct frame, so the decision is
+    runtime-adaptive, not a local[32] constant: a 100-TB vocabulary
+    blows the budget and takes the inline path unchanged.
+    Interleaved A/B at sf0.1: inline 4.09 s vs vocab-broadcast
+    1.87 s for the signature build."""
     toks = (
         docs.filter(F.size(F.split(F.col(text_col), " ")) >= k_shingle)
         .select(id_col, F.explode(shingles(text_col, k_shingle)).alias("tk"))
     )
-    hashed = toks.select(
-        id_col,
-        *[_pinned_hash60(F.col("tk"), j).alias(f"h{j}") for j in range(n_hashes)],
-    )
+    hash_cols = lambda: [  # noqa: E731 - tiny local factory
+        _pinned_hash60(F.col("tk"), j).alias(f"h{j}") for j in range(n_hashes)
+    ]
+    hashed = None
+    if vocab_broadcast_budget > 0:
+        # bounded_persist: the cached distinct backs the budget count
+        # and the broadcast build; the FIFO evicts it once the query's
+        # working set moves on (a plain persist would leak across a
+        # long session's many minhash calls)
+        vocab = bounded_persist(toks.select("tk").distinct())
+        if vocab.count() <= vocab_broadcast_budget:
+            hashed = toks.join(
+                F.broadcast(vocab.select("tk", *hash_cols())), "tk"
+            ).select(id_col, *[f"h{j}" for j in range(n_hashes)])
+        else:
+            vocab.unpersist(blocking=False)
+    if hashed is None:
+        hashed = toks.select(id_col, *hash_cols())
     return hashed.groupBy(id_col).agg(
         *[F.min(f"h{j}").alias(f"mh{j}") for j in range(n_hashes)]
     )

@@ -155,25 +155,29 @@ _DRIVER_GREEN = frozenset({
 # (f33/f42b/f5b), zero failures — the 13th consecutive zero-failure
 # round. Composition:
 #
-#   r14 rewrites (8 — every query whose SPARK CODE changed this
+#   r14 rewrites (11 — every query whose SPARK CODE changed this
 #     round): f21/f21b/f23/f47 (CC loop checkpoints folded into the
 #     convergence job, operators/dedup.py::_loop_ckpt),
 #     f42/f42b/f46 (_dup_flags_within pair-stage norm hoist;
 #     bit-identical rounded cosines, probed), f42b/f5b additionally
 #     carry the KMeans iteration-budget change (maxIter cut + seeded
-#     random init; rows-only contract, recall floors green).
+#     random init; rows-only contract, recall floors green);
+#     f40/f24/f36 joined MID-ROUND (minhash vocab-dedup fast path in
+#     minhash_signatures_wide — bit-identical pinned signatures,
+#     three-path equality test), displacing the alphabetically-last
+#     fill rows e16/e21/e22 per the standing rule.
 #   the complete r9 vintage (20, mandatory — last checked r9, the
 #     5-round staleness boundary; includes the e14/e15/e18 trio the
 #     r13 window displaced, riding first per the standing note):
 #     e14, e15, e18, e19, e1, f10, f19, f29, f34, f42*, f43, f46*,
 #     f4, f4b, f51, f52, f5, f6, g3, g4 (* already above as
 #     rewrites). After this round nothing is older than r10.
-#   oldest-r10 alphabetical fill to the cap (24): a13, a17, a18, a19,
-#     a1, a20, a21, a2, a3, a4, a5, a7, a8, b10, b14, b18, b37, c8,
-#     c9, d9, e10, e16, e21, e22 — deferring e23, e2, e3, e4, e5,
-#     e6, e7, e9, f11, f15, f20, f22, f3b, f44, f48, f4c, f4d, f50,
-#     f9, g11, g5, g7, g8 to r15 (they ride first there by the same
-#     rule).
+#   oldest-r10 alphabetical fill to the cap (21 after the mid-round
+#     displacement): a13, a17, a18, a19, a1, a20, a21, a2, a3, a4,
+#     a5, a7, a8, b10, b14, b18, b37, c8, c9, d9, e10 — deferring
+#     e16, e21, e22, e23, e2, e3, e4, e5, e6, e7, e9, f11, f15, f20,
+#     f22, f3b, f44, f48, f4c, f4d, f50, f9, g11, g5, g7, g8 to r15
+#     (they ride first there by the same rule).
 #
 #   NOTE on the r14 oracle-mirror fix (functions/rounding.py): the
 #   sql_exact_round_ratio/sql_exact_mean6 DuckDB texts changed for 47
@@ -331,12 +335,17 @@ _DRIVER_GREEN = frozenset({
 # Every subsequent round repeats the same rule: rewrites first, then
 # oldest-row rotation.
 _WINDOW = frozenset({
-    # r14 rewrites (8): CC checkpoint fold + SemDeDup pair-stage hoist
-    # + KMeans iteration budget
+    # r14 rewrites (11): CC checkpoint fold + SemDeDup pair-stage
+    # hoist + KMeans iteration budget + the minhash vocab-dedup fast
+    # path (f40/f24/f36 joined mid-round by the rewrites-first rule,
+    # displacing the alphabetically-last fill rows e16/e21/e22 — they
+    # ride first in r15)
     "f21_neardup_clusters", "f21b_neardup_clusters_star",
     "f23_dedup_suppression", "f47_cluster_quality",
     "f42_semantic_dedup", "f42b_semantic_dedup_kmeans",
     "f5b_ivf_topk", "f46_embedding_outliers",
+    "f40_incremental_dedup", "f24_minhash_pinned_lsh",
+    "f36_cross_source_dups",
     # the complete r9 vintage (20, mandatory staleness core; f42/f46
     # already listed above)
     "e14_session_shape", "e15_interarrival_histogram",
@@ -346,7 +355,8 @@ _WINDOW = frozenset({
     "f4_cosine_topk", "f4b_cosine_neardup", "f51_ngram_novelty",
     "f52_dataset_card", "f5_ann_lsh", "f6_centroid_knn",
     "g3_grouped_agg_udaf", "g4_grouped_map",
-    # oldest-r10 alphabetical fill (24)
+    # oldest-r10 alphabetical fill (21; e16/e21/e22 displaced by the
+    # mid-round minhash rewrites, riding first in r15)
     "a13_full_keyspace_copy", "a17_scd2_history",
     "a18_referential_check", "a19_migration_plan_estimate",
     "a1_cluster_scan", "a20_schema_drift_report",
@@ -355,8 +365,7 @@ _WINDOW = frozenset({
     "a7_table_counts", "a8_content_checksum", "b10_join_outer",
     "b14_join_theta_range", "b18_intersect", "b37_join_asof_forward",
     "c8_collect", "c9_pivot", "d9_conditional_null",
-    "e10_stream_stream_join", "e16_peak_concurrency",
-    "e21_commitlog_replay", "e22_stream_enrich",
+    "e10_stream_stream_join",
 })
 
 

@@ -804,6 +804,40 @@ def test_banded_range_join_equals_nested_loop(spark):
         assert got == want, f"band_width={w}"
 
 
+def test_minhash_vocab_broadcast_path_equals_inline(spark):
+    """r14 vocab-dedup fast path: minhash_signatures_wide must produce
+    BIT-IDENTICAL signatures whether the pinned hashes are computed
+    per shingle ROW (inline; budget=0 forces it), per DISTINCT shingle
+    via the broadcast vocab (budget high), or via the budget-overflow
+    fallback (budget=1 counts the vocab and falls back) — the pinned
+    md5 value per (seed, shingle) is the cross-engine contract."""
+    from cassandra_migrate_keyspace_from_cluster_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "entirely different words live here today folks"),
+            (5, "xx"),  # < k tokens: dropped by every path
+        ],
+        "doc_id bigint, text string",
+    )
+    outs = {
+        budget: sorted(
+            map(
+                tuple,
+                dd.minhash_signatures_wide(
+                    docs, n_hashes=8, vocab_broadcast_budget=budget
+                ).collect(),
+            )
+        )
+        for budget in (0, 10**6, 1)
+    }
+    assert outs[0] == outs[10**6] == outs[1]
+    assert len(outs[0]) == 4  # doc 5 dropped, all others signed
+
+
 def test_pinned_minhash_recall_vs_exact_shingle_jaccard(spark):
     """f24 (pinned-hash MinHash-LSH) candidates must recover >=90% of
     the truly-near-dup pairs (exact 3-shingle Jaccard >= 0.9, computed
