@@ -811,6 +811,7 @@ def minhash_bands(
     id_col: str = "doc_id",
     text_col: str = "text",
     k_shingle: int = 3,
+    vocab_broadcast_budget: int = MINHASH_VOCAB_BROADCAST_BUDGET,
 ) -> DataFrame:
     """(id, band, band_hash) LSH band keys over pinned MinHash
     signatures — band_hash = md5 of the band's j-ordered minhash run.
@@ -824,7 +825,8 @@ def minhash_bands(
     collect_list form) — no second shuffle after the signature
     aggregation."""
     wide = minhash_signatures_wide(
-        docs, n_hashes=n_hashes, id_col=id_col, text_col=text_col, k_shingle=k_shingle
+        docs, n_hashes=n_hashes, id_col=id_col, text_col=text_col,
+        k_shingle=k_shingle, vocab_broadcast_budget=vocab_broadcast_budget,
     )
     n_bands = -(-n_hashes // band_rows)
     bands = [

@@ -454,23 +454,43 @@ def test_domain_pagerank_iterates_over_cached_edges(spark):
 
 
 def test_minhash_bands_single_aggregate_exchange(spark):
-    """The wide-signature rewrite promises ONE aggregation shuffle for
-    the whole band index: min-hashes aggregate keyed by doc alone and
-    band md5s are per-row expressions over the wide columns. A second
-    HashAggregate exchange here would mean the (doc, j) long-form or
-    the collect_list banding crept back in."""
+    """The wide-signature rewrite promises ONE doc-keyed aggregation
+    shuffle for the whole band index: min-hashes aggregate keyed by
+    doc alone and band md5s are per-row expressions over the wide
+    columns — a second doc/band HashAggregate exchange would mean the
+    (doc, j) long-form or the collect_list banding crept back in.
+
+    r14 split the law in two: the vocab-dedup fast path (distinct
+    shingles hashed once, broadcast-joined back) legitimately adds the
+    vocab-distinct's OWN exchange, so the inline path (budget=0) pins
+    the original single-exchange shape and the fast path pins
+    exactly one extra exchange + a broadcast join + no collect_list."""
+    import re
+
     import cassandra_migrate_keyspace_from_cluster_spark.operators.dedup as dd
     from cassandra_migrate_keyspace_from_cluster_spark.sources.parquet_keyspace import (
         load_table,
     )
 
     docs = load_table(spark, SF_SMOKE, "documents")
-    plan = physical_plan(dd.minhash_bands(docs, n_hashes=16, band_rows=4))
-    import re
+    inline = physical_plan(
+        dd.minhash_bands(
+            docs, n_hashes=16, band_rows=4, vocab_broadcast_budget=0
+        )
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", inline)) == 1, inline
+    assert "collect_list" not in inline, inline
 
-    exchanges = re.findall(r"\(\d+\) Exchange", plan)
-    assert len(exchanges) == 1, plan
-    assert "collect_list" not in plan, plan
+    # Fast path: the vocab build adds its own exchanges, so the pinned
+    # law is keyed, not counted — exactly ONE doc-keyed aggregation
+    # shuffle, NO band-keyed shuffle (the collect_list banding's
+    # signature), and the vocab re-attaches by broadcast join.
+    fast = physical_plan(dd.minhash_bands(docs, n_hashes=16, band_rows=4))
+    doc_keyed = re.findall(r"hashpartitioning\(doc_id", fast)
+    assert len(doc_keyed) == 1, fast
+    assert not re.search(r"hashpartitioning\(band", fast), fast
+    assert "BroadcastHashJoin" in fast, fast
+    assert "collect_list" not in fast, fast
 
 
 def test_hybrid_rrf_final_cut_is_take_ordered(spark):
